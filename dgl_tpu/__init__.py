@@ -1,0 +1,50 @@
+"""dgl_tpu: a TPU-native graph deep learning framework in JAX.
+
+From-scratch reimplementation of the capabilities of DGL (dmlc/dgl) designed
+for TPU: immutable padded CSR/CSC/COO graph pytrees, message passing lowered
+to fused sorted-segment / Pallas kernels, fixed-shape sampling pipelines, and
+SPMD distribution over ``jax.sharding`` meshes.
+"""
+
+from .base import ALL, DGLError, DGLWarning, NID, EID, NTYPE, ETYPE, is_all
+from .graph import Graph, Relation
+from .convert import (
+    graph,
+    heterograph,
+    create_block,
+    from_scipy,
+    from_networkx,
+    to_homogeneous,
+    to_heterogeneous,
+    rand_graph,
+    rand_bipartite,
+)
+from . import function
+from . import ops
+from .ops import edge_softmax
+
+# convenience alias matching `import dgl.function as fn`
+fn = function
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ALL",
+    "DGLError",
+    "DGLWarning",
+    "Graph",
+    "Relation",
+    "graph",
+    "heterograph",
+    "create_block",
+    "from_scipy",
+    "from_networkx",
+    "to_homogeneous",
+    "to_heterogeneous",
+    "rand_graph",
+    "rand_bipartite",
+    "function",
+    "fn",
+    "ops",
+    "edge_softmax",
+]

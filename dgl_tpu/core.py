@@ -1,0 +1,299 @@
+"""Message-passing engine (reference ``python/dgl/core.py``).
+
+``message_passing`` dispatch mirrors the reference (``core.py:372``):
+
+1. builtin message x builtin reduce with a fused op -> ``invoke_gspmm``
+   (``core.py:311``) lowering to the g-SpMM kernel;
+2. builtin message alone (``apply_edges``) -> ``invoke_gsddmm``
+   (``core.py:273``) lowering to g-SDDMM;
+3. UDF message and/or UDF reduce -> messages materialized per edge, then a
+   **padded dense mailbox** reduce replaces the reference's degree bucketing
+   (``core.py:99-174`` + ``src/scheduler/scheduler.cc:15``) — bucketing by
+   exact degree is a dynamic-shape pattern XLA cannot compile, so we pad all
+   nodes to the static max in-degree and mask.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from . import function as fn
+from . import ops
+from .base import ALL, DGLError, is_all
+from .function.base import MessageFunction, ReduceFunction
+from .graph import Graph, Relation
+from .udf import EdgeBatch, NodeBatch
+
+__all__ = [
+    "message_passing",
+    "invoke_gspmm",
+    "invoke_gsddmm",
+    "invoke_edge_udf",
+    "invoke_udf_reduce",
+]
+
+
+def _src_frame(g: Graph, cet):
+    return g._node_frames.setdefault(cet[0], {})
+
+def _dst_frame(g: Graph, cet):
+    frames = g._dst_frames if g.is_block else g._node_frames
+    return frames.setdefault(cet[2], {})
+
+def _edge_frame(g: Graph, cet):
+    return g._edge_frames.setdefault(cet, {})
+
+
+def _fetch(g: Graph, cet, target: str, field: str):
+    if target == "u":
+        frame = _src_frame(g, cet)
+    elif target == "v":
+        frame = _dst_frame(g, cet)
+    elif target == "e":
+        frame = _edge_frame(g, cet)
+    else:
+        raise DGLError(f"Unknown target {target!r}")
+    if field not in frame:
+        raise DGLError(f"Field {field!r} not found in {target}-frame of {cet}")
+    return frame[field]
+
+
+def invoke_gsddmm(g: Graph, cet, mfunc: MessageFunction):
+    """Materialize per-edge messages with g-SDDMM (reference ``core.py:273``)."""
+    rel = g._relations[cet]
+    if mfunc.binary_op == "copy_lhs":
+        lhs = _fetch(g, cet, mfunc.lhs, mfunc.lhs_field)
+        out = ops.gsddmm(rel, "copy_lhs", lhs, None, lhs_target=mfunc.lhs)
+    else:
+        lhs = _fetch(g, cet, mfunc.lhs, mfunc.lhs_field)
+        rhs = _fetch(g, cet, mfunc.rhs, mfunc.rhs_field)
+        out = ops.gsddmm(
+            rel, mfunc.binary_op, lhs, rhs,
+            lhs_target=mfunc.lhs, rhs_target=mfunc.rhs,
+        )
+    return {mfunc.out_field: out}
+
+
+def invoke_gspmm(g: Graph, cet, mfunc: MessageFunction, rfunc: ReduceFunction):
+    """Fused message+reduce (reference ``core.py:311``)."""
+    rel = g._relations[cet]
+    reduce_op = rfunc.name
+    if mfunc.binary_op == "copy_lhs":
+        if mfunc.lhs == "u":
+            x = _fetch(g, cet, "u", mfunc.lhs_field)
+            out = ops.gspmm(rel, "copy_lhs", reduce_op, x, None)
+        elif mfunc.lhs == "e":
+            x = _fetch(g, cet, "e", mfunc.lhs_field)
+            out = ops.gspmm(rel, "copy_rhs", reduce_op, None, x)
+        else:
+            raise DGLError("copy_v message is not meaningful for update_all")
+        return {rfunc.out_field: out}
+    targets = {mfunc.lhs, mfunc.rhs}
+    if targets == {"u", "e"}:
+        u = _fetch(g, cet, "u", mfunc.lhs_field if mfunc.lhs == "u" else mfunc.rhs_field)
+        e = _fetch(g, cet, "e", mfunc.lhs_field if mfunc.lhs == "e" else mfunc.rhs_field)
+        op = mfunc.binary_op
+        if mfunc.lhs == "e" and op in ("sub", "div"):
+            # e op u: rewrite since gspmm takes (u, e) operand order
+            msg = invoke_gsddmm(g, cet, mfunc)[mfunc.out_field]
+            out = ops.gspmm(rel, "copy_rhs", reduce_op, None, msg)
+            return {rfunc.out_field: out}
+        if op == "dot":
+            msg = invoke_gsddmm(g, cet, mfunc)[mfunc.out_field]
+            out = ops.gspmm(rel, "copy_rhs", reduce_op, None, msg)
+            return {rfunc.out_field: out}
+        out = ops.gspmm(rel, op, reduce_op, u, e)
+        return {rfunc.out_field: out}
+    # messages involving v (dst) or u-v pairs: materialize then reduce copy_e
+    msg = invoke_gsddmm(g, cet, mfunc)[mfunc.out_field]
+    out = ops.gspmm(rel, "copy_rhs", reduce_op, None, msg)
+    return {rfunc.out_field: out}
+
+
+def invoke_edge_udf(g: Graph, cet, func: Callable, eids=ALL):
+    """Run an edge UDF over all edges (reference ``core.py:52``)."""
+    rel = g._relations[cet]
+    srcf = _src_frame(g, cet)
+    dstf = _dst_frame(g, cet)
+    edgef = _edge_frame(g, cet)
+    src_data = {k: v[rel.src] for k, v in srcf.items()}
+    dst_data = {k: v[rel.dst] for k, v in dstf.items()}
+    edge_data = dict(edgef)
+    ebatch = EdgeBatch(src_data, edge_data, dst_data, edges=(rel.src, rel.dst))
+    out = func(ebatch)
+    if not isinstance(out, dict):
+        raise DGLError("Edge UDF must return a dict of edge fields")
+    return out
+
+
+def invoke_node_udf(g: Graph, func: Callable, ntype: str, orig=None):
+    frame = (
+        g._dst_frames.setdefault(ntype, {})
+        if g.is_block
+        else g._node_frames.setdefault(ntype, {})
+    )
+    data = dict(frame)
+    if orig:
+        data.update(orig)
+    nbatch = NodeBatch(data)
+    out = func(nbatch)
+    if not isinstance(out, dict):
+        raise DGLError("Node UDF must return a dict of node fields")
+    return out
+
+
+def invoke_udf_reduce(g: Graph, cet, rfunc: Callable, msgdata: Dict):
+    """Padded-mailbox UDF reduce (replaces reference degree bucketing).
+
+    Builds a dense (num_dst, max_in_degree, feat) mailbox: slot ``r`` of node
+    ``d`` holds the r-th incoming message in CSC order, zero-padded. The UDF
+    receives a ``NodeBatch`` whose mailbox and ``mailbox_mask`` cover all dst
+    nodes at once (one compiled kernel instead of per-degree buckets).
+    """
+    rel = g._relations[cet]
+    maxdeg = max(rel.max_in_degree, 1)
+    n = rel.num_dst
+    indptr = rel.csc_indptr
+    epad = rel.num_edges_padded
+    # rank of each sorted edge within its dst segment
+    pos = jnp.arange(epad, dtype=indptr.dtype)
+    rank = pos - indptr[rel.csc_dst]
+    # flat slot index; padded edges (csc_dst == n) go to a trash slot
+    slot = jnp.where(
+        rel.csc_dst < n, rel.csc_dst * maxdeg + rank, n * maxdeg
+    )
+    mailbox = {}
+    for k, v in msgdata.items():
+        vs = v[rel.csc_eids]
+        buf = jnp.zeros((n * maxdeg + 1,) + vs.shape[1:], dtype=vs.dtype)
+        buf = buf.at[slot].set(vs, indices_are_sorted=True)
+        mailbox[k] = buf[:-1].reshape((n, maxdeg) + vs.shape[1:])
+    deg = rel.in_degrees()
+    mask = jnp.arange(maxdeg)[None, :] < deg[:, None]
+    dstf = _dst_frame(g, cet)
+    nbatch = NodeBatch(dict(dstf), mailbox, mask)
+    out = rfunc(nbatch)
+    if not isinstance(out, dict):
+        raise DGLError("Reduce UDF must return a dict of node fields")
+    return out
+
+
+def message_passing(g: Graph, mfunc, rfunc, afunc=None, etype=None):
+    """Core dispatch (reference ``python/dgl/core.py:372``). Returns the new
+    dst-node fields as a dict."""
+    cet = g.to_canonical_etype(etype)
+    if isinstance(mfunc, MessageFunction) and isinstance(rfunc, ReduceFunction):
+        ndata = invoke_gspmm(g, cet, mfunc, rfunc)
+    else:
+        # materialize messages
+        if isinstance(mfunc, MessageFunction):
+            msgdata = invoke_gsddmm(g, cet, mfunc)
+        else:
+            msgdata = invoke_edge_udf(g, cet, mfunc)
+        if isinstance(rfunc, ReduceFunction):
+            rel = g._relations[cet]
+            key = rfunc.msg_field
+            out = ops.gspmm(rel, "copy_rhs", rfunc.name, None, msgdata[key])
+            ndata = {rfunc.out_field: out}
+        else:
+            ndata = invoke_udf_reduce(g, cet, rfunc, msgdata)
+    if afunc is not None:
+        dstf = _dst_frame(g, cet)
+        data = dict(dstf)
+        data.update(ndata)
+        nbatch = NodeBatch(data)
+        upd = afunc(nbatch)
+        ndata.update(upd)
+    return ndata
+
+
+# ---------------------------------------------------------------------------
+# Graph-method implementations (bound in graph.py)
+# ---------------------------------------------------------------------------
+
+
+def update_all_(g: Graph, message_func, reduce_func, apply_node_func=None, etype=None):
+    """``DGLGraph.update_all`` (reference ``heterograph.py:5018``)."""
+    cet = g.to_canonical_etype(etype)
+    ndata = message_passing(g, message_func, reduce_func, apply_node_func, etype=cet)
+    dstf = _dst_frame(g, cet)
+    dstf.update(ndata)
+    return ndata
+
+
+def apply_edges_(g: Graph, func, edges=ALL, etype=None):
+    """``DGLGraph.apply_edges`` (reference ``heterograph.py:4597``)."""
+    if not is_all(edges):
+        raise NotImplementedError(
+            "apply_edges on an edge subset is not supported; use edge masks"
+        )
+    cet = g.to_canonical_etype(etype)
+    if isinstance(func, MessageFunction):
+        edata = invoke_gsddmm(g, cet, func)
+    else:
+        edata = invoke_edge_udf(g, cet, func)
+    _edge_frame(g, cet).update(edata)
+    return edata
+
+
+def apply_nodes(g: Graph, func, v=ALL, ntype=None):
+    if not is_all(v):
+        raise NotImplementedError("apply_nodes on a node subset is not supported")
+    if ntype is None:
+        if len(g.ntypes) != 1:
+            raise DGLError("ntype required for graphs with multiple node types")
+        ntype = g.ntypes[0]
+    ndata = invoke_node_udf(g, func, ntype)
+    frame = (
+        g._dst_frames.setdefault(ntype, {})
+        if g.is_block
+        else g._node_frames.setdefault(ntype, {})
+    )
+    frame.update(ndata)
+    return ndata
+
+
+def multi_update_all_(g: Graph, etype_dict, cross_reducer, apply_node_func=None):
+    """``DGLGraph.multi_update_all`` (reference ``heterograph.py:5161``).
+
+    ``etype_dict``: etype -> (msg_fn, reduce_fn[, apply_fn]). Per-dsttype
+    results are combined with ``cross_reducer`` in {sum, max, min, mean,
+    stack}.
+    """
+    per_dst: Dict[str, Dict[str, list]] = {}
+    for etype, spec in etype_dict.items():
+        cet = g.to_canonical_etype(etype)
+        mfunc, rfunc = spec[0], spec[1]
+        afunc = spec[2] if len(spec) > 2 else None
+        ndata = message_passing(g, mfunc, rfunc, afunc, etype=cet)
+        store = per_dst.setdefault(cet[2], {})
+        for k, v in ndata.items():
+            store.setdefault(k, []).append(v)
+    for dsttype, fields in per_dst.items():
+        frame = (
+            g._dst_frames.setdefault(dsttype, {})
+            if g.is_block
+            else g._node_frames.setdefault(dsttype, {})
+        )
+        for k, vals in fields.items():
+            if len(vals) == 1 and cross_reducer != "stack":
+                out = vals[0]
+            elif cross_reducer == "sum":
+                out = sum(vals)
+            elif cross_reducer == "max":
+                out = jnp.stack(vals).max(axis=0)
+            elif cross_reducer == "min":
+                out = jnp.stack(vals).min(axis=0)
+            elif cross_reducer == "mean":
+                out = jnp.stack(vals).mean(axis=0)
+            elif cross_reducer == "stack":
+                out = jnp.stack(vals, axis=1)
+            else:
+                raise DGLError(f"Unknown cross reducer {cross_reducer!r}")
+            frame[k] = out
+    if apply_node_func is not None:
+        for dsttype in per_dst:
+            apply_nodes(g, apply_node_func, ntype=dsttype)
+    return per_dst

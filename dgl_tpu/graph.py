@@ -1,0 +1,988 @@
+"""TPU-native heterogeneous graph object.
+
+Design: the reference's mutable, lazily-formatted C++ ``UnitGraph`` /
+``HeteroGraph`` (reference ``src/graph/unit_graph.h:41-47``,
+``src/graph/heterograph.h``) becomes an **immutable struct-of-arrays pytree**.
+Every relation stores COO + CSR + CSC eagerly (built on host at construction,
+mirroring ``UnitGraph::GetInCSR/GetOutCSR/GetCOO`` at
+``src/graph/unit_graph.h:260-279`` but without lazy mutation), so the whole
+graph can flow through ``jax.jit`` / ``pjit`` with static treedef.
+
+Feature storage: the reference's ``Frame``/``Column`` store
+(``python/dgl/frame.py:571,167``) becomes plain dicts of arrays; the
+``ndata``/``edata`` views mirror ``python/dgl/view.py:15-182``.
+
+The Python API surface mirrors ``DGLGraph``
+(``python/dgl/heterograph.py:40``): ``num_nodes``, ``num_edges``, ``edges()``,
+``in_degrees``, ``out_degrees``, ``update_all`` (:5018), ``apply_edges``
+(:4597), ``multi_update_all`` (:5161), ``local_scope``, blocks (MFGs), etc.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import DGLError, ALL, is_all
+
+CanonicalEtype = Tuple[str, str, str]
+
+
+def _asnumpy(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# Relation structure (one canonical edge type)
+# ---------------------------------------------------------------------------
+
+
+class Relation:
+    """Adjacency of a single canonical edge type in COO + CSR + CSC.
+
+    Equivalent of the reference's ``UnitGraph`` (``src/graph/unit_graph.h``)
+    with all formats materialized (TPU-first: no lazy mutation, all arrays are
+    device-resident ``jax.Array`` leaves of the Graph pytree).
+
+    - ``src``, ``dst``: COO endpoints in edge-ID order.
+    - ``csr_*``: out-edges grouped by source row (src -> dst).
+    - ``csc_*``: in-edges grouped by destination row (dst -> src); this is the
+      layout g-SpMM consumes (``SelectFormat(CSC)`` in the reference,
+      ``src/array/kernel.cc:23``). ``csc_dst`` is the expanded per-edge
+      destination id (sorted ascending) used for segment reductions.
+
+    ``num_src``/``num_dst``/``num_edges`` are static Python ints (part of the
+    pytree treedef) so shapes stay static under jit. Arrays may be padded
+    beyond ``num_edges``; padded entries have ``src == num_src`` and
+    ``dst == num_dst`` (one virtual padding row per side).
+    """
+
+    ARRAY_FIELDS = (
+        "src",
+        "dst",
+        "csr_indptr",
+        "csr_indices",
+        "csr_eids",
+        "csr_src",
+        "csc_indptr",
+        "csc_indices",
+        "csc_eids",
+        "csc_dst",
+    )
+
+    def __init__(
+        self,
+        src,
+        dst,
+        csr_indptr,
+        csr_indices,
+        csr_eids,
+        csr_src,
+        csc_indptr,
+        csc_indices,
+        csc_eids,
+        csc_dst,
+        *,
+        num_src: int,
+        num_dst: int,
+        num_edges: int,
+        max_in_degree: int = -1,
+        max_out_degree: int = -1,
+    ):
+        self.src = src
+        self.dst = dst
+        self.csr_indptr = csr_indptr
+        self.csr_indices = csr_indices
+        self.csr_eids = csr_eids
+        self.csr_src = csr_src
+        self.csc_indptr = csc_indptr
+        self.csc_indices = csc_indices
+        self.csc_eids = csc_eids
+        self.csc_dst = csc_dst
+        self.num_src = int(num_src)
+        self.num_dst = int(num_dst)
+        self.num_edges = int(num_edges)
+        # static max degrees (for padded-mailbox UDF reduce); -1 = unknown
+        self.max_in_degree = int(max_in_degree)
+        self.max_out_degree = int(max_out_degree)
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_coo(
+        src,
+        dst,
+        num_src: int,
+        num_dst: int,
+        *,
+        idtype=jnp.int32,
+        num_edges: Optional[int] = None,
+        formats: Sequence[str] = ("coo", "csr", "csc"),
+        to_device: bool = True,
+    ) -> "Relation":
+        """Build all formats from a COO edge list on the host.
+
+        Mirrors ``UnitGraph::CreateFromCOO`` + the COO->CSR sorts at
+        ``src/array/cpu/coo_sort.cc`` (reference), done once eagerly in numpy.
+
+        ``num_edges`` < len(src) marks the tail as padding (padded edges must
+        already point at the virtual rows ``num_src``/``num_dst``).
+        """
+        src = _asnumpy(src)
+        dst = _asnumpy(dst)
+        if src.shape != dst.shape or src.ndim != 1:
+            raise DGLError(
+                f"src/dst must be equal-length 1D arrays, got {src.shape} vs {dst.shape}"
+            )
+        E_arr = src.shape[0]
+        E = E_arr if num_edges is None else int(num_edges)
+        np_id = np.dtype(np.int32) if idtype == jnp.int32 else np.dtype(np.int64)
+        src = src.astype(np_id)
+        dst = dst.astype(np_id)
+        if E > 0:
+            real_src = src[:E]
+            real_dst = dst[:E]
+            if real_src.size and (
+                real_src.min() < 0 or real_src.max() >= num_src
+            ):
+                raise DGLError(
+                    f"src ids out of range [0, {num_src}): "
+                    f"min={real_src.min()}, max={real_src.max()}"
+                )
+            if real_dst.size and (
+                real_dst.min() < 0 or real_dst.max() >= num_dst
+            ):
+                raise DGLError(
+                    f"dst ids out of range [0, {num_dst}): "
+                    f"min={real_dst.min()}, max={real_dst.max()}"
+                )
+
+        eids = np.arange(E_arr, dtype=np_id)
+
+        def build_index(major, nrows):
+            # Sort edges by `major` (stable, so ties keep eid order like the
+            # reference's stable COO sort).
+            order = np.argsort(major, kind="stable").astype(np_id)
+            sorted_major = major[order]
+            indptr = np.zeros(nrows + 2, dtype=np_id)
+            np.add.at(indptr, sorted_major + 1, 1)
+            indptr = np.cumsum(indptr, dtype=np_id)[: nrows + 1]
+            return indptr, order, sorted_major
+
+        # CSR: group by src. Padding edges (src == num_src) sort to the end
+        # and are excluded by indptr[num_src].
+        csr_indptr, csr_order, csr_src = build_index(src, num_src)
+        csr_indices = dst[csr_order]
+        csr_eids = csr_order
+
+        # CSC: group by dst.
+        csc_indptr, csc_order, csc_dst = build_index(dst, num_dst)
+        csc_indices = src[csc_order]
+        csc_eids = csc_order
+
+        def maxdeg(indptr, nrows):
+            if nrows == 0:
+                return 0
+            return int(np.max(indptr[1 : nrows + 1] - indptr[:nrows]))
+
+        max_in = maxdeg(csc_indptr, num_dst)
+        max_out = maxdeg(csr_indptr, num_src)
+
+        dev = jnp.asarray if to_device else (lambda a: a)
+        return Relation(
+            src=dev(src),
+            dst=dev(dst),
+            csr_indptr=dev(csr_indptr),
+            csr_indices=dev(csr_indices),
+            csr_eids=dev(csr_eids),
+            csr_src=dev(csr_src),
+            csc_indptr=dev(csc_indptr),
+            csc_indices=dev(csc_indices),
+            csc_eids=dev(csc_eids),
+            csc_dst=dev(csc_dst),
+            num_src=num_src,
+            num_dst=num_dst,
+            num_edges=E,
+            max_in_degree=max_in,
+            max_out_degree=max_out,
+        )
+
+    # -- pytree --------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in Relation.ARRAY_FIELDS)
+        aux = (
+            self.num_src,
+            self.num_dst,
+            self.num_edges,
+            self.max_in_degree,
+            self.max_out_degree,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        for f, c in zip(cls.ARRAY_FIELDS, children):
+            setattr(obj, f, c)
+        (
+            obj.num_src,
+            obj.num_dst,
+            obj.num_edges,
+            obj.max_in_degree,
+            obj.max_out_degree,
+        ) = aux
+        return obj
+
+    # -- queries -------------------------------------------------------------
+
+    @property
+    def num_edges_padded(self) -> int:
+        return self.src.shape[0]
+
+    def edge_mask(self):
+        """Boolean (E_padded,) mask of real (non-padding) edges."""
+        if self.num_edges == self.num_edges_padded:
+            return jnp.ones((self.num_edges_padded,), dtype=bool)
+        return jnp.arange(self.num_edges_padded) < self.num_edges
+
+    def in_degrees(self):
+        return self.csc_indptr[1:] - self.csc_indptr[:-1]
+
+    def out_degrees(self):
+        return self.csr_indptr[1:] - self.csr_indptr[:-1]
+
+    def reverse(self) -> "Relation":
+        """Swap src/dst; CSR<->CSC (reference ``UnitGraph`` reverse view)."""
+        return Relation(
+            src=self.dst,
+            dst=self.src,
+            csr_indptr=self.csc_indptr,
+            csr_indices=self.csc_indices,
+            csr_eids=self.csc_eids,
+            csr_src=self.csc_dst,
+            csc_indptr=self.csr_indptr,
+            csc_indices=self.csr_indices,
+            csc_eids=self.csr_eids,
+            csc_dst=self.csr_src,
+            num_src=self.num_dst,
+            num_dst=self.num_src,
+            num_edges=self.num_edges,
+            max_in_degree=self.max_out_degree,
+            max_out_degree=self.max_in_degree,
+        )
+
+    def __repr__(self):
+        return (
+            f"Relation(num_src={self.num_src}, num_dst={self.num_dst}, "
+            f"num_edges={self.num_edges})"
+        )
+
+
+jax.tree_util.register_pytree_node(
+    Relation,
+    lambda r: r.tree_flatten(),
+    Relation.tree_unflatten,
+)
+
+
+# ---------------------------------------------------------------------------
+# Data views (ndata / edata / srcdata / dstdata) — mirror python/dgl/view.py
+# ---------------------------------------------------------------------------
+
+
+class HeteroNodeDataView(Mapping):
+    """``g.ndata`` view (reference ``python/dgl/view.py:70-182``)."""
+
+    __slots__ = ("_graph", "_ntype", "_role")
+
+    def __init__(self, graph: "Graph", ntype: Optional[str], role: str):
+        self._graph = graph
+        self._ntype = ntype
+        self._role = role  # 'node' | 'src' | 'dst'
+
+    def _frames(self) -> Dict[str, Dict[str, Any]]:
+        if self._role == "dst":
+            return self._graph._dst_frames
+        return self._graph._node_frames
+
+    def _frame(self, ntype=None) -> Dict[str, Any]:
+        g = self._graph
+        nt = ntype if ntype is not None else self._ntype
+        if nt is None:
+            types = g.srctypes if self._role == "src" else (
+                g.dsttypes if self._role == "dst" else g.ntypes
+            )
+            if len(types) != 1:
+                raise DGLError(
+                    "Graph has multiple node types; use g.nodes[ntype].data "
+                    "or pass an explicit ntype."
+                )
+            nt = types[0]
+        return self._frames().setdefault(nt, {})
+
+    def __getitem__(self, key):
+        if self._ntype is None and isinstance(key, str) and key in self._typekeys():
+            # hetero: g.ndata['h'] may return per-type dict in reference;
+            # here string keys index features of the unique type.
+            pass
+        frame = self._frame()
+        if key not in frame:
+            raise KeyError(key)
+        return frame[key]
+
+    def _typekeys(self):
+        return ()
+
+    def __setitem__(self, key, value):
+        g = self._graph
+        if self._ntype is None and len(self._types()) > 1:
+            if not isinstance(value, Mapping):
+                raise DGLError(
+                    "Setting ndata on a graph with multiple node types "
+                    "requires a dict of per-type values."
+                )
+            for nt, v in value.items():
+                self._check_shape(nt, v)
+                self._frame(nt)[key] = v
+            return
+        nt = self._ntype if self._ntype is not None else self._types()[0]
+        self._check_shape(nt, value)
+        self._frame(nt)[key] = value
+
+    def _types(self):
+        g = self._graph
+        if self._role == "src":
+            return g.srctypes
+        if self._role == "dst":
+            return g.dsttypes
+        return g.ntypes
+
+    def _check_shape(self, ntype, value):
+        g = self._graph
+        if self._role == "dst":
+            n = g.num_dst_nodes(ntype)
+        elif self._role == "src":
+            n = g.num_src_nodes(ntype)
+        else:
+            n = g.num_nodes(ntype)
+        if value.shape[0] != n:
+            raise DGLError(
+                f"Feature first dim {value.shape[0]} != number of "
+                f"{self._role} nodes {n} for ntype {ntype!r}"
+            )
+
+    def __delitem__(self, key):
+        del self._frame()[key]
+
+    def __iter__(self):
+        return iter(self._frame())
+
+    def __len__(self):
+        return len(self._frame())
+
+    def __contains__(self, key):
+        return key in self._frame()
+
+    def keys(self):
+        return self._frame().keys()
+
+    def pop(self, key):
+        return self._frame().pop(key)
+
+    def update(self, other):
+        for k, v in other.items():
+            self[k] = v
+
+    def __repr__(self):
+        return repr(dict(self._frame()))
+
+
+class HeteroEdgeDataView(Mapping):
+    """``g.edata`` view (reference ``python/dgl/view.py:184-280``)."""
+
+    __slots__ = ("_graph", "_etype")
+
+    def __init__(self, graph: "Graph", etype=None):
+        self._graph = graph
+        self._etype = etype
+
+    def _frame(self, etype=None) -> Dict[str, Any]:
+        g = self._graph
+        et = etype if etype is not None else self._etype
+        cet = g.to_canonical_etype(et) if et is not None else None
+        if cet is None:
+            if len(g.canonical_etypes) != 1:
+                raise DGLError(
+                    "Graph has multiple edge types; use g.edges[etype].data."
+                )
+            cet = g.canonical_etypes[0]
+        return g._edge_frames.setdefault(cet, {})
+
+    def __getitem__(self, key):
+        frame = self._frame()
+        if key not in frame:
+            raise KeyError(key)
+        return frame[key]
+
+    def __setitem__(self, key, value):
+        g = self._graph
+        if self._etype is None and len(g.canonical_etypes) > 1:
+            if not isinstance(value, Mapping):
+                raise DGLError(
+                    "Setting edata on a graph with multiple edge types "
+                    "requires a dict of per-etype values."
+                )
+            for et, v in value.items():
+                self._frame(et)[key] = v
+            return
+        cet = (
+            g.to_canonical_etype(self._etype)
+            if self._etype is not None
+            else g.canonical_etypes[0]
+        )
+        n = g.num_edges(cet)
+        npad = g._relation(cet).num_edges_padded
+        if value.shape[0] not in (n, npad):
+            raise DGLError(
+                f"Feature first dim {value.shape[0]} != number of edges {n} "
+                f"for etype {cet!r}"
+            )
+        self._frame(self._etype)[key] = value
+
+    def __delitem__(self, key):
+        del self._frame()[key]
+
+    def __iter__(self):
+        return iter(self._frame())
+
+    def __len__(self):
+        return len(self._frame())
+
+    def __contains__(self, key):
+        return key in self._frame()
+
+    def keys(self):
+        return self._frame().keys()
+
+    def pop(self, key):
+        return self._frame().pop(key)
+
+    def update(self, other):
+        for k, v in other.items():
+            self[k] = v
+
+    def __repr__(self):
+        return repr(dict(self._frame()))
+
+
+class _TypedView:
+    """``g.nodes[ntype].data`` / ``g.edges[etype].data`` accessor."""
+
+    __slots__ = ("_graph", "_kind", "_role")
+
+    def __init__(self, graph, kind, role="node"):
+        self._graph = graph
+        self._kind = kind
+        self._role = role
+
+    def __getitem__(self, key):
+        if self._kind == "node":
+            return _TypedDataHolder(
+                HeteroNodeDataView(self._graph, key, self._role)
+            )
+        return _TypedDataHolder(HeteroEdgeDataView(self._graph, key))
+
+
+class _TypedDataHolder:
+    __slots__ = ("data",)
+
+    def __init__(self, view):
+        self.data = view
+
+
+# ---------------------------------------------------------------------------
+# Graph
+# ---------------------------------------------------------------------------
+
+
+class Graph:
+    """Immutable-structure heterogeneous graph pytree.
+
+    Equivalent of ``DGLGraph`` (reference ``python/dgl/heterograph.py:40``).
+    Structure (relations, node counts, metagraph) is fixed at construction;
+    feature frames are mutable Python dicts so the familiar
+    ``g.ndata['h'] = x`` idiom works outside of traced code. The whole object
+    is a registered pytree: structure arrays and features are leaves, the
+    metagraph and counts are static treedef data, so a ``Graph`` can be passed
+    straight into ``jax.jit``-compiled functions.
+
+    Blocks (message-flow graphs, reference ``create_block``
+    ``python/dgl/convert.py:389``) are Graphs with ``is_block=True`` and
+    separate SRC/DST node spaces.
+    """
+
+    def __init__(
+        self,
+        relations: Dict[CanonicalEtype, Relation],
+        num_src_nodes: Dict[str, int],
+        num_dst_nodes: Optional[Dict[str, int]] = None,
+        *,
+        is_block: bool = False,
+        node_frames: Optional[Dict[str, Dict[str, Any]]] = None,
+        dst_frames: Optional[Dict[str, Dict[str, Any]]] = None,
+        edge_frames: Optional[Dict[CanonicalEtype, Dict[str, Any]]] = None,
+    ):
+        self._relations = dict(relations)
+        self._canonical_etypes: Tuple[CanonicalEtype, ...] = tuple(
+            self._relations.keys()
+        )
+        self._num_src_nodes = dict(num_src_nodes)
+        self._num_dst_nodes = (
+            dict(num_dst_nodes) if num_dst_nodes is not None else dict(num_src_nodes)
+        )
+        self._is_block = bool(is_block)
+        self._node_frames = node_frames if node_frames is not None else {}
+        # dst frames only used for blocks (separate DST node space)
+        self._dst_frames = dst_frames if dst_frames is not None else ({} if is_block else self._node_frames)
+        if not is_block:
+            self._dst_frames = self._node_frames
+        self._edge_frames = edge_frames if edge_frames is not None else {}
+        # validate relation shapes against node counts
+        for (st, et, dt), rel in self._relations.items():
+            if st not in self._num_src_nodes or dt not in self._num_dst_nodes:
+                raise DGLError(f"Unknown node type in relation ({st},{et},{dt})")
+
+    # -- basic schema --------------------------------------------------------
+
+    @property
+    def is_block(self) -> bool:
+        return self._is_block
+
+    @property
+    def canonical_etypes(self) -> Tuple[CanonicalEtype, ...]:
+        return self._canonical_etypes
+
+    @property
+    def etypes(self) -> List[str]:
+        return [et for _, et, _ in self._canonical_etypes]
+
+    @property
+    def ntypes(self) -> List[str]:
+        seen = dict.fromkeys(self._num_src_nodes)
+        if self._is_block:
+            seen.update(dict.fromkeys(self._num_dst_nodes))
+        return list(seen)
+
+    @property
+    def srctypes(self) -> List[str]:
+        return list(self._num_src_nodes)
+
+    @property
+    def dsttypes(self) -> List[str]:
+        return list(self._num_dst_nodes)
+
+    @property
+    def is_homogeneous(self) -> bool:
+        return len(self.ntypes) == 1 and len(self.canonical_etypes) == 1
+
+    @property
+    def idtype(self):
+        rel = next(iter(self._relations.values()))
+        return rel.src.dtype
+
+    @property
+    def device(self):
+        rel = next(iter(self._relations.values()))
+        arr = rel.src
+        return arr.devices() if hasattr(arr, "devices") else None
+
+    def to_canonical_etype(self, etype) -> CanonicalEtype:
+        """Resolve etype name / triplet (reference ``heterograph.py:1121``)."""
+        if etype is None:
+            if len(self._canonical_etypes) != 1:
+                raise DGLError(
+                    "Edge type name must be specified for graphs with "
+                    f"multiple edge types: {self._canonical_etypes}"
+                )
+            return self._canonical_etypes[0]
+        if isinstance(etype, tuple):
+            if tuple(etype) not in self._relations:
+                raise DGLError(f"Unknown canonical etype {etype}")
+            return tuple(etype)
+        matches = [c for c in self._canonical_etypes if c[1] == etype]
+        if not matches:
+            raise DGLError(f"Unknown edge type {etype!r}")
+        if len(matches) > 1:
+            raise DGLError(
+                f"Edge type {etype!r} is ambiguous; use a canonical triplet. "
+                f"Candidates: {matches}"
+            )
+        return matches[0]
+
+    def _relation(self, etype=None) -> Relation:
+        return self._relations[self.to_canonical_etype(etype)]
+
+    # -- counts --------------------------------------------------------------
+
+    def _one_ntype(self, role: str) -> str:
+        types = self.srctypes if role == "src" else self.dsttypes
+        if len(types) != 1:
+            raise DGLError("ntype must be given for graphs with multiple node types")
+        return types[0]
+
+    def num_nodes(self, ntype: Optional[str] = None) -> int:
+        if self._is_block:
+            # For blocks, num_nodes counts SRC nodes (supersets of DST).
+            return self.num_src_nodes(ntype)
+        if ntype is None:
+            if len(self.ntypes) == 1:
+                return self._num_src_nodes[self.ntypes[0]]
+            return sum(self._num_src_nodes.values())
+        if ntype not in self._num_src_nodes:
+            raise DGLError(f"Unknown node type {ntype!r}")
+        return self._num_src_nodes[ntype]
+
+    number_of_nodes = num_nodes
+
+    def num_src_nodes(self, ntype: Optional[str] = None) -> int:
+        if ntype is None:
+            if len(self.srctypes) == 1:
+                return self._num_src_nodes[self.srctypes[0]]
+            return sum(self._num_src_nodes.values())
+        return self._num_src_nodes[ntype]
+
+    def num_dst_nodes(self, ntype: Optional[str] = None) -> int:
+        if ntype is None:
+            if len(self.dsttypes) == 1:
+                return self._num_dst_nodes[self.dsttypes[0]]
+            return sum(self._num_dst_nodes.values())
+        return self._num_dst_nodes[ntype]
+
+    def num_edges(self, etype=None) -> int:
+        if etype is None and len(self._canonical_etypes) > 1:
+            return sum(r.num_edges for r in self._relations.values())
+        return self._relation(etype).num_edges
+
+    number_of_edges = num_edges
+
+    # -- data views ----------------------------------------------------------
+
+    @property
+    def ndata(self):
+        return HeteroNodeDataView(self, None, "node")
+
+    @property
+    def edata(self):
+        return HeteroEdgeDataView(self, None)
+
+    @property
+    def srcdata(self):
+        return HeteroNodeDataView(self, None, "src")
+
+    @property
+    def dstdata(self):
+        return HeteroNodeDataView(self, None, "dst")
+
+    @property
+    def nodes(self):
+        return _TypedView(self, "node")
+
+    @property
+    def edges_view(self):
+        return _TypedView(self, "edge")
+
+    def node_attr_schemes(self, ntype=None):
+        nt = ntype or (self.ntypes[0] if len(self.ntypes) == 1 else None)
+        frame = self._node_frames.get(nt, {})
+        return {k: (v.shape[1:], v.dtype) for k, v in frame.items()}
+
+    # -- structure queries ----------------------------------------------------
+
+    def edges(self, form: str = "uv", order: str = "eid", etype=None):
+        """Edge endpoints (reference ``heterograph.py`` ``all_edges``)."""
+        rel = self._relation(etype)
+        if order == "eid":
+            u, v = rel.src, rel.dst
+            e = jnp.arange(rel.num_edges_padded, dtype=u.dtype)
+        elif order == "srcdst":
+            u = jnp.repeat(
+                jnp.arange(rel.num_src, dtype=rel.src.dtype),
+                rel.out_degrees(),
+                total_repeat_length=rel.num_edges_padded,
+            )
+            v = rel.csr_indices
+            e = rel.csr_eids
+        else:
+            raise DGLError(f"Unknown edge order {order!r}")
+        if form == "uv":
+            return u, v
+        if form == "all":
+            return u, v, e
+        if form == "eid":
+            return e
+        raise DGLError(f"Unknown form {form!r}")
+
+    def find_edges(self, eid, etype=None):
+        rel = self._relation(etype)
+        eid = jnp.asarray(eid)
+        return rel.src[eid], rel.dst[eid]
+
+    def in_degrees(self, v=ALL, etype=None):
+        rel = self._relation(etype)
+        deg = rel.in_degrees()
+        if is_all(v):
+            return deg
+        return deg[jnp.asarray(v)]
+
+    def out_degrees(self, u=ALL, etype=None):
+        rel = self._relation(etype)
+        deg = rel.out_degrees()
+        if is_all(u):
+            return deg
+        return deg[jnp.asarray(u)]
+
+    def has_edges_between(self, u, v, etype=None):
+        rel = self._relation(etype)
+        u = np.atleast_1d(_asnumpy(u))
+        v = np.atleast_1d(_asnumpy(v))
+        indptr = _asnumpy(rel.csr_indptr)
+        indices = _asnumpy(rel.csr_indices)
+        out = np.zeros(u.shape, dtype=bool)
+        for i, (uu, vv) in enumerate(zip(u, v)):
+            row = indices[indptr[uu] : indptr[uu + 1]]
+            out[i] = bool(np.isin(vv, row))
+        res = jnp.asarray(out)
+        return res if res.shape[0] > 1 else res[0]
+
+    def edge_ids(self, u, v, etype=None):
+        rel = self._relation(etype)
+        u = np.atleast_1d(_asnumpy(u))
+        v = np.atleast_1d(_asnumpy(v))
+        indptr = _asnumpy(rel.csr_indptr)
+        indices = _asnumpy(rel.csr_indices)
+        eids = _asnumpy(rel.csr_eids)
+        out = np.zeros(u.shape, dtype=indices.dtype)
+        for i, (uu, vv) in enumerate(zip(u, v)):
+            lo, hi = indptr[uu], indptr[uu + 1]
+            hit = np.nonzero(indices[lo:hi] == vv)[0]
+            if hit.size == 0:
+                raise DGLError(f"Edge ({uu},{vv}) does not exist")
+            out[i] = eids[lo + hit[0]]
+        res = jnp.asarray(out)
+        return res
+
+    def successors(self, u, etype=None):
+        rel = self._relation(etype)
+        indptr = _asnumpy(rel.csr_indptr)
+        indices = _asnumpy(rel.csr_indices)
+        u = int(u)
+        return jnp.asarray(indices[indptr[u] : indptr[u + 1]])
+
+    def predecessors(self, v, etype=None):
+        rel = self._relation(etype)
+        indptr = _asnumpy(rel.csc_indptr)
+        indices = _asnumpy(rel.csc_indices)
+        v = int(v)
+        return jnp.asarray(indices[indptr[v] : indptr[v + 1]])
+
+    # -- message passing (implemented in core.py; bound late to avoid cycle) --
+
+    def apply_nodes(self, func, v=ALL, ntype=None):
+        from . import core
+
+        return core.apply_nodes(self, func, v=v, ntype=ntype)
+
+    def apply_edges(self, func, edges=ALL, etype=None):
+        from . import core
+
+        return core.apply_edges_(self, func, edges=edges, etype=etype)
+
+    def update_all(self, message_func, reduce_func, apply_node_func=None, etype=None):
+        from . import core
+
+        return core.update_all_(
+            self, message_func, reduce_func, apply_node_func, etype=etype
+        )
+
+    def multi_update_all(self, etype_dict, cross_reducer, apply_node_func=None):
+        from . import core
+
+        return core.multi_update_all_(self, etype_dict, cross_reducer, apply_node_func)
+
+    def prop_nodes(self, nodes_generator, message_func, reduce_func, apply_node_func=None, etype=None):
+        from . import propagate
+
+        return propagate.prop_nodes(
+            self, nodes_generator, message_func, reduce_func, apply_node_func, etype=etype
+        )
+
+    def prop_edges(self, edges_generator, message_func, reduce_func, apply_node_func=None, etype=None):
+        from . import propagate
+
+        return propagate.prop_edges(
+            self, edges_generator, message_func, reduce_func, apply_node_func, etype=etype
+        )
+
+    # -- transforms ------------------------------------------------------------
+
+    def reverse(self, copy_ndata=True, copy_edata=True) -> "Graph":
+        """Reverse every relation (reference ``dgl.reverse``)."""
+        rels = {
+            (dt, et, st): rel.reverse()
+            for (st, et, dt), rel in self._relations.items()
+        }
+        g = Graph(
+            rels,
+            num_src_nodes=dict(self._num_dst_nodes),
+            num_dst_nodes=dict(self._num_src_nodes),
+            is_block=False,
+        )
+        if copy_ndata:
+            for nt, f in self._node_frames.items():
+                g._node_frames[nt] = dict(f)
+        if copy_edata:
+            for (st, et, dt), f in self._edge_frames.items():
+                g._edge_frames[(dt, et, st)] = dict(f)
+        return g
+
+    def local_scope(self):
+        """Context manager isolating frame mutations (ref ``heterograph.py:5718``)."""
+        return _LocalScope(self)
+
+    def local_var(self) -> "Graph":
+        g = self.structural_clone()
+        g._node_frames = {nt: dict(f) for nt, f in self._node_frames.items()}
+        if self._is_block:
+            g._dst_frames = {nt: dict(f) for nt, f in self._dst_frames.items()}
+        else:
+            g._dst_frames = g._node_frames
+        g._edge_frames = {et: dict(f) for et, f in self._edge_frames.items()}
+        return g
+
+    def structural_clone(self) -> "Graph":
+        g = Graph.__new__(Graph)
+        g._relations = self._relations
+        g._canonical_etypes = self._canonical_etypes
+        g._num_src_nodes = self._num_src_nodes
+        g._num_dst_nodes = self._num_dst_nodes
+        g._is_block = self._is_block
+        g._node_frames = self._node_frames
+        g._dst_frames = self._dst_frames
+        g._edge_frames = self._edge_frames
+        return g
+
+    def to(self, device) -> "Graph":
+        """Move all arrays to a device (reference ``heterograph.py:5658``)."""
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), self)
+
+    # -- pytree ---------------------------------------------------------------
+
+    def tree_flatten(self):
+        rel_items = tuple(sorted(self._relations.items(), key=lambda kv: kv[0]))
+        rel_keys = tuple(k for k, _ in rel_items)
+        rel_vals = tuple(v for _, v in rel_items)
+
+        def freeze_frames(frames):
+            keys = tuple(
+                (outer, tuple(sorted(frames[outer].keys())))
+                for outer in sorted(frames.keys())
+            )
+            vals = tuple(
+                frames[outer][inner]
+                for outer, inners in keys
+                for inner in inners
+            )
+            return keys, vals
+
+        nf_keys, nf_vals = freeze_frames(self._node_frames)
+        if self._is_block:
+            df_keys, df_vals = freeze_frames(self._dst_frames)
+        else:
+            df_keys, df_vals = (), ()
+        ef_keys, ef_vals = freeze_frames(self._edge_frames)
+        children = (rel_vals, nf_vals, df_vals, ef_vals)
+        aux = (
+            rel_keys,
+            tuple(sorted(self._num_src_nodes.items())),
+            tuple(sorted(self._num_dst_nodes.items())),
+            self._is_block,
+            nf_keys,
+            df_keys,
+            ef_keys,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (rel_keys, nsrc, ndst, is_block, nf_keys, df_keys, ef_keys) = aux
+        rel_vals, nf_vals, df_vals, ef_vals = children
+
+        def thaw(keys, vals):
+            vals = list(vals)
+            frames = {}
+            for outer, inners in keys:
+                frames[outer] = {}
+                for inner in inners:
+                    frames[outer][inner] = vals.pop(0)
+            return frames
+
+        g = cls.__new__(cls)
+        g._relations = dict(zip(rel_keys, rel_vals))
+        g._canonical_etypes = rel_keys
+        g._num_src_nodes = dict(nsrc)
+        g._num_dst_nodes = dict(ndst)
+        g._is_block = is_block
+        g._node_frames = thaw(nf_keys, nf_vals)
+        g._edge_frames = thaw(ef_keys, ef_vals)
+        g._dst_frames = thaw(df_keys, df_vals) if is_block else g._node_frames
+        return g
+
+    def __repr__(self):
+        if self.is_homogeneous and not self._is_block:
+            return (
+                f"Graph(num_nodes={self.num_nodes()}, num_edges={self.num_edges()},\n"
+                f"      ndata_schemes={self.node_attr_schemes()})"
+            )
+        kind = "Block" if self._is_block else "Graph"
+        nn = {nt: self.num_src_nodes(nt) for nt in self.srctypes}
+        if self._is_block:
+            nn = {
+                "src": nn,
+                "dst": {nt: self.num_dst_nodes(nt) for nt in self.dsttypes},
+            }
+        ne = {et: self.num_edges(et) for et in self.canonical_etypes}
+        return f"{kind}(num_nodes={nn}, num_edges={ne})"
+
+
+class _LocalScope:
+    def __init__(self, graph: Graph):
+        self._graph = graph
+
+    def __enter__(self):
+        g = self._graph
+        self._saved = (g._node_frames, g._dst_frames, g._edge_frames)
+        g._node_frames = {nt: dict(f) for nt, f in g._node_frames.items()}
+        if g._is_block:
+            g._dst_frames = {nt: dict(f) for nt, f in g._dst_frames.items()}
+        else:
+            g._dst_frames = g._node_frames
+        g._edge_frames = {et: dict(f) for et, f in g._edge_frames.items()}
+        return g
+
+    def __exit__(self, *exc):
+        g = self._graph
+        g._node_frames, g._dst_frames, g._edge_frames = self._saved
+        return False
+
+
+jax.tree_util.register_pytree_node(
+    Graph,
+    lambda g: g.tree_flatten(),
+    Graph.tree_unflatten,
+)

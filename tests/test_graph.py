@@ -1,0 +1,162 @@
+"""Graph object semantics (modeled on reference tests/python/common/test_heterograph.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+
+
+def star_graph():
+    # edges: 1->0, 2->0, 3->0, 0->4
+    src = np.array([1, 2, 3, 0])
+    dst = np.array([0, 0, 0, 4])
+    return dgl.graph((src, dst), num_nodes=5)
+
+
+def test_graph_basics():
+    g = star_graph()
+    assert g.num_nodes() == 5
+    assert g.num_edges() == 4
+    assert not g.is_block
+    assert g.is_homogeneous
+    np.testing.assert_array_equal(np.asarray(g.in_degrees()), [3, 0, 0, 0, 1])
+    np.testing.assert_array_equal(np.asarray(g.out_degrees()), [1, 1, 1, 1, 0])
+    u, v = g.edges()
+    np.testing.assert_array_equal(np.asarray(u), [1, 2, 3, 0])
+    np.testing.assert_array_equal(np.asarray(v), [0, 0, 0, 4])
+
+
+def test_graph_ndata_edata():
+    g = star_graph()
+    x = jnp.arange(10.0).reshape(5, 2)
+    g.ndata["h"] = x
+    assert "h" in g.ndata
+    np.testing.assert_allclose(np.asarray(g.ndata["h"]), np.asarray(x))
+    w = jnp.ones((4, 1))
+    g.edata["w"] = w
+    assert g.edata["w"].shape == (4, 1)
+    with pytest.raises(dgl.DGLError):
+        g.ndata["bad"] = jnp.ones((3, 2))
+
+
+def test_csr_csc_consistency():
+    rng = np.random.default_rng(0)
+    n, e = 50, 200
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = dgl.graph((src, dst), num_nodes=n)
+    rel = g._relation()
+    indptr = np.asarray(rel.csc_indptr)
+    indices = np.asarray(rel.csc_indices)
+    eids = np.asarray(rel.csc_eids)
+    for d in range(n):
+        for p in range(indptr[d], indptr[d + 1]):
+            assert dst[eids[p]] == d
+            assert src[eids[p]] == indices[p]
+    indptr = np.asarray(rel.csr_indptr)
+    indices = np.asarray(rel.csr_indices)
+    eids = np.asarray(rel.csr_eids)
+    for s in range(n):
+        for p in range(indptr[s], indptr[s + 1]):
+            assert src[eids[p]] == s
+            assert dst[eids[p]] == indices[p]
+    # csc_dst is sorted expanded dst; csr_src sorted expanded src
+    np.testing.assert_array_equal(np.asarray(rel.csc_dst), np.sort(dst))
+    np.testing.assert_array_equal(np.asarray(rel.csr_src), np.sort(src))
+
+
+def test_heterograph_construction():
+    g = dgl.heterograph(
+        {
+            ("user", "follows", "user"): ([0, 1], [1, 2]),
+            ("user", "plays", "game"): ([0, 1, 2], [0, 0, 1]),
+        }
+    )
+    assert set(g.ntypes) == {"user", "game"}
+    assert g.num_nodes("user") == 3
+    assert g.num_nodes("game") == 2
+    assert g.num_edges(("user", "plays", "game")) == 3
+    assert g.num_edges("follows") == 2
+    assert g.to_canonical_etype("plays") == ("user", "plays", "game")
+    g.nodes["user"].data["h"] = jnp.ones((3, 4))
+    assert g.nodes["user"].data["h"].shape == (3, 4)
+
+
+def test_graph_pytree():
+    g = star_graph()
+    g.ndata["h"] = jnp.ones((5, 3))
+    leaves, treedef = jax.tree_util.tree_flatten(g)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert g2.num_nodes() == 5
+    assert g2.ndata["h"].shape == (5, 3)
+
+    @jax.jit
+    def f(graph, x):
+        return graph.in_degrees().astype(jnp.float32) + x.sum()
+
+    out = f(g, g.ndata["h"])
+    assert out.shape == (5,)
+
+
+def test_reverse():
+    g = star_graph()
+    g.ndata["h"] = jnp.arange(5.0)
+    rg = g.reverse()
+    np.testing.assert_array_equal(np.asarray(rg.in_degrees()), np.asarray(g.out_degrees()))
+    u, v = rg.edges()
+    np.testing.assert_array_equal(np.asarray(u), [0, 0, 0, 4])
+    np.testing.assert_array_equal(np.asarray(v), [1, 2, 3, 0])
+    assert "h" in rg.ndata
+
+
+def test_local_scope():
+    g = star_graph()
+    g.ndata["h"] = jnp.ones((5, 2))
+    with g.local_scope():
+        g.ndata["tmp"] = jnp.zeros((5, 1))
+        assert "tmp" in g.ndata
+    assert "tmp" not in g.ndata
+    assert "h" in g.ndata
+
+
+def test_padded_graph():
+    # 3 real edges, padded to 6: pad edges point at virtual row (n, n)
+    n = 4
+    src = np.array([0, 1, 2, n, n, n])
+    dst = np.array([1, 2, 3, n, n, n])
+    g = dgl.graph((src, dst), num_nodes=n, num_edges=3)
+    assert g.num_edges() == 3
+    rel = g._relation()
+    assert rel.num_edges_padded == 6
+    np.testing.assert_array_equal(np.asarray(g.in_degrees()), [0, 1, 1, 1])
+    np.testing.assert_array_equal(
+        np.asarray(rel.edge_mask()), [True, True, True, False, False, False]
+    )
+
+
+def test_block_creation():
+    blk = dgl.create_block(([0, 1, 2], [0, 0, 1]), num_src_nodes=5, num_dst_nodes=2)
+    assert blk.is_block
+    assert blk.num_src_nodes() == 5
+    assert blk.num_dst_nodes() == 2
+    assert blk.num_edges() == 3
+    blk.srcdata["h"] = jnp.ones((5, 3))
+    blk.dstdata["h"] = jnp.zeros((2, 3))
+    assert blk.srcdata["h"].shape == (5, 3)
+    assert blk.dstdata["h"].shape == (2, 3)
+
+
+def test_to_homogeneous_roundtrip():
+    g = dgl.heterograph(
+        {
+            ("user", "follows", "user"): ([0, 1], [1, 2]),
+            ("user", "plays", "game"): ([0, 1, 2], [0, 0, 1]),
+        }
+    )
+    homo = dgl.to_homogeneous(g)
+    assert homo.num_nodes() == 5
+    assert homo.num_edges() == 5
+    hetero = dgl.to_heterogeneous(homo, ["user", "game"], ["follows", "plays"])
+    assert hetero.num_nodes("user") == 3
+    assert hetero.num_edges("plays") == 3
