@@ -22,6 +22,24 @@ from .convert import (
 from . import function
 from . import ops
 from .ops import edge_softmax
+from .batch import batch, unbatch
+from .readout import (
+    readout_nodes,
+    readout_edges,
+    sum_nodes,
+    mean_nodes,
+    max_nodes,
+    sum_edges,
+    mean_edges,
+    max_edges,
+    softmax_nodes,
+    softmax_edges,
+    broadcast_nodes,
+    broadcast_edges,
+    topk_nodes,
+    topk_edges,
+)
+from . import readout
 
 # convenience alias matching `import dgl.function as fn`
 fn = function

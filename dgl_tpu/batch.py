@@ -1,0 +1,116 @@
+"""Batching multiple graphs into one disjoint union.
+
+Reference: ``python/dgl/batch.py:13`` (``batch``) and ``:256`` (``unbatch``).
+TPU note: batching happens on the host (numpy) at data-prep time; the result
+is a single static-shape Graph whose per-graph boundaries live in
+``batch_num_nodes``/``batch_num_edges`` arrays, which readout ops consume as
+segment lengths.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import DGLError
+from .graph import Graph, Relation, _asnumpy
+from .convert import heterograph, create_block
+
+__all__ = ["batch", "unbatch"]
+
+
+def batch(graphs: Sequence[Graph]) -> Graph:
+    """Disjoint union of graphs (reference ``batch.py:13``)."""
+    if len(graphs) == 0:
+        raise DGLError("batch() needs at least one graph")
+    g0 = graphs[0]
+    cets = g0.canonical_etypes
+    ntypes = g0.ntypes
+    for g in graphs:
+        if g.canonical_etypes != cets:
+            raise DGLError("All graphs must share the same canonical etypes")
+
+    node_offsets = {nt: 0 for nt in ntypes}
+    data_dict = {cet: ([], []) for cet in cets}
+    num_nodes_dict = {nt: 0 for nt in ntypes}
+    bnn = {nt: [] for nt in ntypes}
+    bne = {cet: [] for cet in cets}
+    for g in graphs:
+        for cet in cets:
+            st, _, dt = cet
+            rel = g._relations[cet]
+            src = _asnumpy(rel.src)[: rel.num_edges] + num_nodes_dict[st]
+            dst = _asnumpy(rel.dst)[: rel.num_edges] + num_nodes_dict[dt]
+            data_dict[cet][0].append(src)
+            data_dict[cet][1].append(dst)
+            bne[cet].append(rel.num_edges)
+        for nt in ntypes:
+            bnn[nt].append(g.num_nodes(nt))
+        for nt in ntypes:
+            num_nodes_dict[nt] += g.num_nodes(nt)
+
+    merged = {
+        cet: (
+            np.concatenate(s) if s else np.zeros(0, np.int64),
+            np.concatenate(d) if d else np.zeros(0, np.int64),
+        )
+        for cet, (s, d) in data_dict.items()
+    }
+    bg = heterograph(merged, num_nodes_dict, idtype=g0.idtype)
+    bg.set_batch_num_nodes({nt: jnp.asarray(np.array(v)) for nt, v in bnn.items()})
+    bg.set_batch_num_edges({cet: jnp.asarray(np.array(v)) for cet, v in bne.items()})
+
+    # concatenate features
+    for nt in ntypes:
+        keys = set(graphs[0]._node_frames.get(nt, {}).keys())
+        for key in keys:
+            if all(key in g._node_frames.get(nt, {}) for g in graphs):
+                bg._node_frames.setdefault(nt, {})[key] = jnp.concatenate(
+                    [jnp.asarray(g._node_frames[nt][key]) for g in graphs], axis=0
+                )
+    for cet in cets:
+        keys = set(graphs[0]._edge_frames.get(cet, {}).keys())
+        for key in keys:
+            if all(key in g._edge_frames.get(cet, {}) for g in graphs):
+                vals = []
+                for g in graphs:
+                    rel = g._relations[cet]
+                    vals.append(jnp.asarray(g._edge_frames[cet][key])[: rel.num_edges])
+                bg._edge_frames.setdefault(cet, {})[key] = jnp.concatenate(vals, axis=0)
+    return bg
+
+
+def unbatch(bg: Graph) -> List[Graph]:
+    """Split a batched graph back (reference ``batch.py:256``)."""
+    B = bg.batch_size
+    cets = bg.canonical_etypes
+    ntypes = bg.ntypes
+    bnn = {nt: _asnumpy(bg.batch_num_nodes(nt)) for nt in ntypes}
+    bne = {cet: _asnumpy(bg.batch_num_edges(cet)) for cet in cets}
+    node_off = {nt: np.concatenate([[0], np.cumsum(bnn[nt])]) for nt in ntypes}
+    edge_off = {cet: np.concatenate([[0], np.cumsum(bne[cet])]) for cet in cets}
+    out = []
+    for i in range(B):
+        data_dict = {}
+        nn = {nt: int(bnn[nt][i]) for nt in ntypes}
+        for cet in cets:
+            st, _, dt = cet
+            rel = bg._relations[cet]
+            lo, hi = edge_off[cet][i], edge_off[cet][i + 1]
+            src = _asnumpy(rel.src)[lo:hi] - node_off[st][i]
+            dst = _asnumpy(rel.dst)[lo:hi] - node_off[dt][i]
+            data_dict[cet] = (src, dst)
+        g = heterograph(data_dict, nn, idtype=bg.idtype)
+        for nt in ntypes:
+            for key, v in bg._node_frames.get(nt, {}).items():
+                g._node_frames.setdefault(nt, {})[key] = v[
+                    node_off[nt][i] : node_off[nt][i + 1]
+                ]
+        for cet in cets:
+            for key, v in bg._edge_frames.get(cet, {}).items():
+                g._edge_frames.setdefault(cet, {})[key] = v[
+                    edge_off[cet][i] : edge_off[cet][i + 1]
+                ]
+        out.append(g)
+    return out

@@ -537,6 +537,8 @@ class Graph:
         node_frames: Optional[Dict[str, Dict[str, Any]]] = None,
         dst_frames: Optional[Dict[str, Dict[str, Any]]] = None,
         edge_frames: Optional[Dict[CanonicalEtype, Dict[str, Any]]] = None,
+        batch_num_nodes: Optional[Dict[str, Any]] = None,
+        batch_num_edges: Optional[Dict[CanonicalEtype, Any]] = None,
     ):
         self._relations = dict(relations)
         self._canonical_etypes: Tuple[CanonicalEtype, ...] = tuple(
@@ -553,6 +555,8 @@ class Graph:
         if not is_block:
             self._dst_frames = self._node_frames
         self._edge_frames = edge_frames if edge_frames is not None else {}
+        self._batch_num_nodes = batch_num_nodes  # dict ntype -> (B,) array
+        self._batch_num_edges = batch_num_edges  # dict cetype -> (B,) array
         # validate relation shapes against node counts
         for (st, et, dt), rel in self._relations.items():
             if st not in self._num_src_nodes or dt not in self._num_dst_nodes:
@@ -670,6 +674,41 @@ class Graph:
         return self._relation(etype).num_edges
 
     number_of_edges = num_edges
+
+    # -- batch info (reference ``python/dgl/batch.py``) -----------------------
+
+    @property
+    def batch_size(self) -> int:
+        if self._batch_num_nodes is None:
+            return 1
+        for v in self._batch_num_nodes.values():
+            return int(v.shape[0])
+        return 1
+
+    def batch_num_nodes(self, ntype: Optional[str] = None):
+        if self._batch_num_nodes is None:
+            nt = ntype or self._one_ntype("src")
+            return jnp.array([self.num_nodes(nt)])
+        nt = ntype or self._one_ntype("src")
+        return self._batch_num_nodes[nt]
+
+    def batch_num_edges(self, etype=None):
+        cet = self.to_canonical_etype(etype)
+        if self._batch_num_edges is None:
+            return jnp.array([self.num_edges(cet)])
+        return self._batch_num_edges[cet]
+
+    def set_batch_num_nodes(self, d):
+        if not isinstance(d, dict):
+            d = {self._one_ntype("src"): d}
+        self._batch_num_nodes = {k: jnp.asarray(v) for k, v in d.items()}
+
+    def set_batch_num_edges(self, d):
+        if not isinstance(d, dict):
+            d = {self.canonical_etypes[0]: d}
+        self._batch_num_edges = {
+            self.to_canonical_etype(k): jnp.asarray(v) for k, v in d.items()
+        }
 
     # -- data views ----------------------------------------------------------
 
@@ -875,6 +914,8 @@ class Graph:
         g._node_frames = self._node_frames
         g._dst_frames = self._dst_frames
         g._edge_frames = self._edge_frames
+        g._batch_num_nodes = self._batch_num_nodes
+        g._batch_num_edges = self._batch_num_edges
         return g
 
     def to(self, device) -> "Graph":
@@ -906,7 +947,16 @@ class Graph:
         else:
             df_keys, df_vals = (), ()
         ef_keys, ef_vals = freeze_frames(self._edge_frames)
-        children = (rel_vals, nf_vals, df_vals, ef_vals)
+
+        def freeze_opt(d):
+            if d is None:
+                return None, ()
+            keys = tuple(sorted(d.keys()))
+            return keys, tuple(d[k] for k in keys)
+
+        bn_keys, bn_vals = freeze_opt(self._batch_num_nodes)
+        be_keys, be_vals = freeze_opt(self._batch_num_edges)
+        children = (rel_vals, nf_vals, df_vals, ef_vals, bn_vals, be_vals)
         aux = (
             rel_keys,
             tuple(sorted(self._num_src_nodes.items())),
@@ -915,13 +965,25 @@ class Graph:
             nf_keys,
             df_keys,
             ef_keys,
+            bn_keys,
+            be_keys,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (rel_keys, nsrc, ndst, is_block, nf_keys, df_keys, ef_keys) = aux
-        rel_vals, nf_vals, df_vals, ef_vals = children
+        (
+            rel_keys,
+            nsrc,
+            ndst,
+            is_block,
+            nf_keys,
+            df_keys,
+            ef_keys,
+            bn_keys,
+            be_keys,
+        ) = aux
+        rel_vals, nf_vals, df_vals, ef_vals, bn_vals, be_vals = children
 
         def thaw(keys, vals):
             vals = list(vals)
@@ -941,6 +1003,12 @@ class Graph:
         g._node_frames = thaw(nf_keys, nf_vals)
         g._edge_frames = thaw(ef_keys, ef_vals)
         g._dst_frames = thaw(df_keys, df_vals) if is_block else g._node_frames
+        g._batch_num_nodes = (
+            None if bn_keys is None else dict(zip(bn_keys, bn_vals))
+        )
+        g._batch_num_edges = (
+            None if be_keys is None else dict(zip(be_keys, be_vals))
+        )
         return g
 
     def __repr__(self):
