@@ -40,6 +40,49 @@ from .readout import (
     topk_edges,
 )
 from . import readout
+from .subgraph import (
+    node_subgraph,
+    edge_subgraph,
+    in_subgraph,
+    out_subgraph,
+    khop_in_subgraph,
+    khop_out_subgraph,
+    node_type_subgraph,
+    edge_type_subgraph,
+)
+from . import subgraph as subgraph_module
+from . import traversal
+from . import propagate
+from .propagate import prop_nodes_bfs, prop_nodes_topo, prop_edges_dfs
+from . import transforms
+from . import sampling
+from . import data
+from . import dataloading
+from . import models
+from . import parallel
+from .data.serialize import save_graphs, load_graphs
+from .transforms.functional import (
+    add_self_loop,
+    remove_self_loop,
+    add_reverse_edges,
+    add_edges,
+    remove_edges,
+    add_nodes,
+    to_bidirected,
+    to_simple,
+    khop_graph,
+    khop_adj,
+    knn_graph,
+    laplacian_lambda_max,
+    metapath_reachable_graph,
+    compact_graphs,
+    to_block,
+    reverse,
+    line_graph,
+    random_walk_pe,
+    lap_pe,
+    shortest_dist,
+)
 
 # convenience alias matching `import dgl.function as fn`
 fn = function

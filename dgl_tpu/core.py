@@ -18,6 +18,7 @@ from typing import Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import function as fn
 from . import ops
@@ -297,3 +298,109 @@ def multi_update_all_(g: Graph, etype_dict, cross_reducer, apply_node_func=None)
         for dsttype in per_dst:
             apply_nodes(g, apply_node_func, ntype=dsttype)
     return per_dst
+
+
+# ---------------------------------------------------------------------------
+# Subset propagation: pull / push / send_and_recv
+# (reference ``heterograph.py`` ``pull``:5400, ``push``:5330,
+# ``send_and_recv``:5230 — used by prop_nodes/prop_edges schedules)
+# ---------------------------------------------------------------------------
+
+
+def pull(g: Graph, v, message_func, reduce_func, apply_node_func=None, etype=None):
+    """Compute messages into nodes ``v`` and update only those rows.
+
+    Fixed-shape strategy: run the full fused reduce (one g-SpMM over the
+    whole graph) and scatter the ``v`` rows into the dst frame — on TPU one
+    dense kernel beats a dynamic-shape gather path, and ``v`` is host data.
+    """
+    cet = g.to_canonical_etype(etype)
+    ndata = message_passing(g, message_func, reduce_func, None, etype=cet)
+    v = jnp.asarray(v)
+    dstf = _dst_frame(g, cet)
+    for k, val in ndata.items():
+        if k in dstf and dstf[k].shape == val.shape:
+            dstf[k] = dstf[k].at[v].set(val[v])
+        else:
+            dstf[k] = val
+    if apply_node_func is not None:
+        data = dict(dstf)
+        nbatch = NodeBatch(data)
+        upd = apply_node_func(nbatch)
+        for k, val in upd.items():
+            if k in dstf and dstf[k].shape == val.shape:
+                dstf[k] = dstf[k].at[v].set(val[v])
+            else:
+                dstf[k] = val
+    return ndata
+
+
+def send_and_recv(g: Graph, edges, message_func, reduce_func, apply_node_func=None, etype=None):
+    """Message passing along an edge subset (reference ``heterograph.py:5230``).
+
+    Messages are materialized per-edge, subset to ``edges`` (host data), and
+    reduced by destination with a sorted segment reduce.
+    """
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    eids = jnp.asarray(edges)
+    if isinstance(message_func, MessageFunction):
+        msgdata = invoke_gsddmm(g, cet, message_func)
+    else:
+        msgdata = invoke_edge_udf(g, cet, message_func)
+    if not isinstance(reduce_func, ReduceFunction):
+        raise NotImplementedError(
+            "send_and_recv currently requires a builtin reduce function"
+        )
+    key = reduce_func.msg_field
+    sub_msg = msgdata[key][eids]
+    sub_dst = rel.dst[eids]
+    n = rel.num_dst
+    if reduce_func.name in ("sum", "mean"):
+        out = jax.ops.segment_sum(sub_msg, sub_dst, num_segments=n)
+        if reduce_func.name == "mean":
+            cnt = jax.ops.segment_sum(
+                jnp.ones_like(sub_dst, dtype=sub_msg.dtype), sub_dst, num_segments=n
+            )
+            out = out / jnp.maximum(cnt, 1).reshape((-1,) + (1,) * (out.ndim - 1))
+    elif reduce_func.name == "max":
+        out = jax.ops.segment_max(sub_msg, sub_dst, num_segments=n)
+        out = jnp.where(jnp.isfinite(out), out, 0)
+    elif reduce_func.name == "min":
+        out = jax.ops.segment_min(sub_msg, sub_dst, num_segments=n)
+        out = jnp.where(jnp.isfinite(out), out, 0)
+    else:
+        raise DGLError(f"Unknown reduce {reduce_func.name!r}")
+    touched = jnp.asarray(np.unique(np.asarray(sub_dst)))
+    dstf = _dst_frame(g, cet)
+    k = reduce_func.out_field
+    if k in dstf and dstf[k].shape == out.shape:
+        dstf[k] = dstf[k].at[touched].set(out[touched])
+    else:
+        dstf[k] = out
+    if apply_node_func is not None:
+        data = dict(dstf)
+        upd = apply_node_func(NodeBatch(data))
+        for kk, val in upd.items():
+            if kk in dstf and dstf[kk].shape == val.shape:
+                dstf[kk] = dstf[kk].at[touched].set(val[touched])
+            else:
+                dstf[kk] = val
+    return {k: out}
+
+
+def push(g: Graph, u, message_func, reduce_func, apply_node_func=None, etype=None):
+    """Send messages along out-edges of ``u`` (reference ``heterograph.py:5330``)."""
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    u_np = np.atleast_1d(np.asarray(u))
+    indptr = np.asarray(rel.csr_indptr)
+    eids = np.concatenate(
+        [np.asarray(rel.csr_eids)[indptr[i] : indptr[i + 1]] for i in u_np]
+    ) if u_np.size else np.zeros((0,), dtype=np.int64)
+    return send_and_recv(
+        g, eids, message_func, reduce_func, apply_node_func, etype=etype
+    )
+
+
+__all__ += ["pull", "push", "send_and_recv"]

@@ -1,0 +1,46 @@
+"""Dataset zoo (reference ``python/dgl/data/``).
+
+``DGLDataset`` lifecycle (download/process/save/load) mirrors the reference
+``data/dgl_dataset.py``. Network downloads are gated (this framework targets
+air-gapped TPU pods); every built-in dataset supports a deterministic
+``synthetic=True`` fallback that generates a structurally-similar graph with
+planted class structure, so examples/tests/benchmarks run hermetically.
+"""
+from .dgl_dataset import DGLDataset, download, extract_archive
+from .serialize import save_graphs, load_graphs, save_info, load_info
+from .citation import (
+    CitationGraphDataset,
+    CoraGraphDataset,
+    CiteseerGraphDataset,
+    PubmedGraphDataset,
+)
+from .synthetic import (
+    synthetic_classification_graph,
+    SyntheticDataset,
+    RedditDataset,
+    PPIDataset,
+)
+from .csv_dataset import CSVDataset
+from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset
+
+__all__ = [
+    "DGLDataset",
+    "download",
+    "extract_archive",
+    "save_graphs",
+    "load_graphs",
+    "save_info",
+    "load_info",
+    "CitationGraphDataset",
+    "CoraGraphDataset",
+    "CiteseerGraphDataset",
+    "PubmedGraphDataset",
+    "synthetic_classification_graph",
+    "SyntheticDataset",
+    "RedditDataset",
+    "PPIDataset",
+    "CSVDataset",
+    "BAShapeDataset",
+    "TreeCycleDataset",
+    "TreeGridDataset",
+]

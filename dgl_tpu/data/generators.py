@@ -1,0 +1,143 @@
+"""Synthetic explainability benchmark datasets (reference
+``python/dgl/data/synthetic.py``: BAShapeDataset, TreeCycleDataset,
+TreeGridDataset — graphs with planted motifs and ground-truth labels)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .dgl_dataset import DGLDataset
+
+__all__ = ["BAShapeDataset", "TreeCycleDataset", "TreeGridDataset"]
+
+
+def _barabasi_albert(n: int, m: int, rng) -> list:
+    edges = []
+    targets = list(range(m))
+    repeated = []
+    for v in range(m, n):
+        for t in targets:
+            edges.append((v, t))
+        repeated.extend(targets)
+        repeated.extend([v] * m)
+        targets = [repeated[i] for i in rng.integers(0, len(repeated), m)]
+    return edges
+
+
+def _tree(height: int) -> list:
+    edges = []
+    n = 2 ** (height + 1) - 1
+    for v in range(1, n):
+        edges.append((v, (v - 1) // 2))
+    return edges
+
+
+class _MotifDataset(DGLDataset):
+    def __init__(self, name, seed=0, transform=None, **kwargs):
+        self._seed = seed
+        super().__init__(name=name, transform=transform)
+
+    def _base_graph(self, rng):
+        raise NotImplementedError
+
+    def _motif(self):
+        raise NotImplementedError
+
+    def process(self):
+        from .. import convert
+
+        rng = np.random.default_rng(self._seed)
+        base_edges, num_base = self._base_graph(rng)
+        motif_edges, motif_size, motif_labels = self._motif()
+        edges = list(base_edges)
+        labels = [0] * num_base
+        n = num_base
+        for _ in range(self.num_motifs):
+            attach = int(rng.integers(0, num_base))
+            for a, b in motif_edges:
+                edges.append((n + a, n + b))
+            edges.append((n, attach))
+            labels.extend(motif_labels)
+            n += motif_size
+        src = np.array([a for a, b in edges] + [b for a, b in edges])
+        dst = np.array([b for a, b in edges] + [a for a, b in edges])
+        g = convert.graph((src, dst), num_nodes=n)
+        g.ndata["label"] = jnp.asarray(np.array(labels, np.int32))
+        g.ndata["feat"] = jnp.ones((n, 10), jnp.float32)
+        self._g = g
+
+    def __getitem__(self, idx):
+        assert idx == 0
+        return self._apply_transform(self._g)
+
+    def __len__(self):
+        return 1
+
+
+class BAShapeDataset(_MotifDataset):
+    """BA graph + house motifs (reference ``data/synthetic.py`` BAShape)."""
+
+    num_motifs = 80
+
+    def __init__(self, **kwargs):
+        super().__init__("ba_shape", **kwargs)
+
+    def _base_graph(self, rng):
+        return _barabasi_albert(300, 5, rng), 300
+
+    def _motif(self):
+        house = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (1, 4)]
+        return house, 5, [1, 1, 2, 2, 3]
+
+    @property
+    def num_classes(self):
+        return 4
+
+
+class TreeCycleDataset(_MotifDataset):
+    """Balanced tree + cycle motifs (reference TreeCycle)."""
+
+    num_motifs = 60
+
+    def __init__(self, **kwargs):
+        super().__init__("tree_cycle", **kwargs)
+
+    def _base_graph(self, rng):
+        e = _tree(8)
+        return e, 2**9 - 1
+
+    def _motif(self):
+        cyc = [(i, (i + 1) % 6) for i in range(6)]
+        return cyc, 6, [1] * 6
+
+    @property
+    def num_classes(self):
+        return 2
+
+
+class TreeGridDataset(_MotifDataset):
+    """Balanced tree + 3x3 grid motifs (reference TreeGrid)."""
+
+    num_motifs = 60
+
+    def __init__(self, **kwargs):
+        super().__init__("tree_grid", **kwargs)
+
+    def _base_graph(self, rng):
+        e = _tree(8)
+        return e, 2**9 - 1
+
+    def _motif(self):
+        grid = []
+        for r in range(3):
+            for c in range(3):
+                v = r * 3 + c
+                if c < 2:
+                    grid.append((v, v + 1))
+                if r < 2:
+                    grid.append((v, v + 3))
+        return grid, 9, [1] * 9
+
+    @property
+    def num_classes(self):
+        return 2

@@ -1,0 +1,34 @@
+"""Minibatch dataloading (reference ``python/dgl/dataloading/`` +
+GraphBolt ``python/dgl/graphbolt/``).
+
+TPU-native design: samplers run on host (numpy) and emit **fixed-shape
+padded MFG blocks** — every minibatch has the same static shapes and pytree
+structure, so the train step compiles exactly once (the reference instead
+tolerates ragged minibatches; XLA cannot). A background prefetch thread
+overlaps sampling + feature gather + host->device transfer with device
+compute (the GraphBolt overlap story, ``graphbolt/dataloader.py:108-191``).
+"""
+from .base import Sampler, BlockSampler, as_edge_prediction_sampler, find_exclude_eids
+from .neighbor_sampler import (
+    NeighborSampler,
+    MultiLayerNeighborSampler,
+    MultiLayerFullNeighborSampler,
+    FixedShapeNeighborSampler,
+    LaborSampler,
+)
+from .dataloader import DataLoader, NodeDataLoader, EdgeDataLoader
+
+__all__ = [
+    "Sampler",
+    "BlockSampler",
+    "as_edge_prediction_sampler",
+    "find_exclude_eids",
+    "NeighborSampler",
+    "MultiLayerNeighborSampler",
+    "MultiLayerFullNeighborSampler",
+    "FixedShapeNeighborSampler",
+    "LaborSampler",
+    "DataLoader",
+    "NodeDataLoader",
+    "EdgeDataLoader",
+]

@@ -854,6 +854,23 @@ class Graph:
 
         return core.multi_update_all_(self, etype_dict, cross_reducer, apply_node_func)
 
+    def pull(self, v, message_func, reduce_func, apply_node_func=None, etype=None):
+        from . import core
+
+        return core.pull(self, v, message_func, reduce_func, apply_node_func, etype=etype)
+
+    def push(self, u, message_func, reduce_func, apply_node_func=None, etype=None):
+        from . import core
+
+        return core.push(self, u, message_func, reduce_func, apply_node_func, etype=etype)
+
+    def send_and_recv(self, edges, message_func, reduce_func, apply_node_func=None, etype=None):
+        from . import core
+
+        return core.send_and_recv(
+            self, edges, message_func, reduce_func, apply_node_func, etype=etype
+        )
+
     def prop_nodes(self, nodes_generator, message_func, reduce_func, apply_node_func=None, etype=None):
         from . import propagate
 

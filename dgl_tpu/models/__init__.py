@@ -1,0 +1,12 @@
+"""Model zoo: end-to-end GNN models composing the nn layer zoo.
+
+Mirrors the reference's curated examples (``examples/core/gcn``,
+``examples/core/gat``, ``examples/graphbolt/node_classification.py``,
+``examples/pytorch/rgcn``) as importable flax modules.
+"""
+from .gcn import GCN
+from .gat import GAT
+from .sage import GraphSAGE
+from .rgcn import RGCN
+
+__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN"]

@@ -1,0 +1,31 @@
+"""GCN model (reference ``examples/core/gcn/train.py``: two GraphConv layers)."""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+from flax import linen as nn
+
+from ..nn.conv.graphconv import GraphConv
+
+
+class GCN(nn.Module):
+    in_feats: int
+    hidden_feats: int
+    num_classes: int
+    num_layers: int = 2
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph, x, deterministic: bool = True):
+        dims = (
+            [self.in_feats]
+            + [self.hidden_feats] * (self.num_layers - 1)
+            + [self.num_classes]
+        )
+        for i in range(self.num_layers):
+            x = GraphConv(dims[i], dims[i + 1], name=f"conv{i}")(graph, x)
+            if i != self.num_layers - 1:
+                x = jax.nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x

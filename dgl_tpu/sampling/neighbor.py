@@ -1,0 +1,207 @@
+"""Neighbor sampling (reference ``python/dgl/sampling/neighbor.py:222``
+``sample_neighbors`` -> C++ ``src/graph/sampling/neighbor/neighbor.cc:858``
+-> ``src/array/cpu/rowwise_pick.h:27-50``).
+
+Two APIs:
+
+- ``sample_neighbors``: reference-compatible, returns an edge-induced
+  subgraph over the original node space (ragged, host-side) — used by the
+  BlockSampler path before ``to_block`` padding.
+- ``sample_neighbors_fixed``: TPU-native fast path returning **dense padded
+  (num_seeds, fanout) arrays** directly (no ragged intermediate), the shape
+  the fixed-shape MFG pipeline consumes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Union
+
+import numpy as np
+
+from ..base import DGLError, EID
+from ..graph import Graph, Relation
+
+__all__ = ["sample_neighbors", "sample_neighbors_fixed", "in_subgraph_sample"]
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _pick(
+    rng: np.random.Generator,
+    indptr: np.ndarray,
+    eids: np.ndarray,
+    seeds: np.ndarray,
+    fanout: int,
+    replace: bool,
+    prob: Optional[np.ndarray],
+):
+    """Per-seed neighbor pick; returns flat edge-id array (ragged).
+
+    Mirrors the reference PickFn semantics (``rowwise_pick.h:27-50``):
+    fanout -1 = all neighbors; degree <= fanout & !replace = all neighbors.
+    """
+    out = []
+    for s in seeds:
+        lo, hi = int(indptr[s]), int(indptr[s + 1])
+        deg = hi - lo
+        if deg == 0:
+            continue
+        row_eids = eids[lo:hi]
+        if fanout < 0 or (deg <= fanout and not replace):
+            out.append(row_eids)
+            continue
+        if prob is not None:
+            p = prob[row_eids].astype(np.float64)
+            tot = p.sum()
+            if tot <= 0:
+                continue
+            p = p / tot
+            idx = rng.choice(deg, size=fanout, replace=replace, p=p)
+        else:
+            idx = (
+                rng.integers(0, deg, fanout)
+                if replace
+                else rng.choice(deg, size=fanout, replace=False)
+            )
+        out.append(row_eids[idx])
+    if not out:
+        return np.zeros(0, dtype=eids.dtype)
+    return np.concatenate(out)
+
+
+def sample_neighbors(
+    g: Graph,
+    nodes,
+    fanout: Union[int, Dict],
+    edge_dir: str = "in",
+    prob: Optional[str] = None,
+    replace: bool = False,
+    copy_ndata: bool = True,
+    copy_edata: bool = True,
+    exclude_edges=None,
+    seed: Optional[int] = None,
+) -> Graph:
+    """Sample in/out-neighbors per seed; returns the sampled edge subgraph
+    over the original node space (reference ``neighbor.py:222``)."""
+    from ..subgraph import edge_subgraph
+
+    rng = np.random.default_rng(seed)
+    if not isinstance(nodes, Mapping):
+        if len(g.ntypes) != 1:
+            raise DGLError("node dict required for heterographs")
+        nodes = {g.ntypes[0]: nodes}
+    nodes = {nt: np.atleast_1d(_np(v)).astype(np.int64) for nt, v in nodes.items()}
+
+    excl = {}
+    if exclude_edges is not None:
+        if not isinstance(exclude_edges, Mapping):
+            excl = {g.canonical_etypes[0]: _np(exclude_edges)}
+        else:
+            excl = {g.to_canonical_etype(k): _np(v) for k, v in exclude_edges.items()}
+
+    edges = {}
+    for cet in g.canonical_etypes:
+        st, _, dt = cet
+        rel = g._relations[cet]
+        f = fanout[cet] if isinstance(fanout, Mapping) else (
+            fanout.get(cet[1]) if isinstance(fanout, Mapping) else fanout
+        )
+        if isinstance(fanout, Mapping):
+            f = fanout.get(cet, fanout.get(cet[1], 0))
+        if edge_dir == "in":
+            seeds = nodes.get(dt, np.zeros(0, np.int64))
+            indptr, eids = _np(rel.csc_indptr), _np(rel.csc_eids)
+        elif edge_dir == "out":
+            seeds = nodes.get(st, np.zeros(0, np.int64))
+            indptr, eids = _np(rel.csr_indptr), _np(rel.csr_eids)
+        else:
+            raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
+        p = None
+        if prob is not None:
+            frame = g._edge_frames.get(cet, {})
+            if prob in frame:
+                p = _np(frame[prob]).astype(np.float64)
+        picked = _pick(rng, indptr, eids, seeds, int(f), replace, p)
+        if cet in excl and picked.size:
+            picked = np.setdiff1d(picked, excl[cet])
+        edges[cet] = picked
+    sub = edge_subgraph(g, edges, relabel_nodes=False, store_ids=True)
+    if not copy_ndata:
+        for nt in sub.ntypes:
+            sub._node_frames[nt] = {}
+    if not copy_edata:
+        for cet in sub.canonical_etypes:
+            keep = {EID: sub._edge_frames[cet][EID]}
+            sub._edge_frames[cet] = keep
+    return sub
+
+
+def sample_neighbors_fixed(
+    g: Graph,
+    seeds,
+    fanout: int,
+    edge_dir: str = "in",
+    replace: bool = False,
+    prob: Optional[str] = None,
+    etype=None,
+    seed: Optional[int] = None,
+):
+    """TPU-native fixed-shape sampler.
+
+    Returns ``(nbr, eid, mask)`` dense arrays of shape (num_seeds, fanout):
+    neighbor ids, edge ids, and validity mask (False = padding). This is the
+    layout the padded-MFG pipeline consumes directly; no ragged intermediate.
+    """
+    rng = np.random.default_rng(seed)
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    seeds = np.atleast_1d(_np(seeds)).astype(np.int64)
+    if edge_dir == "in":
+        indptr, indices, eids = (
+            _np(rel.csc_indptr), _np(rel.csc_indices), _np(rel.csc_eids)
+        )
+    else:
+        indptr, indices, eids = (
+            _np(rel.csr_indptr), _np(rel.csr_indices), _np(rel.csr_eids)
+        )
+    n = seeds.shape[0]
+    nbr = np.zeros((n, fanout), dtype=np.int64)
+    eid = np.zeros((n, fanout), dtype=np.int64)
+    mask = np.zeros((n, fanout), dtype=bool)
+    p_all = None
+    if prob is not None:
+        frame = g._edge_frames.get(cet, {})
+        if prob in frame:
+            p_all = _np(frame[prob]).astype(np.float64)
+    for i, s in enumerate(seeds):
+        lo, hi = int(indptr[s]), int(indptr[s + 1])
+        deg = hi - lo
+        if deg == 0:
+            continue
+        if deg <= fanout and not replace:
+            k = deg
+            sel = np.arange(deg)
+        else:
+            k = fanout
+            if p_all is not None:
+                p = p_all[eids[lo:hi]]
+                tot = p.sum()
+                if tot <= 0:
+                    continue
+                sel = rng.choice(deg, size=k, replace=replace, p=p / tot)
+            elif replace:
+                sel = rng.integers(0, deg, k)
+            else:
+                sel = rng.choice(deg, size=k, replace=False)
+        nbr[i, :k] = indices[lo:hi][sel]
+        eid[i, :k] = eids[lo:hi][sel]
+        mask[i, :k] = True
+    return nbr, eid, mask
+
+
+def in_subgraph_sample(g: Graph, nodes) -> Graph:
+    """All in-edges of the seeds (reference ``dgl.in_subgraph``)."""
+    from ..subgraph import in_subgraph
+
+    return in_subgraph(g, nodes)

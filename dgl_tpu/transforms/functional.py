@@ -1,0 +1,650 @@
+"""Functional graph transforms (reference ``python/dgl/transforms/functional.py``).
+
+Structure-changing transforms run on host numpy and return new immutable
+Graphs (the reference crosses into C++ at the same boundary:
+``src/graph/transform/``).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import DGLError, EID, NID
+from ..graph import Graph, Relation
+
+__all__ = [
+    "add_self_loop",
+    "remove_self_loop",
+    "add_reverse_edges",
+    "add_edges",
+    "remove_edges",
+    "add_nodes",
+    "to_bidirected",
+    "to_simple",
+    "khop_graph",
+    "khop_adj",
+    "knn_graph",
+    "laplacian_lambda_max",
+    "metapath_reachable_graph",
+    "compact_graphs",
+    "to_block",
+    "reverse",
+    "line_graph",
+    "random_walk_pe",
+    "lap_pe",
+    "shortest_dist",
+]
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _rebuild(
+    g: Graph,
+    cet,
+    new_src,
+    new_dst,
+    *,
+    num_src=None,
+    num_dst=None,
+    edge_map: Optional[np.ndarray] = None,
+    edge_defaults: Optional[Dict] = None,
+) -> Graph:
+    """Replace one relation's edges; carry node frames; map edge frames.
+
+    ``edge_map[i]`` = old eid for new edge i, or -1 for a fresh edge (its
+    features take zeros, matching the reference's zero-init of new edges in
+    ``dgl.add_edges``/``add_self_loop``).
+    """
+    st, _, dt = cet
+    ns = g.num_src_nodes(st) if num_src is None else num_src
+    nd = g.num_dst_nodes(dt) if num_dst is None else num_dst
+    rels = dict(g._relations)
+    rels[cet] = Relation.from_coo(new_src, new_dst, ns, nd, idtype=g.idtype)
+    nsrc = dict(g._num_src_nodes)
+    ndst = dict(g._num_dst_nodes)
+    nsrc[st] = ns
+    ndst[dt] = nd
+    if not g.is_block:
+        nsrc[dt] = nd
+        ndst[st] = ns if st in ndst else ndst.get(st, ns)
+        if st == dt:
+            nsrc[st] = ns
+    out = Graph(rels, nsrc, ndst, is_block=g.is_block)
+    for nt, f in g._node_frames.items():
+        out._node_frames[nt] = dict(f)
+    if g.is_block:
+        for nt, f in g._dst_frames.items():
+            out._dst_frames[nt] = dict(f)
+    for c, f in g._edge_frames.items():
+        if c != cet:
+            out._edge_frames[c] = dict(f)
+    if edge_map is not None:
+        old = g._edge_frames.get(cet, {})
+        newf = {}
+        fresh = edge_map < 0
+        safe = np.where(fresh, 0, edge_map)
+        for k, v in old.items():
+            v = jnp.asarray(v)
+            nv = v[jnp.asarray(safe)]
+            if fresh.any():
+                mask = jnp.asarray(fresh).reshape((-1,) + (1,) * (nv.ndim - 1))
+                fill = jnp.zeros_like(nv)
+                if edge_defaults and k in edge_defaults:
+                    fill = jnp.broadcast_to(jnp.asarray(edge_defaults[k]), nv.shape).astype(nv.dtype)
+                nv = jnp.where(mask, fill, nv)
+            newf[k] = nv
+        out._edge_frames[cet] = newf
+    return out
+
+
+def add_self_loop(g: Graph, edge_feat_names=None, fill_data=1.0, etype=None) -> Graph:
+    """Add a self-loop per node (reference ``functional.py`` ``add_self_loop``).
+
+    Like the reference, existing self-loops are kept (callers usually do
+    ``remove_self_loop`` first).
+    """
+    cet = g.to_canonical_etype(etype)
+    if cet[0] != cet[2]:
+        raise DGLError("add_self_loop requires src and dst type to match")
+    rel = g._relations[cet]
+    n = g.num_nodes(cet[0])
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    loops = np.arange(n, dtype=src.dtype)
+    new_src = np.concatenate([src, loops])
+    new_dst = np.concatenate([dst, loops])
+    edge_map = np.concatenate(
+        [np.arange(rel.num_edges, dtype=np.int64), np.full(n, -1, np.int64)]
+    )
+    defaults = None
+    if fill_data is not None:
+        keys = edge_feat_names
+        if keys is None:
+            keys = list(g._edge_frames.get(cet, {}).keys())
+        defaults = {k: fill_data for k in keys}
+    return _rebuild(g, cet, new_src, new_dst, edge_map=edge_map, edge_defaults=defaults)
+
+
+def remove_self_loop(g: Graph, etype=None) -> Graph:
+    """Remove self-loop edges (reference ``functional.py`` ``remove_self_loop``)."""
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    keep = np.nonzero(src != dst)[0]
+    return _rebuild(g, cet, src[keep], dst[keep], edge_map=keep.astype(np.int64))
+
+
+def add_reverse_edges(g: Graph, readonly=None, copy_ndata=True, copy_edata=False, etype=None) -> Graph:
+    """Append reversed edges (reference ``functional.py`` ``add_reverse_edges``)."""
+    cet = g.to_canonical_etype(etype)
+    if cet[0] != cet[2]:
+        raise DGLError("add_reverse_edges requires a homogeneous relation")
+    rel = g._relations[cet]
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    new_src = np.concatenate([src, dst])
+    new_dst = np.concatenate([dst, src])
+    e = np.arange(rel.num_edges, dtype=np.int64)
+    edge_map = np.concatenate([e, e]) if copy_edata else np.concatenate(
+        [e, np.full(rel.num_edges, -1, np.int64)]
+    )
+    return _rebuild(g, cet, new_src, new_dst, edge_map=edge_map)
+
+
+def add_edges(g: Graph, u, v, data=None, etype=None) -> Graph:
+    """Return a new graph with edges (u, v) appended (reference
+    ``heterograph.py`` ``add_edges`` — mutation becomes functional here)."""
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    u = np.atleast_1d(_np(u)).astype(np.int64)
+    v = np.atleast_1d(_np(v)).astype(np.int64)
+    src = np.concatenate([_np(rel.src)[: rel.num_edges], u])
+    dst = np.concatenate([_np(rel.dst)[: rel.num_edges], v])
+    ns = max(g.num_src_nodes(cet[0]), int(u.max()) + 1 if u.size else 0)
+    nd = max(g.num_dst_nodes(cet[2]), int(v.max()) + 1 if v.size else 0)
+    if cet[0] == cet[2]:
+        ns = nd = max(ns, nd)
+    edge_map = np.concatenate(
+        [np.arange(rel.num_edges, dtype=np.int64), np.full(u.size, -1, np.int64)]
+    )
+    out = _rebuild(g, cet, src, dst, num_src=ns, num_dst=nd, edge_map=edge_map)
+    if data:
+        f = out._edge_frames.setdefault(cet, {})
+        for k, val in data.items():
+            val = jnp.asarray(val)
+            if k in f:
+                f[k] = jnp.concatenate([f[k][: rel.num_edges], val])
+            else:
+                base = jnp.zeros((rel.num_edges,) + val.shape[1:], val.dtype)
+                f[k] = jnp.concatenate([base, val])
+    return out
+
+
+def remove_edges(g: Graph, eids, etype=None, store_ids: bool = False) -> Graph:
+    """Return a new graph without edges ``eids`` (reference ``remove_edges``)."""
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    eids = np.atleast_1d(_np(eids)).astype(np.int64)
+    keep = np.setdiff1d(np.arange(rel.num_edges, dtype=np.int64), eids)
+    src = _np(rel.src)[keep]
+    dst = _np(rel.dst)[keep]
+    out = _rebuild(g, cet, src, dst, edge_map=keep)
+    if store_ids:
+        out._edge_frames.setdefault(cet, {})[EID] = jnp.asarray(keep)
+    return out
+
+
+def add_nodes(g: Graph, num: int, data=None, ntype=None) -> Graph:
+    """Return a new graph with ``num`` extra nodes (reference ``add_nodes``)."""
+    nt = ntype or (g.ntypes[0] if len(g.ntypes) == 1 else None)
+    if nt is None:
+        raise DGLError("ntype required")
+    rels = dict(g._relations)
+    nsrc = dict(g._num_src_nodes)
+    ndst = dict(g._num_dst_nodes)
+    old_n = nsrc[nt]
+    nsrc[nt] = old_n + num
+    if nt in ndst:
+        ndst[nt] = ndst[nt] + num
+    # rebuild relations touching nt so indptr arrays get the new length
+    for cet, rel in g._relations.items():
+        if cet[0] == nt or cet[2] == nt:
+            rels[cet] = Relation.from_coo(
+                _np(rel.src)[: rel.num_edges],
+                _np(rel.dst)[: rel.num_edges],
+                nsrc[cet[0]],
+                ndst[cet[2]],
+                idtype=g.idtype,
+            )
+    out = Graph(rels, nsrc, ndst, is_block=g.is_block)
+    for t, f in g._node_frames.items():
+        if t == nt:
+            newf = {}
+            for k, v in f.items():
+                v = jnp.asarray(v)
+                pad = jnp.zeros((num,) + v.shape[1:], v.dtype)
+                if data and k in data:
+                    pad = jnp.asarray(data[k]).astype(v.dtype)
+                newf[k] = jnp.concatenate([v, pad])
+            out._node_frames[t] = newf
+        else:
+            out._node_frames[t] = dict(f)
+    if data:
+        f = out._node_frames.setdefault(nt, {})
+        for k, v in data.items():
+            if k not in f:
+                v = jnp.asarray(v)
+                base = jnp.zeros((old_n,) + v.shape[1:], v.dtype)
+                f[k] = jnp.concatenate([base, v])
+    for c, f in g._edge_frames.items():
+        out._edge_frames[c] = dict(f)
+    return out
+
+
+def to_bidirected(g: Graph, copy_ndata: bool = False) -> Graph:
+    """Undirected simple graph: edge (u,v) implies (v,u), dedup (reference
+    ``functional.py`` ``to_bidirected``)."""
+    cet = g.to_canonical_etype(None)
+    rel = g._relations[cet]
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    allsrc = np.concatenate([src, dst])
+    alldst = np.concatenate([dst, src])
+    pairs = np.unique(np.stack([allsrc, alldst], axis=1), axis=0)
+    out = _rebuild(g, cet, pairs[:, 0], pairs[:, 1])
+    if not copy_ndata:
+        out._node_frames = {}
+    out._edge_frames = {}
+    return out
+
+
+def to_simple(
+    g: Graph,
+    return_counts: Optional[str] = "count",
+    writeback_mapping: bool = False,
+    copy_ndata: bool = True,
+    copy_edata: bool = False,
+):
+    """Deduplicate parallel edges (reference ``functional.py`` ``to_simple``,
+    C++ ``src/graph/transform/to_simple.cc``)."""
+    out_rels = {}
+    counts = {}
+    wb = {}
+    for cet in g.canonical_etypes:
+        rel = g._relations[cet]
+        src = _np(rel.src)[: rel.num_edges]
+        dst = _np(rel.dst)[: rel.num_edges]
+        pairs = np.stack([src, dst], axis=1)
+        uniq, inverse, cnt = np.unique(
+            pairs, axis=0, return_inverse=True, return_counts=True
+        )
+        out_rels[cet] = Relation.from_coo(
+            uniq[:, 0], uniq[:, 1],
+            g.num_src_nodes(cet[0]), g.num_dst_nodes(cet[2]), idtype=g.idtype,
+        )
+        counts[cet] = jnp.asarray(cnt.astype(np.int64))
+        wb[cet] = jnp.asarray(inverse.astype(np.int64))
+    out = Graph(out_rels, dict(g._num_src_nodes), dict(g._num_dst_nodes))
+    if copy_ndata:
+        for nt, f in g._node_frames.items():
+            out._node_frames[nt] = dict(f)
+    if return_counts:
+        for cet in g.canonical_etypes:
+            out._edge_frames.setdefault(cet, {})[return_counts] = counts[cet]
+    if writeback_mapping:
+        if len(g.canonical_etypes) == 1:
+            return out, wb[g.canonical_etypes[0]]
+        return out, wb
+    return out
+
+
+def reverse(g: Graph, copy_ndata=True, copy_edata=True) -> Graph:
+    """Reverse all edges (reference ``functional.py`` ``reverse``)."""
+    return g.reverse(copy_ndata=copy_ndata, copy_edata=copy_edata)
+
+
+def khop_graph(g: Graph, k: int) -> Graph:
+    """Graph whose edges connect k-hop pairs, with multiplicity = #paths
+    (reference ``functional.py`` ``khop_graph``)."""
+    import scipy.sparse as sp
+
+    cet = g.to_canonical_etype(None)
+    rel = g._relations[cet]
+    n = g.num_nodes()
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    adj = sp.csr_matrix((np.ones(src.size), (src, dst)), shape=(n, n))
+    ak = adj ** k
+    coo = ak.tocoo()
+    # expand multiplicity into parallel edges like the reference
+    reps = coo.data.astype(np.int64)
+    new_src = np.repeat(coo.row, reps)
+    new_dst = np.repeat(coo.col, reps)
+    return _rebuild(g, cet, new_src, new_dst)
+
+
+def khop_adj(g: Graph, k: int):
+    """Dense k-hop adjacency (reference ``functional.py`` ``khop_adj``)."""
+    n = g.num_nodes()
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    a = np.zeros((n, n), np.float32)
+    np.add.at(a, (src, dst), 1.0)
+    return jnp.asarray(np.linalg.matrix_power(a, k))
+
+
+def knn_graph(x, k: int, algorithm: str = "bruteforce", dist: str = "euclidean") -> Graph:
+    """kNN graph over point features (reference ``transforms/functional.py``
+    ``knn_graph`` / C++ ``src/graph/transform/knn.cc``): edge from each of the
+    k nearest neighbors to the query point."""
+    from .. import convert
+
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    k = min(k, n)
+    if dist == "cosine":
+        xn = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        d = -(xn @ xn.T)
+    else:
+        sq = jnp.sum(x * x, axis=1)
+        d = sq[:, None] - 2 * (x @ x.T) + sq[None, :]
+    _, idx = jax.lax.top_k(-d, k)  # (n, k) nearest (incl. self)
+    src = np.asarray(idx).reshape(-1)
+    dst = np.repeat(np.arange(n), k)
+    return convert.graph((src, dst), num_nodes=n)
+
+
+def laplacian_lambda_max(g: Graph) -> List[float]:
+    """Largest eigenvalue of the normalized Laplacian per batch graph
+    (reference ``functional.py`` ``laplacian_lambda_max``)."""
+    import scipy.sparse as sp
+    from scipy.sparse import linalg as spla
+
+    from ..batch import unbatch
+
+    graphs = unbatch(g) if g.batch_size > 1 else [g]
+    out = []
+    for gg in graphs:
+        n = gg.num_nodes()
+        rel = gg._relation(None)
+        src = _np(rel.src)[: rel.num_edges]
+        dst = _np(rel.dst)[: rel.num_edges]
+        adj = sp.csr_matrix((np.ones(src.size), (src, dst)), shape=(n, n))
+        deg = np.asarray(adj.sum(axis=1)).ravel()
+        dinv = sp.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
+        lap = sp.eye(n) - dinv @ adj @ dinv
+        if n <= 2:
+            out.append(float(np.linalg.eigvals(lap.toarray()).real.max()))
+        else:
+            out.append(
+                float(
+                    spla.eigsh(lap, 1, which="LM", return_eigenvectors=False)[0]
+                )
+            )
+    return out
+
+
+def metapath_reachable_graph(g: Graph, metapath: Sequence) -> Graph:
+    """Compose relations along a metapath (reference ``functional.py``
+    ``metapath_reachable_graph``)."""
+    import scipy.sparse as sp
+
+    cets = [g.to_canonical_etype(et) for et in metapath]
+    mat = None
+    for cet in cets:
+        rel = g._relations[cet]
+        src = _np(rel.src)[: rel.num_edges]
+        dst = _np(rel.dst)[: rel.num_edges]
+        m = sp.csr_matrix(
+            (np.ones(src.size), (src, dst)),
+            shape=(g.num_nodes(cet[0]), g.num_nodes(cet[2])),
+        )
+        mat = m if mat is None else mat @ m
+    mat = (mat > 0).tocoo()
+    st, dt = cets[0][0], cets[-1][2]
+    from .. import convert
+
+    if st == dt:
+        out = convert.graph((mat.row, mat.col), num_nodes=g.num_nodes(st))
+        for k, v in g._node_frames.get(st, {}).items():
+            out._node_frames["_N"][k] = v
+        return out
+    out = convert.heterograph(
+        {(st, "_E", dt): (mat.row, mat.col)},
+        {st: g.num_nodes(st), dt: g.num_nodes(dt)},
+    )
+    for nt in (st, dt):
+        for k, v in g._node_frames.get(nt, {}).items():
+            out._node_frames.setdefault(nt, {})[k] = v
+    return out
+
+
+def compact_graphs(graphs, always_preserve=None):
+    """Drop nodes with no edges across all given graphs, relabeling
+    consistently (reference ``transforms/functional.py`` ``compact_graphs``,
+    C++ ``src/graph/transform/compact.cc``)."""
+    single = isinstance(graphs, Graph)
+    if single:
+        graphs = [graphs]
+    g0 = graphs[0]
+    used = {nt: np.zeros(g0.num_nodes(nt), dtype=bool) for nt in g0.ntypes}
+    if always_preserve is not None:
+        if not isinstance(always_preserve, Mapping):
+            always_preserve = {g0.ntypes[0]: always_preserve}
+        for nt, ids in always_preserve.items():
+            used[nt][_np(ids)] = True
+    for g in graphs:
+        for cet in g.canonical_etypes:
+            rel = g._relations[cet]
+            used[cet[0]][_np(rel.src)[: rel.num_edges]] = True
+            used[cet[2]][_np(rel.dst)[: rel.num_edges]] = True
+    keep = {nt: np.nonzero(m)[0] for nt, m in used.items()}
+    from ..subgraph import node_subgraph
+
+    outs = [node_subgraph(g, keep) for g in graphs]
+    return outs[0] if single else outs
+
+
+def to_block(g: Graph, dst_nodes=None, include_dst_in_src: bool = True, src_nodes=None) -> Graph:
+    """Convert a frontier graph to a bipartite MFG block (reference
+    ``python/dgl/transforms/to_block.py`` / C++ ``to_block.cc:136``).
+
+    DST nodes come first in the SRC space (``include_dst_in_src``), matching
+    the reference layout that lets layers slice ``h[:num_dst]``.
+    """
+    from .. import convert
+
+    if dst_nodes is None:
+        dst_nodes = {}
+        for cet in g.canonical_etypes:
+            rel = g._relations[cet]
+            d = np.unique(_np(rel.dst)[: rel.num_edges])
+            prev = dst_nodes.get(cet[2])
+            dst_nodes[cet[2]] = (
+                d if prev is None else np.union1d(prev, d)
+            )
+    elif not isinstance(dst_nodes, Mapping):
+        dst_nodes = {g.ntypes[0]: _np(dst_nodes)}
+    dst_nodes = {nt: _np(v).astype(np.int64) for nt, v in dst_nodes.items()}
+
+    src_map: Dict[str, Dict[int, int]] = {}
+    src_list: Dict[str, list] = {}
+    for nt in g.ntypes:
+        d = dst_nodes.get(nt, np.zeros(0, np.int64))
+        if include_dst_in_src:
+            src_list[nt] = list(map(int, d))
+            src_map[nt] = {int(x): i for i, x in enumerate(d)}
+        else:
+            src_list[nt] = []
+            src_map[nt] = {}
+    rel_edges = {}
+    for cet in g.canonical_etypes:
+        st, _, dt = cet
+        rel = g._relations[cet]
+        s = _np(rel.src)[: rel.num_edges]
+        d = _np(rel.dst)[: rel.num_edges]
+        dmapd = {int(x): i for i, x in enumerate(dst_nodes.get(dt, np.zeros(0, np.int64)))}
+        keep = np.array([int(x) in dmapd for x in d], dtype=bool)
+        s, d = s[keep], d[keep]
+        eids = np.nonzero(keep)[0]
+        new_s = np.empty(s.size, np.int64)
+        m = src_map[st]
+        lst = src_list[st]
+        for i, x in enumerate(s):
+            xi = int(x)
+            if xi not in m:
+                m[xi] = len(lst)
+                lst.append(xi)
+            new_s[i] = m[xi]
+        new_d = np.array([dmapd[int(x)] for x in d], dtype=np.int64)
+        rel_edges[cet] = (new_s, new_d, eids)
+
+    data_dict = {cet: (s, d) for cet, (s, d, _) in rel_edges.items()}
+    nsrc = {nt: len(src_list[nt]) for nt in g.ntypes}
+    ndst = {nt: int(dst_nodes.get(nt, np.zeros(0)).shape[0]) for nt in g.ntypes}
+    block = convert.create_block(
+        data_dict, num_src_nodes=nsrc, num_dst_nodes=ndst, idtype=g.idtype
+    )
+    for nt in g.ntypes:
+        sids = np.array(src_list[nt], dtype=np.int64)
+        dids = dst_nodes.get(nt, np.zeros(0, np.int64))
+        block._node_frames.setdefault(nt, {})[NID] = jnp.asarray(sids)
+        block._dst_frames.setdefault(nt, {})[NID] = jnp.asarray(dids)
+        for k, v in g._node_frames.get(nt, {}).items():
+            block._node_frames[nt][k] = jnp.asarray(v)[jnp.asarray(sids)]
+            block._dst_frames[nt][k] = jnp.asarray(v)[jnp.asarray(dids)]
+    for cet, (_, _, eids) in rel_edges.items():
+        block._edge_frames.setdefault(cet, {})[EID] = jnp.asarray(eids)
+        for k, v in g._edge_frames.get(cet, {}).items():
+            block._edge_frames[cet][k] = jnp.asarray(v)[jnp.asarray(eids)]
+    return block
+
+
+def line_graph(g: Graph, backtracking: bool = True, shared: bool = False) -> Graph:
+    """Line graph: nodes = edges of g (reference ``functional.py``
+    ``line_graph`` / C++ ``src/graph/transform/line_graph.cc``)."""
+    from .. import convert
+
+    rel = g._relation(None)
+    E = rel.num_edges
+    src = _np(rel.src)[:E]
+    dst = _np(rel.dst)[:E]
+    # edge i -> edge j iff dst[i] == src[j] (and j is not i's reverse when
+    # backtracking=False)
+    indptr = _np(rel.csr_indptr)
+    eids = _np(rel.csr_eids)
+    ls, ld = [], []
+    for i in range(E):
+        v = dst[i]
+        for off in range(indptr[v], indptr[v + 1]):
+            j = int(eids[off])
+            if not backtracking and dst[j] == src[i] and src[j] == dst[i]:
+                continue
+            ls.append(i)
+            ld.append(j)
+    return convert.graph(
+        (np.array(ls, np.int64), np.array(ld, np.int64)), num_nodes=E
+    )
+
+
+def random_walk_pe(g: Graph, k: int, eweight_name: Optional[str] = None):
+    """Random-walk positional encoding: diagonals of RW^i, i=1..k
+    (reference ``functional.py`` ``random_walk_pe``)."""
+    n = g.num_nodes()
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    a = np.zeros((n, n), np.float64)
+    w = (
+        _np(g._edge_frames[g.canonical_etypes[0]][eweight_name])[: rel.num_edges]
+        if eweight_name
+        else np.ones(src.size)
+    )
+    np.add.at(a, (src, dst), w)
+    deg = a.sum(axis=1, keepdims=True)
+    rw = a / np.maximum(deg, 1e-12)
+    pe = []
+    m = rw.copy()
+    for _ in range(k):
+        pe.append(np.diagonal(m).copy())
+        m = m @ rw
+    return jnp.asarray(np.stack(pe, axis=1), dtype=jnp.float32)
+
+
+def lap_pe(g: Graph, k: int, padding: bool = False, return_eigval: bool = False):
+    """Laplacian positional encoding: k smallest non-trivial eigenvectors
+    (reference ``functional.py`` ``lap_pe``)."""
+    n = g.num_nodes()
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    a = np.zeros((n, n), np.float64)
+    np.add.at(a, (src, dst), 1.0)
+    deg = a.sum(axis=1)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    lap = np.eye(n) - (dinv[:, None] * a * dinv[None, :])
+    if not padding and n <= k:
+        raise DGLError(
+            f"need num_nodes > k ({n} <= {k}); use padding=True"
+        )
+    vals, vecs = np.linalg.eig(lap)
+    order = np.argsort(vals.real)
+    vals, vecs = vals.real[order], vecs.real[:, order]
+    kk = min(k, max(n - 1, 0))
+    pe = vecs[:, 1 : kk + 1]
+    ev = vals[1 : kk + 1]
+    if pe.shape[1] < k:
+        pe = np.pad(pe, ((0, 0), (0, k - pe.shape[1])))
+        ev = np.pad(ev, (0, k - ev.shape[0]))
+    pe = jnp.asarray(pe, jnp.float32)
+    if return_eigval:
+        return pe, jnp.asarray(ev, jnp.float32)
+    return pe
+
+
+def shortest_dist(g: Graph, root=None, return_paths: bool = False):
+    """All-pairs / single-source shortest path distance via BFS (unweighted;
+    reference ``functional.py`` ``shortest_dist``). -1 = unreachable."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import shortest_path
+
+    n = g.num_nodes()
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    adj = sp.csr_matrix((np.ones(src.size), (src, dst)), shape=(n, n))
+    if return_paths:
+        dmat, pred = shortest_path(
+            adj, method="D", unweighted=True, return_predecessors=True,
+            indices=root,
+        )
+        dmat = np.where(np.isinf(dmat), -1, dmat).astype(np.int64)
+        # reconstruct edge-id paths (padded with -1), reference semantics
+        max_len = max(int(dmat.max()), 1)
+        eid_lookup = {}
+        for i, (s, d) in enumerate(zip(src, dst)):
+            eid_lookup.setdefault((int(s), int(d)), i)
+        if root is None:
+            raise NotImplementedError("return_paths requires a root")
+        paths = np.full((n, max_len), -1, np.int64)
+        for t in range(n):
+            if dmat[t] <= 0:
+                continue
+            seq = []
+            cur = t
+            while cur != root and pred[cur] >= 0:
+                p = int(pred[cur])
+                seq.append(eid_lookup[(p, cur)])
+                cur = p
+            paths[t, : len(seq)] = seq[::-1]
+        return jnp.asarray(dmat), jnp.asarray(paths)
+    dmat = shortest_path(adj, method="D", unweighted=True, indices=root)
+    dmat = np.where(np.isinf(dmat), -1, dmat).astype(np.int64)
+    return jnp.asarray(dmat)

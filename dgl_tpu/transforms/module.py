@@ -1,0 +1,274 @@
+"""Module (callable) transforms (reference ``python/dgl/transforms/module.py``).
+
+Each transform is a callable object ``t(g) -> g'`` composable with
+``Compose`` (reference ``module.py:64``).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import DGLError
+from ..graph import Graph
+from . import functional as F
+
+__all__ = [
+    "BaseTransform",
+    "Compose",
+    "AddSelfLoop",
+    "RemoveSelfLoop",
+    "AddReverse",
+    "ToSimple",
+    "KHopGraph",
+    "GCNNorm",
+    "FeatMask",
+    "RowFeatNormalizer",
+    "DropNode",
+    "DropEdge",
+    "AddEdge",
+    "RandomWalkPE",
+    "LapPE",
+]
+
+
+class BaseTransform:
+    """Transform base (reference ``module.py:49``)."""
+
+    def __call__(self, g: Graph) -> Graph:
+        raise NotImplementedError
+
+    def __repr__(self):
+        return self.__class__.__name__ + "()"
+
+
+class Compose(BaseTransform):
+    """Apply transforms in sequence (reference ``module.py:64``)."""
+
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, g):
+        for t in self.transforms:
+            g = t(g)
+        return g
+
+
+class AddSelfLoop(BaseTransform):
+    """(reference ``module.py:101``)."""
+
+    def __init__(self, allow_duplicate=False, new_etypes=False, edge_feat_names=None, fill_data=1.0):
+        self.allow_duplicate = allow_duplicate
+        self.edge_feat_names = edge_feat_names
+        self.fill_data = fill_data
+
+    def __call__(self, g):
+        for cet in g.canonical_etypes:
+            if cet[0] != cet[2]:
+                continue
+            if not self.allow_duplicate:
+                g = F.remove_self_loop(g, etype=cet)
+            g = F.add_self_loop(
+                g, edge_feat_names=self.edge_feat_names,
+                fill_data=self.fill_data, etype=cet,
+            )
+        return g
+
+
+class RemoveSelfLoop(BaseTransform):
+    def __call__(self, g):
+        for cet in g.canonical_etypes:
+            if cet[0] == cet[2]:
+                g = F.remove_self_loop(g, etype=cet)
+        return g
+
+
+class AddReverse(BaseTransform):
+    """(reference ``module.py:328``)."""
+
+    def __init__(self, copy_edata=False, sym_new_etype=False):
+        self.copy_edata = copy_edata
+
+    def __call__(self, g):
+        return F.add_reverse_edges(g, copy_edata=self.copy_edata)
+
+
+class ToSimple(BaseTransform):
+    def __init__(self, return_counts="count"):
+        self.return_counts = return_counts
+
+    def __call__(self, g):
+        return F.to_simple(g, return_counts=self.return_counts)
+
+
+class KHopGraph(BaseTransform):
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, g):
+        return F.khop_graph(g, self.k)
+
+
+class GCNNorm(BaseTransform):
+    """Symmetric GCN normalization weights (reference ``module.py:1119``):
+    w_uv = 1/sqrt(d_out(u) d_in(v)), stored in ``edata['w']``."""
+
+    def __init__(self, eweight_name: str = "w"):
+        self.eweight_name = eweight_name
+
+    def __call__(self, g):
+        cet = g.to_canonical_etype(None)
+        rel = g._relations[cet]
+        if self.eweight_name in g._edge_frames.get(cet, {}):
+            w = g._edge_frames[cet][self.eweight_name]
+            deg = jax.ops.segment_sum(w, rel.dst, num_segments=rel.num_dst)
+            out_deg = jax.ops.segment_sum(w, rel.src, num_segments=rel.num_src)
+        else:
+            deg = rel.in_degrees().astype(jnp.float32)
+            out_deg = rel.out_degrees().astype(jnp.float32)
+            w = jnp.ones((rel.num_edges_padded,), jnp.float32)
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        oinv = jnp.where(out_deg > 0, jax.lax.rsqrt(jnp.maximum(out_deg, 1e-12)), 0.0)
+        pad_src = jnp.minimum(rel.src, rel.num_src - 1)
+        pad_dst = jnp.minimum(rel.dst, rel.num_dst - 1)
+        new_w = w * oinv[pad_src] * dinv[pad_dst]
+        g._edge_frames.setdefault(cet, {})[self.eweight_name] = new_w
+        return g
+
+
+class FeatMask(BaseTransform):
+    """Randomly zero feature columns (reference ``module.py:1576``)."""
+
+    def __init__(self, p=0.5, node_feat_names=None, edge_feat_names=None, seed=0):
+        self.p = p
+        self.node_feat_names = node_feat_names or []
+        self.edge_feat_names = edge_feat_names or []
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, g):
+        for nt, frame in g._node_frames.items():
+            for k in list(frame):
+                if k in self.node_feat_names:
+                    v = frame[k]
+                    mask = self._rng.random(v.shape[-1]) < self.p
+                    frame[k] = jnp.where(jnp.asarray(mask), 0, v)
+        for cet, frame in g._edge_frames.items():
+            for k in list(frame):
+                if k in self.edge_feat_names:
+                    v = frame[k]
+                    mask = self._rng.random(v.shape[-1]) < self.p
+                    frame[k] = jnp.where(jnp.asarray(mask), 0, v)
+        return g
+
+
+class RowFeatNormalizer(BaseTransform):
+    """Row-normalize features to unit sum (reference ``module.py:1662``)."""
+
+    def __init__(self, subtract_min=False, node_feat_names=None, edge_feat_names=None):
+        self.subtract_min = subtract_min
+        self.node_feat_names = node_feat_names or []
+        self.edge_feat_names = edge_feat_names or []
+
+    def _norm(self, v):
+        if self.subtract_min:
+            v = v - v.min()
+        s = v.sum(axis=-1, keepdims=True)
+        return v / jnp.where(s == 0, 1, s)
+
+    def __call__(self, g):
+        for nt, frame in g._node_frames.items():
+            for k in self.node_feat_names:
+                if k in frame:
+                    frame[k] = self._norm(frame[k])
+        for cet, frame in g._edge_frames.items():
+            for k in self.edge_feat_names:
+                if k in frame:
+                    frame[k] = self._norm(frame[k])
+        return g
+
+
+class DropNode(BaseTransform):
+    """Randomly drop nodes (reference ``module.py:1474``)."""
+
+    def __init__(self, p=0.5, seed=0):
+        self.p = p
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, g):
+        from ..subgraph import node_subgraph
+
+        keep = {
+            nt: np.nonzero(self._rng.random(g.num_nodes(nt)) >= self.p)[0]
+            for nt in g.ntypes
+        }
+        return node_subgraph(g, keep)
+
+
+class DropEdge(BaseTransform):
+    """Randomly drop edges (reference ``module.py:1522``)."""
+
+    def __init__(self, p=0.5, seed=0):
+        self.p = p
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, g):
+        for cet in g.canonical_etypes:
+            n = g.num_edges(cet)
+            drop = np.nonzero(self._rng.random(n) < self.p)[0]
+            if drop.size:
+                g = F.remove_edges(g, drop, etype=cet)
+        return g
+
+
+class AddEdge(BaseTransform):
+    """Add random edges (reference ``module.py:1749``)."""
+
+    def __init__(self, ratio=0.2, seed=0):
+        self.ratio = ratio
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, g):
+        for cet in g.canonical_etypes:
+            n_add = int(g.num_edges(cet) * self.ratio)
+            if n_add == 0:
+                continue
+            u = self._rng.integers(0, g.num_src_nodes(cet[0]), n_add)
+            v = self._rng.integers(0, g.num_dst_nodes(cet[2]), n_add)
+            g = F.add_edges(g, u, v, etype=cet)
+        return g
+
+
+class RandomWalkPE(BaseTransform):
+    """(reference ``module.py:1858``)."""
+
+    def __init__(self, k: int, feat_name: str = "PE", eweight_name=None):
+        self.k = k
+        self.feat_name = feat_name
+        self.eweight_name = eweight_name
+
+    def __call__(self, g):
+        g.ndata[self.feat_name] = F.random_walk_pe(g, self.k, self.eweight_name)
+        return g
+
+
+class LapPE(BaseTransform):
+    """(reference ``module.py:1908``)."""
+
+    def __init__(self, k: int, feat_name: str = "PE", eigval_name=None, padding=False):
+        self.k = k
+        self.feat_name = feat_name
+        self.eigval_name = eigval_name
+        self.padding = padding
+
+    def __call__(self, g):
+        if self.eigval_name:
+            pe, ev = F.lap_pe(g, self.k, self.padding, return_eigval=True)
+            g.ndata[self.feat_name] = pe
+            g.ndata[self.eigval_name] = jnp.broadcast_to(
+                ev[None, :], (g.num_nodes(), self.k)
+            )
+        else:
+            g.ndata[self.feat_name] = F.lap_pe(g, self.k, self.padding)
+        return g

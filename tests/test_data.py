@@ -1,0 +1,103 @@
+"""Data zoo tests (mirrors reference tests/integration/test_data.py)."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu import data as D
+
+
+def test_save_load_graphs(tmp_path):
+    g = dgl.graph(([0, 1, 2], [1, 2, 0]))
+    g.ndata["x"] = jnp.arange(6.0).reshape(3, 2)
+    g.edata["w"] = jnp.arange(3.0)
+    g2 = dgl.heterograph(
+        {
+            ("user", "plays", "game"): ([0, 1], [0, 1]),
+        }
+    )
+    path = str(tmp_path / "graphs.npz")
+    D.save_graphs(path, [g, g2], labels={"y": np.array([1.0, 2.0])})
+    graphs, labels = D.load_graphs(path)
+    assert len(graphs) == 2
+    assert graphs[0].num_nodes() == 3
+    np.testing.assert_allclose(np.asarray(graphs[0].ndata["x"]), np.arange(6.0).reshape(3, 2))
+    np.testing.assert_allclose(np.asarray(graphs[0].edata["w"]), np.arange(3.0))
+    assert graphs[1].num_nodes("game") == 2
+    np.testing.assert_allclose(np.asarray(labels["y"]), [1.0, 2.0])
+    # partial load
+    graphs, _ = D.load_graphs(path, [1])
+    assert len(graphs) == 1
+
+
+def test_cora_synthetic(tmp_path):
+    ds = D.CoraGraphDataset(raw_dir=str(tmp_path), verbose=False)
+    g = ds[0]
+    assert ds.num_classes == 7
+    assert g.num_nodes() == 2708
+    assert g.ndata["feat"].shape == (2708, 1433)
+    assert int(np.asarray(g.ndata["train_mask"]).sum()) == 140
+    assert int(np.asarray(g.ndata["val_mask"]).sum()) == 500
+    assert int(np.asarray(g.ndata["test_mask"]).sum()) == 1000
+    # cache round-trip
+    ds2 = D.CoraGraphDataset(raw_dir=str(tmp_path))
+    g2 = ds2[0]
+    assert g2.num_nodes() == g.num_nodes()
+    np.testing.assert_allclose(
+        np.asarray(g2.ndata["feat"]), np.asarray(g.ndata["feat"])
+    )
+
+
+def test_synthetic_dataset():
+    ds = D.SyntheticDataset(num_nodes=200, num_edges=1000, num_classes=4, feat_dim=16)
+    g = ds[0]
+    assert g.num_nodes() == 200
+    assert ds.num_classes == 4
+
+
+def test_ppi_dataset():
+    ds = D.PPIDataset(mode="valid")
+    assert len(ds) == 2
+    g = ds[0]
+    assert g.ndata["label"].shape[1] == 121
+
+
+def test_csv_dataset(tmp_path):
+    ddir = tmp_path / "csvds"
+    ddir.mkdir()
+    with open(ddir / "meta.json", "w") as f:
+        json.dump(
+            {
+                "dataset_name": "toy",
+                "node_data": [{"file_name": "nodes.csv", "ntype": "_N"}],
+                "edge_data": [{"file_name": "edges.csv", "etype": ["_N", "_E", "_N"]}],
+            },
+            f,
+        )
+    with open(ddir / "nodes.csv", "w") as f:
+        f.write("node_id,label,feat\n")
+        for i in range(4):
+            f.write(f"{i},{i % 2},\"{i}.0,{i+1}.0\"\n")
+    with open(ddir / "edges.csv", "w") as f:
+        f.write("src_id,dst_id,weight\n0,1,0.5\n1,2,0.25\n2,3,1.0\n")
+    ds = D.CSVDataset(str(ddir))
+    g = ds[0]
+    assert g.num_nodes() == 4 and g.num_edges() == 3
+    np.testing.assert_allclose(np.asarray(g.ndata["label"]), [0, 1, 0, 1])
+    assert g.ndata["feat"].shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(g.edata["weight"]), [0.5, 0.25, 1.0])
+
+
+def test_ba_shape():
+    ds = D.BAShapeDataset()
+    g = ds[0]
+    labels = np.asarray(g.ndata["label"])
+    assert set(labels.tolist()) == {0, 1, 2, 3}
+
+
+def test_dataset_repr():
+    ds = D.SyntheticDataset(num_nodes=10, num_edges=20, num_classes=2, feat_dim=4)
+    assert "synthetic" in repr(ds)

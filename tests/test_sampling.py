@@ -1,0 +1,166 @@
+"""Sampling tests (mirrors reference tests/python/common/sampling/)."""
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu import sampling
+from dgl_tpu.base import EID
+
+
+@pytest.fixture
+def g():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 50, 500)
+    dst = rng.integers(0, 50, 500)
+    return dgl.graph((src, dst), num_nodes=50)
+
+
+def test_sample_neighbors_in(g):
+    sg = sampling.sample_neighbors(g, [0, 1, 2], 5, seed=0)
+    assert sg.num_nodes() == g.num_nodes()
+    # every sampled edge points into the seed set
+    _, v = sg.edges()
+    assert set(np.asarray(v)[: sg.num_edges()].tolist()) <= {0, 1, 2}
+    # per-seed cap
+    indeg = np.asarray(sg.in_degrees())
+    assert (indeg[[0, 1, 2]] <= 5).all()
+
+
+def test_sample_neighbors_all(g):
+    sg = sampling.sample_neighbors(g, [3], -1, seed=0)
+    assert sg.num_edges() == int(np.asarray(g.in_degrees())[3])
+
+
+def test_sample_neighbors_out(g):
+    sg = sampling.sample_neighbors(g, [0], 3, edge_dir="out", seed=0)
+    u, _ = sg.edges()
+    assert set(np.asarray(u)[: sg.num_edges()].tolist()) <= {0}
+
+
+def test_sample_neighbors_replace(g):
+    sg = sampling.sample_neighbors(g, [0], 100, replace=True, seed=0)
+    assert sg.num_edges() == 100 or np.asarray(g.in_degrees())[0] == 0
+
+
+def test_sample_neighbors_prob(g):
+    import jax.numpy as jnp
+
+    w = np.zeros(g.num_edges(), np.float32)
+    rel = g._relation(None)
+    dst = np.asarray(rel.dst)
+    # only edges into node 0 with even eid have weight
+    w[(dst == 0) & (np.arange(g.num_edges()) % 2 == 0)] = 1.0
+    g.edata["p"] = jnp.asarray(w)
+    sg = sampling.sample_neighbors(g, [0], 3, prob="p", seed=0)
+    eids = np.asarray(sg.edata[EID])
+    assert (eids % 2 == 0).all()
+
+
+def test_sample_neighbors_exclude(g):
+    rel = g._relation(None)
+    indeg0 = int(np.asarray(g.in_degrees())[0])
+    if indeg0 == 0:
+        pytest.skip("node 0 has no in-edges")
+    excl = np.asarray(rel.csc_eids)[: indeg0]  # all in-edges of node 0
+    sg = sampling.sample_neighbors(g, [0], -1, exclude_edges=excl, seed=0)
+    assert sg.num_edges() == 0
+
+
+def test_sample_neighbors_fixed(g):
+    nbr, eid, mask = sampling.sample_neighbors_fixed(g, [0, 1, 2, 3], 7, seed=0)
+    assert nbr.shape == (4, 7) and mask.dtype == bool
+    deg = np.asarray(g.in_degrees())
+    for i, s in enumerate([0, 1, 2, 3]):
+        assert mask[i].sum() == min(deg[s], 7)
+    # edge ids consistent with endpoints
+    rel = g._relation(None)
+    src, dst = np.asarray(rel.src), np.asarray(rel.dst)
+    for i, s in enumerate([0, 1, 2, 3]):
+        for j in range(7):
+            if mask[i, j]:
+                assert src[eid[i, j]] == nbr[i, j]
+                assert dst[eid[i, j]] == s
+
+
+def test_random_walk():
+    g = dgl.graph(([0, 1, 2, 3], [1, 2, 3, 0]))
+    traces, types = sampling.random_walk(g, [0, 1], length=4, seed=0)
+    np.testing.assert_array_equal(traces[0], [0, 1, 2, 3, 0])
+    np.testing.assert_array_equal(traces[1], [1, 2, 3, 0, 1])
+    assert types.shape == (5,)
+
+
+def test_random_walk_terminates():
+    g = dgl.graph(([0], [1]), num_nodes=3)
+    traces, _ = sampling.random_walk(g, [0, 2], length=3, seed=0)
+    np.testing.assert_array_equal(traces[0], [0, 1, -1, -1])
+    np.testing.assert_array_equal(traces[1], [2, -1, -1, -1])
+
+
+def test_random_walk_metapath():
+    g = dgl.heterograph(
+        {
+            ("user", "plays", "game"): ([0, 1], [0, 1]),
+            ("game", "played-by", "user"): ([0, 1], [1, 0]),
+        }
+    )
+    traces, types = sampling.random_walk(
+        g, [0], metapath=["plays", "played-by"], seed=0
+    )
+    assert traces.shape == (1, 3)
+    assert traces[0, 0] == 0
+
+
+def test_node2vec():
+    g = dgl.graph(([0, 1, 2, 3], [1, 2, 3, 0]))
+    tr = sampling.node2vec_random_walk(g, [0], 1.0, 1.0, 4, seed=0)
+    np.testing.assert_array_equal(tr[0], [0, 1, 2, 3, 0])
+
+
+def test_pack_traces():
+    traces = np.array([[0, 1, -1], [2, 3, 4]])
+    types = np.array([0, 0, 0])
+    vids, tps, lengths, offsets = sampling.pack_traces(traces, types)
+    np.testing.assert_array_equal(vids, [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(lengths, [2, 3])
+    np.testing.assert_array_equal(offsets, [0, 2])
+
+
+def test_negative_sampling(g):
+    src, dst = sampling.global_uniform_negative_sampling(g, 40, seed=0)
+    assert src.shape[0] <= 40
+    rel = g._relation(None)
+    existing = set(
+        zip(np.asarray(rel.src).tolist(), np.asarray(rel.dst).tolist())
+    )
+    for a, b in zip(src, dst):
+        assert (a, b) not in existing
+        assert a != b
+
+
+def test_labor(g):
+    sg, imp = sampling.sample_labors(g, np.arange(50), 5, random_seed=0)
+    assert sg.num_nodes() == 50
+    # expected sampled degree ~ fanout
+    indeg = np.asarray(sg.in_degrees())
+    fulldeg = np.asarray(g.in_degrees())
+    assert indeg.sum() <= fulldeg.sum()
+    assert (indeg[fulldeg <= 5] == fulldeg[fulldeg <= 5]).all()
+
+
+def test_pinsage():
+    # bipartite item-user graph
+    rng = np.random.default_rng(0)
+    iu = (rng.integers(0, 20, 100), rng.integers(0, 10, 100))
+    g = dgl.heterograph(
+        {
+            ("item", "liked-by", "user"): iu,
+            ("user", "likes", "item"): (iu[1], iu[0]),
+        }
+    )
+    sampler = sampling.PinSAGESampler(g, "item", "user", 2, 0.2, 10, 3, seed=0)
+    out = sampler([0, 1])
+    assert out.num_nodes() == 20
+    _, v = out.edges()
+    assert set(np.asarray(v).tolist()) <= {0, 1}
+    assert "weights" in out.edata

@@ -1,0 +1,178 @@
+"""Transforms tests (mirrors reference tests/python/common/test_transform.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu import transforms as T
+
+
+@pytest.fixture
+def g():
+    g = dgl.graph(([0, 0, 1, 2, 3], [1, 2, 2, 3, 0]))
+    g.edata["w"] = jnp.arange(1.0, 6.0)
+    return g
+
+
+def test_add_remove_self_loop(g):
+    g2 = T.add_self_loop(g)
+    assert g2.num_edges() == g.num_edges() + g.num_nodes()
+    # new self-loop edges get fill_data=1
+    w = np.asarray(g2.edata["w"])
+    np.testing.assert_allclose(w[:5], np.arange(1.0, 6.0))
+    np.testing.assert_allclose(w[5:], 1.0)
+    g3 = T.remove_self_loop(g2)
+    assert g3.num_edges() == g.num_edges()
+
+
+def test_add_reverse_edges(g):
+    g2 = T.add_reverse_edges(g, copy_edata=True)
+    assert g2.num_edges() == 10
+    u, v = g2.edges()
+    np.testing.assert_array_equal(np.asarray(u)[5:], np.asarray(v)[:5])
+    np.testing.assert_allclose(np.asarray(g2.edata["w"])[5:], np.arange(1.0, 6.0))
+
+
+def test_add_remove_edges(g):
+    g2 = T.add_edges(g, [1], [3])
+    assert g2.num_edges() == 6
+    assert bool(g2.has_edges_between(1, 3))
+    g3 = T.remove_edges(g, [0, 2])
+    assert g3.num_edges() == 3
+    np.testing.assert_allclose(np.asarray(g3.edata["w"]), [2.0, 4.0, 5.0])
+
+
+def test_add_nodes(g):
+    g.ndata["x"] = jnp.ones((4, 2))
+    g2 = T.add_nodes(g, 2)
+    assert g2.num_nodes() == 6
+    assert g2.ndata["x"].shape == (6, 2)
+    np.testing.assert_allclose(np.asarray(g2.ndata["x"])[4:], 0.0)
+
+
+def test_to_bidirected():
+    g = dgl.graph(([0, 1, 1], [1, 0, 2]))
+    g2 = T.to_bidirected(g)
+    assert g2.num_edges() == 4  # (0,1),(1,0),(1,2),(2,1)
+
+
+def test_to_simple():
+    g = dgl.graph(([0, 0, 0, 1], [1, 1, 2, 2]))
+    sg, wb = T.to_simple(g, writeback_mapping=True)
+    assert sg.num_edges() == 3
+    cnt = np.asarray(sg.edata["count"])
+    assert cnt.sum() == 4
+    assert wb.shape == (4,)
+
+
+def test_khop_graph():
+    g = dgl.graph(([0, 1, 2], [1, 2, 3]))
+    g2 = T.khop_graph(g, 2)
+    u, v = g2.edges()
+    pairs = set(zip(np.asarray(u).tolist(), np.asarray(v).tolist()))
+    assert pairs == {(0, 2), (1, 3)}
+
+
+def test_khop_adj():
+    g = dgl.graph(([0, 1, 2], [1, 2, 3]))
+    a2 = np.asarray(T.khop_adj(g, 2))
+    assert a2[0, 2] == 1 and a2[1, 3] == 1 and a2.sum() == 2
+
+
+def test_knn_graph():
+    x = jnp.array([[0.0], [0.1], [10.0], [10.1]])
+    g = T.knn_graph(x, 2)
+    assert g.num_edges() == 8
+    # each node's neighbors are within its cluster
+    assert bool(g.has_edges_between(0, 1))
+    assert not bool(g.has_edges_between(2, 1))
+
+
+def test_line_graph():
+    g = dgl.graph(([0, 1, 1], [1, 0, 2]))
+    lg = T.line_graph(g)
+    assert lg.num_nodes() == 3
+    u, v = lg.edges()
+    pairs = set(zip(np.asarray(u).tolist(), np.asarray(v).tolist()))
+    # e0:0->1 feeds e1:1->0 and e2:1->2; e1:1->0 feeds e0
+    assert pairs == {(0, 1), (0, 2), (1, 0)}
+    lg2 = T.line_graph(g, backtracking=False)
+    u, v = lg2.edges()
+    pairs2 = set(zip(np.asarray(u).tolist(), np.asarray(v).tolist()))
+    assert pairs2 == {(0, 2)}
+
+
+def test_gcn_norm(g):
+    del g.edata["w"]
+    g2 = T.GCNNorm()(g)
+    w = np.asarray(g2.edata["w"])
+    rel = g2._relation(None)
+    src = np.asarray(rel.src)
+    dst = np.asarray(rel.dst)
+    din = np.asarray(rel.in_degrees())
+    dout = np.asarray(rel.out_degrees())
+    expect = 1.0 / np.sqrt(dout[src] * din[dst])
+    np.testing.assert_allclose(w, expect, rtol=1e-5)
+
+
+def test_compose_and_modules(g):
+    t = T.Compose([T.RemoveSelfLoop(), T.AddSelfLoop()])
+    g2 = t(g)
+    assert g2.num_edges() == 9
+
+
+def test_drop_edge(g):
+    g2 = T.DropEdge(p=0.5, seed=0)(g)
+    assert g2.num_edges() <= 5
+
+
+def test_random_walk_pe():
+    g = dgl.graph(([0, 1, 1, 2], [1, 0, 2, 1]))
+    pe = T.random_walk_pe(g, 2)
+    assert pe.shape == (3, 2)
+    # one-step return probability is 0 for all nodes
+    np.testing.assert_allclose(np.asarray(pe)[:, 0], 0.0)
+
+
+def test_lap_pe():
+    g = dgl.graph(([0, 1, 1, 2], [1, 0, 2, 1]))
+    pe = T.lap_pe(g, 2)
+    assert pe.shape == (3, 2)
+
+
+def test_laplacian_lambda_max():
+    g = dgl.graph(([0, 1, 1, 2], [1, 0, 2, 1]))
+    lmax = T.laplacian_lambda_max(g)
+    assert len(lmax) == 1 and 0 < lmax[0] <= 2.01
+
+
+def test_shortest_dist():
+    g = dgl.graph(([0, 1, 2], [1, 2, 3]))
+    d = np.asarray(T.shortest_dist(g))
+    assert d[0, 3] == 3 and d[3, 0] == -1
+
+
+def test_metapath_reachable_graph():
+    g = dgl.heterograph(
+        {
+            ("user", "plays", "game"): ([0, 1], [0, 1]),
+            ("game", "played-by", "user"): ([0, 1], [1, 0]),
+        }
+    )
+    mg = T.metapath_reachable_graph(g, ["plays", "played-by"])
+    u, v = mg.edges()
+    pairs = set(zip(np.asarray(u).tolist(), np.asarray(v).tolist()))
+    assert pairs == {(0, 1), (1, 0)}
+
+
+def test_to_block():
+    # frontier: edges into seeds {2, 3}
+    g = dgl.graph(([0, 1, 4], [2, 2, 3]))
+    blk = T.to_block(g, dst_nodes=[2, 3])
+    assert blk.is_block
+    assert blk.num_dst_nodes() == 2
+    # src = dst-first {2,3} + {0,1,4}
+    assert blk.num_src_nodes() == 5
+    nid = np.asarray(blk.srcdata[dgl.NID])
+    np.testing.assert_array_equal(nid[:2], [2, 3])
+    assert set(nid[2:].tolist()) == {0, 1, 4}
