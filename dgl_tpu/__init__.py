@@ -57,6 +57,8 @@ from .propagate import prop_nodes_bfs, prop_nodes_topo, prop_edges_dfs
 from . import transforms
 from . import sampling
 from . import data
+from . import sparse
+from . import geometry
 from . import dataloading
 from . import models
 from . import parallel

@@ -1,5 +1,11 @@
-"""Graph convolution layers (reference ``python/dgl/nn/pytorch/conv/``)."""
+"""Graph convolution layers (reference ``python/dgl/nn/pytorch/conv/``).
+
+The reference's ``cugraph_*`` variants are CUDA-specific accelerations of
+GATConv/RelGraphConv/SAGEConv; on TPU the base layers already lower to the
+fused kernel path, so no separate variants exist.
+"""
 from .graphconv import GraphConv
+from ..utils_nn import EdgeWeightNorm
 from .sageconv import SAGEConv
 from .gatconv import GATConv
 from .gatv2conv import GATv2Conv
@@ -9,9 +15,23 @@ from .spectral import SGConv, APPNPConv, TAGConv, ChebConv
 from .edgeconv import EdgeConv
 from .gatedgraphconv import GatedGraphConv
 from .nnconv import NNConv
+from .agnnconv import AGNNConv
+from .dotgatconv import DotGatConv
+from .gcn2conv import GCN2Conv
+from .gineconv import GINEConv
+from .cfconv import CFConv, ShiftedSoftplus
+from .gmmconv import GMMConv
+from .pnaconv import PNAConv
+from .gatedgcnconv import GatedGCNConv
+from .egatconv import EGATConv
+from .edgegatconv import EdgeGATConv
+from .dense import DenseGraphConv, DenseSAGEConv, DenseChebConv
+from .hgtconv import HGTConv
+from .grouprevres import GroupRevRes
 
 __all__ = [
     "GraphConv",
+    "EdgeWeightNorm",
     "SAGEConv",
     "GATConv",
     "GATv2Conv",
@@ -24,4 +44,20 @@ __all__ = [
     "EdgeConv",
     "GatedGraphConv",
     "NNConv",
+    "AGNNConv",
+    "DotGatConv",
+    "GCN2Conv",
+    "GINEConv",
+    "CFConv",
+    "ShiftedSoftplus",
+    "GMMConv",
+    "PNAConv",
+    "GatedGCNConv",
+    "EGATConv",
+    "EdgeGATConv",
+    "DenseGraphConv",
+    "DenseSAGEConv",
+    "DenseChebConv",
+    "HGTConv",
+    "GroupRevRes",
 ]

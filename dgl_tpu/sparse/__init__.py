@@ -1,0 +1,45 @@
+"""dgl.sparse-style SparseMatrix API (reference ``python/dgl/sparse/``,
+C++ ``dgl_sparse/``).
+
+A thin JAX-native facade: a ``SparseMatrix`` wraps COO/CSR/CSC index arrays
+plus a value vector (scalar or vector-valued nnz), with the reference's op
+surface — spmm/sddmm/spspmm, softmax, reductions, elementwise — lowered to
+the same fused segment/Pallas kernels as the message-passing engine.
+"""
+from .sparse_matrix import (
+    SparseMatrix,
+    spmatrix,
+    from_coo,
+    from_csr,
+    from_csc,
+    val_like,
+    diag,
+    identity,
+)
+from .matmul import spmm, bspmm, spspmm, matmul
+from .sddmm import sddmm, bsddmm
+from .softmax_mod import softmax
+from .reduction import reduce as sp_reduce
+from .unary import neg
+from .broadcast import sp_broadcast_v
+
+__all__ = [
+    "SparseMatrix",
+    "spmatrix",
+    "from_coo",
+    "from_csr",
+    "from_csc",
+    "val_like",
+    "diag",
+    "identity",
+    "spmm",
+    "bspmm",
+    "spspmm",
+    "matmul",
+    "sddmm",
+    "bsddmm",
+    "softmax",
+    "sp_reduce",
+    "neg",
+    "sp_broadcast_v",
+]

@@ -1,0 +1,179 @@
+"""Tests for the second tier of conv layers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+import dgl_tpu as dgl
+from dgl_tpu.nn.conv import (
+    AGNNConv,
+    CFConv,
+    DenseChebConv,
+    DenseGraphConv,
+    DenseSAGEConv,
+    DotGatConv,
+    EGATConv,
+    EdgeGATConv,
+    GCN2Conv,
+    GINEConv,
+    GMMConv,
+    GatedGCNConv,
+    GraphConv,
+    GroupRevRes,
+    HGTConv,
+    PNAConv,
+)
+
+
+@pytest.fixture
+def g():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 20, 120)
+    dst = rng.integers(0, 20, 120)
+    gg = dgl.graph((np.concatenate([src, np.arange(20)]),
+                    np.concatenate([dst, np.arange(20)])), num_nodes=20)
+    return gg
+
+
+@pytest.fixture
+def x(g):
+    return jnp.asarray(
+        np.random.default_rng(1).normal(size=(g.num_nodes(), 8)),
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture
+def e(g):
+    return jnp.asarray(
+        np.random.default_rng(2).normal(size=(g.num_edges(), 6)),
+        dtype=jnp.float32,
+    )
+
+
+def _init_apply(mod, *args, **kwargs):
+    params = mod.init(jax.random.PRNGKey(0), *args, **kwargs)
+    return mod.apply(params, *args, **kwargs)
+
+
+def test_agnn(g, x):
+    out = _init_apply(AGNNConv(), g, x)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_dotgat(g, x):
+    out = _init_apply(DotGatConv(8, 4, 2), g, x)
+    assert out.shape == (20, 2, 4)
+
+
+def test_gcn2(g, x):
+    out = _init_apply(GCN2Conv(8, layer=2), g, x, x)
+    assert out.shape == x.shape
+    # grads flow
+    mod = GCN2Conv(8, layer=1)
+    params = mod.init(jax.random.PRNGKey(0), g, x, x)
+    grads = jax.grad(lambda p: mod.apply(p, g, x, x).sum())(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_gine(g, x):
+    e8 = jnp.ones((g.num_edges(), 8), jnp.float32)
+    out = _init_apply(GINEConv(apply_func=None), g, x, e8)
+    assert out.shape == x.shape
+
+
+def test_cfconv(g, x, e):
+    out = _init_apply(CFConv(8, 6, 16, 12), g, x, e)
+    assert out.shape == (20, 12)
+
+
+def test_gmm(g, x):
+    pseudo = jnp.asarray(
+        np.random.default_rng(3).normal(size=(g.num_edges(), 3)),
+        dtype=jnp.float32,
+    )
+    out = _init_apply(GMMConv(8, 5, 3, 4), g, x, pseudo)
+    assert out.shape == (20, 5)
+
+
+def test_pna(g, x):
+    out = _init_apply(PNAConv(8, 10), g, x)
+    assert out.shape == (20, 10) and np.isfinite(np.asarray(out)).all()
+
+
+def test_gatedgcn(g, x, e):
+    h6 = jnp.asarray(
+        np.random.default_rng(4).normal(size=(20, 6)), dtype=jnp.float32
+    )
+    mod = GatedGCNConv(6, 6, 6)
+    h_out, e_out = _init_apply(mod, g, h6, e)
+    assert h_out.shape == (20, 6) and e_out.shape == (g.num_edges(), 6)
+
+
+def test_egat(g, x, e):
+    h_out, f_out = _init_apply(EGATConv(8, 6, 4, 5, 2), g, x, e)
+    assert h_out.shape == (20, 2, 4)
+    assert f_out.shape == (g.num_edges(), 2, 5)
+
+
+def test_edgegat(g, x, e):
+    out = _init_apply(EdgeGATConv(8, 6, 4, 2), g, x, e)
+    assert out.shape == (20, 2, 4)
+
+
+def test_dense_convs():
+    rng = np.random.default_rng(0)
+    adj = jnp.asarray((rng.random((10, 10)) < 0.3).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(10, 8)), dtype=jnp.float32)
+    assert _init_apply(DenseGraphConv(8, 5), adj, x).shape == (10, 5)
+    assert _init_apply(DenseSAGEConv(8, 5), adj, x).shape == (10, 5)
+    assert _init_apply(DenseChebConv(8, 5, 3), adj, x).shape == (10, 5)
+
+
+def test_dense_graphconv_matches_sparse():
+    """DenseGraphConv(adj) == GraphConv(g) on the same graph."""
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 12, 40)
+    dst = rng.integers(0, 12, 40)
+    g = dgl.graph(
+        (np.concatenate([src, np.arange(12)]),
+         np.concatenate([dst, np.arange(12)])),
+        num_nodes=12,
+    )
+    g2 = dgl.to_simple(g)
+    x = jnp.asarray(rng.normal(size=(12, 6)), dtype=jnp.float32)
+    adj = np.zeros((12, 12), np.float32)
+    rel = g2._relation(None)
+    adj[np.asarray(rel.src), np.asarray(rel.dst)] = 1.0
+    # dense: rows=src, cols=dst; aggregate over in-edges => adj.T @ x
+    sparse_mod = GraphConv(6, 4, bias=False)
+    params = sparse_mod.init(jax.random.PRNGKey(5), g2, x)
+    out_sparse = sparse_mod.apply(params, g2, x)
+    dense_mod = DenseGraphConv(6, 4, bias=False)
+    w = params["params"]["weight"]
+    out_dense = dense_mod.apply(
+        {"params": {"weight": w}}, jnp.asarray(adj.T), x
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sparse), np.asarray(out_dense), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_hgt(g, x):
+    ntype = jnp.asarray(np.random.default_rng(5).integers(0, 2, 20))
+    etype = jnp.asarray(
+        np.random.default_rng(6).integers(0, 3, g.num_edges())
+    )
+    out = _init_apply(HGTConv(8, 4, 2, 2, 3), g, x, ntype, etype)
+    assert out.shape == (20, 8)
+
+
+def test_grouprevres(g):
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(20, 16)), dtype=jnp.float32
+    )
+    mod = GroupRevRes(lambda i: GraphConv(8, 8, name=f"gc{i}"), groups=2)
+    out = _init_apply(mod, g, x)
+    assert out.shape == (20, 16)

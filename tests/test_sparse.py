@@ -1,0 +1,145 @@
+"""dgl.sparse facade tests (mirrors reference tests/python/pytorch/sparse/)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgl_tpu import sparse as dglsp
+
+
+@pytest.fixture
+def A():
+    row = jnp.array([0, 0, 1, 2])
+    col = jnp.array([1, 2, 2, 0])
+    val = jnp.array([1.0, 2.0, 3.0, 4.0])
+    return dglsp.from_coo(row, col, val, (3, 3))
+
+
+def test_basic_props(A):
+    assert A.shape == (3, 3)
+    assert A.nnz == 4
+    d = np.asarray(A.to_dense())
+    expect = np.array([[0, 1, 2], [0, 0, 3], [4, 0, 0]], np.float32)
+    np.testing.assert_allclose(d, expect)
+
+
+def test_transpose(A):
+    d = np.asarray(A.T.to_dense())
+    np.testing.assert_allclose(d, np.asarray(A.to_dense()).T)
+
+
+def test_elementwise(A):
+    B = 2 * A
+    np.testing.assert_allclose(
+        np.asarray(B.to_dense()), 2 * np.asarray(A.to_dense())
+    )
+    C = A + A
+    np.testing.assert_allclose(
+        np.asarray(C.to_dense()), 2 * np.asarray(A.to_dense())
+    )
+
+
+def test_add_different_patterns(A):
+    B = dglsp.from_coo(
+        jnp.array([0, 1]), jnp.array([0, 2]), jnp.array([5.0, 7.0]), (3, 3)
+    )
+    C = A + B
+    np.testing.assert_allclose(
+        np.asarray(C.to_dense()),
+        np.asarray(A.to_dense()) + np.asarray(B.to_dense()),
+    )
+
+
+def test_spmm(A):
+    X = jnp.asarray(np.random.default_rng(0).normal(size=(3, 5)),
+                    dtype=jnp.float32)
+    out = dglsp.spmm(A, X)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(A.to_dense()) @ np.asarray(X), rtol=1e-5
+    )
+    out2 = A @ X
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5)
+
+
+def test_spspmm(A):
+    C = dglsp.spspmm(A, A)
+    np.testing.assert_allclose(
+        np.asarray(C.to_dense()),
+        np.asarray(A.to_dense()) @ np.asarray(A.to_dense()),
+        rtol=1e-5,
+    )
+
+
+def test_sddmm(A):
+    rng = np.random.default_rng(0)
+    X1 = jnp.asarray(rng.normal(size=(3, 4)), dtype=jnp.float32)
+    X2 = jnp.asarray(rng.normal(size=(4, 3)), dtype=jnp.float32)
+    out = dglsp.sddmm(A, X1, X2)
+    dense = np.asarray(X1) @ np.asarray(X2)
+    r, c = np.asarray(A.row), np.asarray(A.col)
+    np.testing.assert_allclose(
+        np.asarray(out.val), dense[r, c] * np.asarray(A.val), rtol=1e-5
+    )
+
+
+def test_softmax(A):
+    S = dglsp.softmax(A)
+    d = np.asarray(S.to_dense())
+    # each nonzero row sums to 1
+    row_sums = d.sum(axis=1)
+    np.testing.assert_allclose(row_sums, [1.0, 1.0, 1.0], rtol=1e-5)
+
+
+def test_reduce(A):
+    np.testing.assert_allclose(
+        np.asarray(A.sum(dim=1)), np.asarray(A.to_dense()).sum(1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(A.sum(dim=0)), np.asarray(A.to_dense()).sum(0), rtol=1e-6
+    )
+    assert float(A.sum()) == 10.0
+
+
+def test_diag_identity():
+    D = dglsp.diag(jnp.array([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(D.to_dense()), np.diag([1, 2, 3]))
+    I = dglsp.identity((3, 3))
+    np.testing.assert_allclose(np.asarray(I.to_dense()), np.eye(3))
+
+
+def test_coalesce():
+    A = dglsp.from_coo(
+        jnp.array([0, 0, 1]), jnp.array([1, 1, 2]),
+        jnp.array([1.0, 2.0, 3.0]), (2, 3),
+    )
+    assert A.has_duplicate()
+    B = A.coalesce()
+    assert B.nnz == 2 and not B.has_duplicate()
+    assert float(B.to_dense()[0, 1]) == 3.0
+
+
+def test_from_csr():
+    A = dglsp.from_csr(
+        jnp.array([0, 2, 3]), jnp.array([0, 1, 1]),
+        jnp.array([1.0, 2.0, 3.0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(A.to_dense()), [[1, 2], [0, 3]]
+    )
+
+
+def test_bspmm(A):
+    import dgl_tpu
+
+    rng = np.random.default_rng(0)
+    val = jnp.asarray(rng.normal(size=(4, 2)), dtype=jnp.float32)
+    Ah = dglsp.val_like(A, val)
+    X = jnp.asarray(rng.normal(size=(3, 5, 2)), dtype=jnp.float32)
+    out = dglsp.bspmm(Ah, X)
+    assert out.shape == (3, 5, 2)
+    for h in range(2):
+        dense = np.zeros((3, 3), np.float32)
+        dense[np.asarray(A.row), np.asarray(A.col)] = np.asarray(val[:, h])
+        np.testing.assert_allclose(
+            np.asarray(out[..., h]), dense @ np.asarray(X[..., h]),
+            rtol=1e-4, atol=1e-5,
+        )
