@@ -59,6 +59,7 @@ from . import sampling
 from . import data
 from . import sparse
 from . import geometry
+from . import distributed
 from . import dataloading
 from . import models
 from . import parallel

@@ -1,0 +1,46 @@
+"""Distributed training layer — SPMD replacement of DistDGL
+(reference ``python/dgl/distributed/``, ``src/rpc/``; SURVEY.md §5.8).
+
+The reference's server/client RPC architecture collapses into:
+
+- offline **partitioning** (``partition_graph``: METIS-style multilevel or
+  random, writing per-part shards + a partition book, mirroring
+  ``distributed/partition.py:817``);
+- **fixed-shape shards** with precomputed halo routing tables
+  (``build_shards``) so every part has identical static shapes;
+- **halo exchange** via one ``jax.lax.all_to_all`` over the ``gp`` mesh axis
+  inside ``shard_map`` (replacing remote sampling RPC + KVStore pulls);
+- **DistTensor / DistEmbedding** as mesh-sharded arrays;
+- gradient sync via XLA-inserted ``psum`` (replacing torch DDP).
+"""
+from .graph_partition_book import RangePartitionBook
+from .partition import (
+    metis_partition_assignment,
+    random_partition_assignment,
+    partition_graph,
+    load_partition,
+    load_partition_book,
+)
+from .shard import GraphShards, build_shards
+from .dist_spmm import dist_copy_u_sum, dist_spmm, halo_exchange
+from .dist_tensor import DistTensor, DistEmbedding
+from .dist_context import initialize, get_rank, get_world_size
+
+__all__ = [
+    "RangePartitionBook",
+    "metis_partition_assignment",
+    "random_partition_assignment",
+    "partition_graph",
+    "load_partition",
+    "load_partition_book",
+    "GraphShards",
+    "build_shards",
+    "dist_copy_u_sum",
+    "dist_spmm",
+    "halo_exchange",
+    "DistTensor",
+    "DistEmbedding",
+    "initialize",
+    "get_rank",
+    "get_world_size",
+]

@@ -1,0 +1,184 @@
+"""Distributed layer tests on the 8-virtual-device CPU mesh (the reference's
+localhost-cluster trick, SURVEY.md §4, adapted to SPMD)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu import ops
+from dgl_tpu.distributed import (
+    DistEmbedding,
+    DistTensor,
+    GraphShards,
+    RangePartitionBook,
+    build_shards,
+    dist_copy_u_sum,
+    dist_spmm,
+    load_partition,
+    load_partition_book,
+    metis_partition_assignment,
+    partition_graph,
+    random_partition_assignment,
+)
+from dgl_tpu.distributed.partition import edge_cut
+from dgl_tpu.parallel import create_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh((8,), ("gp",))
+
+
+@pytest.fixture(scope="module")
+def g():
+    rng = np.random.default_rng(0)
+    # clustered graph: mostly-local edges + some cross edges
+    n, k = 256, 8
+    blocks = rng.integers(0, k, n)
+    src, dst = [], []
+    for _ in range(2000):
+        b = rng.integers(0, k)
+        ids = np.nonzero(blocks == b)[0]
+        if rng.random() < 0.8 and ids.size >= 2:
+            u, v = rng.choice(ids, 2, replace=False)
+        else:
+            u, v = rng.integers(0, n, 2)
+        src.append(u)
+        dst.append(v)
+    return dgl.graph((np.array(src), np.array(dst)), num_nodes=n)
+
+
+def test_metis_assignment_quality(g):
+    parts = metis_partition_assignment(g, 8)
+    assert parts.shape == (256,)
+    assert set(np.unique(parts)) == set(range(8))
+    counts = np.bincount(parts, minlength=8)
+    assert counts.max() <= 1.35 * counts.mean(), f"unbalanced: {counts}"
+    rand_parts = random_partition_assignment(g, 8, seed=999)
+    assert edge_cut(g, parts) < edge_cut(g, rand_parts), (
+        f"metis cut {edge_cut(g, parts)} >= random {edge_cut(g, rand_parts)}"
+    )
+
+
+def test_partition_book():
+    book = RangePartitionBook(np.array([0, 10, 25, 40]), 3)
+    np.testing.assert_array_equal(
+        book.nid2partid([0, 9, 10, 24, 39]), [0, 0, 1, 1, 2]
+    )
+    np.testing.assert_array_equal(book.nid2localnid([10, 24], 1), [0, 14])
+    assert book.num_nodes() == 40
+    assert book.num_nodes(1) == 15
+
+
+def test_partition_graph_roundtrip(g, tmp_path):
+    out = str(tmp_path / "parts")
+    partition_graph(g, "toy", 4, out, part_method="metis")
+    book = load_partition_book(out)
+    assert book.num_partitions == 4
+    assert book.num_nodes() == g.num_nodes()
+    total_inner = 0
+    for p in range(4):
+        pg, bk = load_partition(out, p)
+        inner = np.asarray(pg.ndata["inner_node"])
+        total_inner += int(inner.sum())
+        assert bk.num_partitions == 4
+    assert total_inner == g.num_nodes()
+
+
+def test_dist_copy_u_sum_matches_local(g, mesh):
+    parts = metis_partition_assignment(g, 8)
+    shards = build_shards(g, parts, 8)
+    F = 16
+    rng = np.random.default_rng(1)
+    x_global = rng.normal(size=(g.num_nodes(), F)).astype(np.float32)
+    # single-device reference
+    expect = np.asarray(ops.copy_u_sum(g, jnp.asarray(x_global)))
+    # distributed
+    x_sh = shards.shard_features(x_global)
+    out_sh = dist_copy_u_sum(mesh, shards, x_sh)
+    got = np.asarray(shards.unshard(out_sh))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_copy_u_mean(g, mesh):
+    parts = random_partition_assignment(g, 8, seed=3)
+    shards = build_shards(g, parts, 8)
+    x_global = np.random.default_rng(2).normal(
+        size=(g.num_nodes(), 4)
+    ).astype(np.float32)
+    expect = np.asarray(ops.copy_u_mean(g, jnp.asarray(x_global)))
+    out_sh = dist_copy_u_sum(
+        mesh, shards, shards.shard_features(x_global), mean=True
+    )
+    got = np.asarray(shards.unshard(out_sh))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_edge_weights(g, mesh):
+    parts = metis_partition_assignment(g, 8)
+    shards = build_shards(g, parts, 8)
+    rng = np.random.default_rng(4)
+    x_global = rng.normal(size=(g.num_nodes(), 8)).astype(np.float32)
+    w_global = rng.normal(size=(g.num_edges(),)).astype(np.float32)
+    expect = np.asarray(
+        ops.u_mul_e_sum(g, jnp.asarray(x_global), jnp.asarray(w_global))
+    )
+    # re-order edge weights into shard layout
+    rel = g._relation(None)
+    src = np.asarray(rel.src)
+    dst = np.asarray(rel.dst)
+    dst_new = shards.new_of_old[dst]
+    dst_part = np.searchsorted(shards.ranges, dst_new, side="right") - 1
+    dst_loc = dst_new - shards.ranges[dst_part]
+    ev = np.zeros((8, shards.e_max), np.float32)
+    fill = np.zeros(8, np.int64)
+    for p in range(8):
+        sel = np.nonzero(dst_part == p)[0]
+        o = np.argsort(dst_loc[sel], kind="stable")
+        ev[p, : sel.shape[0]] = w_global[sel[o]]
+    out_sh = dist_spmm(mesh, shards, shards.shard_features(x_global),
+                       edge_vals=jnp.asarray(ev))
+    got = np.asarray(shards.unshard(out_sh))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_dist_spmm_under_jit_and_grad(g, mesh):
+    """The halo-exchange SpMM must be differentiable under jit (training)."""
+    parts = metis_partition_assignment(g, 8)
+    shards = build_shards(g, parts, 8)
+    x_global = np.random.default_rng(5).normal(
+        size=(g.num_nodes(), 4)
+    ).astype(np.float32)
+    x_sh = shards.shard_features(x_global)
+
+    @jax.jit
+    def loss(x):
+        return (dist_copy_u_sum(mesh, shards, x) ** 2).sum()
+
+    gval = jax.grad(loss)(x_sh)
+    assert gval.shape == x_sh.shape
+    assert np.isfinite(np.asarray(gval)).all()
+    # compare against the single-device gradient
+    def loss_ref(x):
+        return (ops.copy_u_sum(g, x) ** 2).sum()
+
+    gref = np.asarray(jax.grad(loss_ref)(jnp.asarray(x_global)))
+    got = np.asarray(shards.unshard(gval))
+    np.testing.assert_allclose(got, gref, rtol=1e-3, atol=1e-3)
+
+
+def test_dist_tensor(mesh):
+    dt = DistTensor((100, 8), mesh=mesh, axis="gp")
+    assert dt.shape == (100, 8)
+    rows = dt[jnp.asarray([0, 50, 99])]
+    assert rows.shape == (3, 8)
+    dt[0] = jnp.ones(8)
+    np.testing.assert_allclose(np.asarray(dt[0]), 1.0)
+
+
+def test_dist_embedding(mesh):
+    emb = DistEmbedding(64, 16, mesh=mesh, axis="gp")
+    out = emb(jnp.asarray([1, 2, 63]))
+    assert out.shape == (3, 16)
+    assert np.isfinite(np.asarray(out)).all()
