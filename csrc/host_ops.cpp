@@ -1,0 +1,213 @@
+// dgl_tpu host-side native ops.
+//
+// TPU-native equivalents of the reference's C++ hot loops that stay on the
+// host in this architecture (device kernels are XLA/Pallas; these feed them
+// fixed-shape arrays):
+//   - coo_to_csr: graph construction sort (reference src/array/cpu/coo_sort.cc)
+//   - sample_neighbors_fixed: per-seed rowwise pick, OpenMP-parallel
+//     (reference src/array/cpu/rowwise_pick.h:27-50,
+//      graphbolt/src/fused_csc_sampling_graph.cc:779)
+//   - unique_and_compact: id relabeling hashmap
+//     (reference src/array/cpu/concurrent_id_hash_map.cc,
+//      graphbolt/src/unique_and_compact.cc)
+//   - random_walk: metapath-free uniform walks
+//     (reference src/graph/sampling/randomwalks/)
+//
+// C ABI, consumed via ctypes (no pybind11 in the image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Stable counting-sort COO -> CSR. indptr: (num_rows+1), order: (E,)
+// (positions of edges sorted by row, stable).
+void coo_to_csr(const int64_t* rows, int64_t num_edges, int64_t num_rows,
+                int64_t* indptr, int64_t* order) {
+  std::vector<int64_t> counts(num_rows + 2, 0);
+  for (int64_t e = 0; e < num_edges; ++e) counts[rows[e] + 1]++;
+  for (int64_t r = 0; r < num_rows + 1; ++r) counts[r + 1] += counts[r];
+  std::memcpy(indptr, counts.data(), sizeof(int64_t) * (num_rows + 1));
+  std::vector<int64_t> cursor(counts.begin(), counts.begin() + num_rows + 1);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    order[cursor[rows[e]]++] = e;
+  }
+}
+
+// Fixed-shape neighbor sampling over CSC/CSR. Outputs (num_seeds, fanout)
+// neighbor ids, edge ids and a 0/1 mask. Per-seed deterministic PCG-style
+// seeding: seed ^ hash(seed_node) so results are reproducible and
+// parallelism-invariant (reference RandomEngine semantics).
+void sample_neighbors_fixed(const int64_t* indptr, const int64_t* indices,
+                            const int64_t* eids, const int64_t* seeds,
+                            int64_t num_seeds, int64_t fanout, int replace,
+                            uint64_t seed, int64_t* out_nbr, int64_t* out_eid,
+                            uint8_t* out_mask) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t s = seeds[i];
+    const int64_t lo = indptr[s], hi = indptr[s + 1];
+    const int64_t deg = hi - lo;
+    int64_t* nbr = out_nbr + i * fanout;
+    int64_t* eid = out_eid + i * fanout;
+    uint8_t* msk = out_mask + i * fanout;
+    std::fill(nbr, nbr + fanout, 0);
+    std::fill(eid, eid + fanout, 0);
+    std::fill(msk, msk + fanout, 0);
+    if (deg == 0) continue;
+    std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(s + 1)));
+    if (deg <= fanout && !replace) {
+      for (int64_t j = 0; j < deg; ++j) {
+        nbr[j] = indices[lo + j];
+        eid[j] = eids ? eids[lo + j] : lo + j;
+        msk[j] = 1;
+      }
+    } else if (replace) {
+      for (int64_t j = 0; j < fanout; ++j) {
+        int64_t k = (int64_t)(rng() % (uint64_t)deg);
+        nbr[j] = indices[lo + k];
+        eid[j] = eids ? eids[lo + k] : lo + k;
+        msk[j] = 1;
+      }
+    } else {
+      // partial Fisher-Yates over a scratch index array
+      std::vector<int64_t> idx(deg);
+      for (int64_t j = 0; j < deg; ++j) idx[j] = j;
+      for (int64_t j = 0; j < fanout; ++j) {
+        int64_t k = j + (int64_t)(rng() % (uint64_t)(deg - j));
+        std::swap(idx[j], idx[k]);
+        nbr[j] = indices[lo + idx[j]];
+        eid[j] = eids ? eids[lo + idx[j]] : lo + idx[j];
+        msk[j] = 1;
+      }
+    }
+  }
+}
+
+// unique + relabel: ids (n,) -> out_unique gets unique ids in order of first
+// appearance (seeds first if they prefix the array); out_relabel (n,) maps
+// each input to its position in out_unique. Returns unique count.
+int64_t unique_and_compact(const int64_t* ids, int64_t n, int64_t* out_unique,
+                           int64_t* out_relabel) {
+  std::unordered_map<int64_t, int64_t> map;
+  map.reserve((size_t)n * 2);
+  int64_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    auto it = map.find(ids[i]);
+    if (it == map.end()) {
+      map.emplace(ids[i], next);
+      out_unique[next] = ids[i];
+      out_relabel[i] = next;
+      ++next;
+    } else {
+      out_relabel[i] = it->second;
+    }
+  }
+  return next;
+}
+
+// Uniform random walks over CSR. traces: (num_seeds, length+1), -1 padded.
+void random_walk_uniform(const int64_t* indptr, const int64_t* indices,
+                         const int64_t* seeds, int64_t num_seeds,
+                         int64_t length, uint64_t seed, int64_t* traces) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(i + 1)));
+    int64_t* row = traces + i * (length + 1);
+    int64_t cur = seeds[i];
+    row[0] = cur;
+    int64_t step = 1;
+    for (; step <= length; ++step) {
+      const int64_t lo = indptr[cur], hi = indptr[cur + 1];
+      const int64_t deg = hi - lo;
+      if (deg == 0) break;
+      cur = indices[lo + (int64_t)(rng() % (uint64_t)deg)];
+      row[step] = cur;
+    }
+    for (; step <= length; ++step) row[step] = -1;
+  }
+}
+
+// In-degree-bounded padded block build: one layer of the fixed-shape MFG
+// sampler fused in native code (sampling + dedup + relabel in one pass).
+// seeds: (cap_dst,) with -1 padding; outputs sized as in the Python
+// reference implementation (dataloading/neighbor_sampler.py).
+void build_padded_block(const int64_t* indptr, const int64_t* indices,
+                        const int64_t* eids, const int64_t* seed_ids,
+                        int64_t cap_dst, int64_t fanout, int replace,
+                        uint64_t seed,
+                        int64_t* src_ids,    // (cap_src,) init to -1 by caller
+                        int64_t* esrc,       // (Ecap,)
+                        int64_t* edst,       // (Ecap,)
+                        int64_t* eids_out,   // (Ecap,)
+                        uint8_t* emask) {    // (Ecap,)
+  const int64_t cap_src = cap_dst * (1 + fanout);
+  const int64_t Ecap = cap_dst * fanout;
+  const int64_t sink = cap_dst - 1;
+  std::unordered_map<int64_t, int64_t> lookup;
+  lookup.reserve((size_t)cap_src * 2);
+  for (int64_t i = 0; i < cap_dst; ++i) {
+    src_ids[i] = seed_ids[i];
+    if (seed_ids[i] >= 0 && !lookup.count(seed_ids[i]))
+      lookup.emplace(seed_ids[i], i);
+  }
+  for (int64_t e = 0; e < Ecap; ++e) {
+    esrc[e] = sink;
+    edst[e] = sink;
+    eids_out[e] = 0;
+    emask[e] = 0;
+  }
+  int64_t next = cap_dst;
+  for (int64_t slot = 0; slot < cap_dst; ++slot) {
+    const int64_t s = seed_ids[slot];
+    if (s < 0) continue;
+    const int64_t lo = indptr[s], hi = indptr[s + 1];
+    const int64_t deg = hi - lo;
+    if (deg == 0) continue;
+    std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(s + 1)));
+    int64_t take = (deg <= fanout && !replace) ? deg : fanout;
+    std::vector<int64_t> pick(take);
+    if (deg <= fanout && !replace) {
+      for (int64_t j = 0; j < take; ++j) pick[j] = j;
+    } else if (replace) {
+      for (int64_t j = 0; j < take; ++j)
+        pick[j] = (int64_t)(rng() % (uint64_t)deg);
+    } else {
+      std::vector<int64_t> idx(deg);
+      for (int64_t j = 0; j < deg; ++j) idx[j] = j;
+      for (int64_t j = 0; j < take; ++j) {
+        int64_t k = j + (int64_t)(rng() % (uint64_t)(deg - j));
+        std::swap(idx[j], idx[k]);
+        pick[j] = idx[j];
+      }
+    }
+    for (int64_t j = 0; j < take; ++j) {
+      const int64_t u = indices[lo + pick[j]];
+      auto it = lookup.find(u);
+      int64_t loc;
+      if (it == lookup.end()) {
+        loc = next;
+        lookup.emplace(u, next);
+        src_ids[next] = u;
+        ++next;
+      } else {
+        loc = it->second;
+      }
+      const int64_t pos = slot * fanout + j;
+      esrc[pos] = loc;
+      edst[pos] = slot;
+      eids_out[pos] = eids ? eids[lo + pick[j]] : lo + pick[j];
+      emask[pos] = 1;
+    }
+  }
+}
+
+}  // extern "C"

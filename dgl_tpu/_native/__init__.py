@@ -1,0 +1,159 @@
+"""ctypes bindings for the native host library (csrc/host_ops.cpp).
+
+Replaces the reference's FFI bridge (``python/dgl/_ffi/``) with a minimal
+ctypes layer — the only C++ surface left in this architecture is the host
+sampler/builder hot loops (device kernels are XLA/Pallas). Auto-builds from
+source on first import when a toolchain exists; every entry point has a
+pure-numpy fallback so the package works without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libdgl_tpu_host.so")
+_SRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc"))
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_SRC, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on demand; None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("DGL_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) and os.path.isdir(_SRC):
+        _build()
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.coo_to_csr.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    lib.sample_neighbors_fixed.argtypes = [
+        i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_uint64, i64p, i64p, u8p,
+    ]
+    lib.unique_and_compact.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
+    lib.unique_and_compact.restype = ctypes.c_int64
+    lib.random_walk_uniform.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p,
+    ]
+    lib.build_padded_block.argtypes = [
+        i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_uint64, i64p, i64p, i64p, i64p, u8p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# -- wrappers ---------------------------------------------------------------
+
+
+def coo_to_csr(rows: np.ndarray, num_rows: int):
+    """Returns (indptr, order) or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    E = rows.shape[0]
+    indptr = np.empty(num_rows + 1, np.int64)
+    order = np.empty(E, np.int64)
+    lib.coo_to_csr(rows, E, num_rows, indptr, order)
+    return indptr, order
+
+
+def sample_neighbors_fixed(indptr, indices, eids, seeds, fanout, replace, seed):
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    eids = np.ascontiguousarray(eids, np.int64)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    n = seeds.shape[0]
+    nbr = np.empty((n, fanout), np.int64)
+    eid = np.empty((n, fanout), np.int64)
+    mask = np.empty((n, fanout), np.uint8)
+    lib.sample_neighbors_fixed(
+        indptr, indices, eids, seeds, n, fanout, int(replace),
+        np.uint64(seed).item(), nbr.reshape(-1), eid.reshape(-1),
+        mask.reshape(-1),
+    )
+    return nbr, eid, mask.astype(bool)
+
+
+def unique_and_compact(ids):
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, np.int64)
+    uniq = np.empty_like(ids)
+    relabel = np.empty_like(ids)
+    k = lib.unique_and_compact(ids, ids.shape[0], uniq, relabel)
+    return uniq[:k], relabel
+
+
+def random_walk_uniform(indptr, indices, seeds, length, seed):
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    traces = np.empty((seeds.shape[0], length + 1), np.int64)
+    lib.random_walk_uniform(
+        indptr, indices, seeds, seeds.shape[0], length,
+        np.uint64(seed).item(), traces.reshape(-1),
+    )
+    return traces
+
+
+def build_padded_block(indptr, indices, eids, seed_ids, fanout, replace, seed):
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    eids = np.ascontiguousarray(eids, np.int64)
+    seed_ids = np.ascontiguousarray(seed_ids, np.int64)
+    cap_dst = seed_ids.shape[0]
+    cap_src = cap_dst * (1 + fanout)
+    Ecap = cap_dst * fanout
+    src_ids = np.full(cap_src, -1, np.int64)
+    esrc = np.empty(Ecap, np.int64)
+    edst = np.empty(Ecap, np.int64)
+    eids_out = np.empty(Ecap, np.int64)
+    emask = np.empty(Ecap, np.uint8)
+    lib.build_padded_block(
+        indptr, indices, eids, seed_ids, cap_dst, fanout, int(replace),
+        np.uint64(seed).item(), src_ids, esrc, edst, eids_out, emask,
+    )
+    return src_ids, esrc, edst, eids_out, emask.astype(bool)

@@ -136,6 +136,23 @@ def _build_padded_block(
     sink_dst = cap_dst - 1
     sink_src = sink_dst  # dst-first layout: same slot index in src space
 
+    # fused native path: sample + dedup + relabel in one C++ pass
+    if prob is None:
+        from .. import _native
+
+        res = _native.build_padded_block(
+            np.asarray(g._relation(None).csc_indptr),
+            np.asarray(g._relation(None).csc_indices),
+            np.asarray(g._relation(None).csc_eids),
+            seed_ids, fanout, replace, int(rng.integers(2**63)),
+        )
+        if res is not None:
+            src_ids, esrc_n, edst_n, eids_n, emask_n = res
+            return _finalize_block(
+                g, seed_ids, cap_dst, cap_src, src_ids,
+                esrc_n, edst_n, eids_n, emask_n,
+            ), src_ids
+
     real = seed_ids >= 0
     real_seeds = seed_ids[real]
     nbr, eid, mask = sample_neighbors_fixed(
@@ -175,6 +192,17 @@ def _build_padded_block(
             edst[pos] = slot
             eids_out[pos] = eid[r, j]
             emask[pos] = True
+    return _finalize_block(
+        g, seed_ids, cap_dst, cap_src, src_ids, esrc, edst, eids_out, emask
+    ), src_ids
+
+
+def _finalize_block(g, seed_ids, cap_dst, cap_src, src_ids, esrc, edst,
+                    eids_out, emask):
+    from .. import convert
+    import jax.numpy as jnp
+
+    Ecap = cap_dst * (cap_src // cap_dst - 1)
     block = convert.create_block(
         {("_N", "_E", "_N"): (esrc, edst)},
         num_src_nodes={"_N": cap_src},
@@ -186,8 +214,6 @@ def _build_padded_block(
     brel = block._relations[("_N", "_E", "_N")]
     brel.max_in_degree = Ecap
     brel.max_out_degree = Ecap
-    import jax.numpy as jnp
-
     block._node_frames.setdefault("_N", {})[NID] = jnp.asarray(
         np.where(src_ids >= 0, src_ids, 0)
     )
@@ -199,7 +225,7 @@ def _build_padded_block(
     cet = block.canonical_etypes[0]
     block._edge_frames.setdefault(cet, {})[EID] = jnp.asarray(eids_out)
     block._edge_frames[cet]["_mask"] = jnp.asarray(emask)
-    return block, src_ids
+    return block
 
 
 class FixedShapeNeighborSampler(BlockSampler):

@@ -166,7 +166,19 @@ class Relation:
 
         def build_index(major, nrows):
             # Sort edges by `major` (stable, so ties keep eid order like the
-            # reference's stable COO sort).
+            # reference's stable COO sort). Native counting sort when built
+            # (csrc/host_ops.cpp coo_to_csr); numpy fallback otherwise.
+            from . import _native
+
+            res = _native.coo_to_csr(major, nrows + 1)  # +1: padding row
+            if res is not None:
+                indptr64, order64 = res
+                order = order64.astype(np_id)
+                return (
+                    indptr64[: nrows + 1].astype(np_id),
+                    order,
+                    major[order],
+                )
             order = np.argsort(major, kind="stable").astype(np_id)
             sorted_major = major[order]
             indptr = np.zeros(nrows + 2, dtype=np_id)

@@ -165,6 +165,16 @@ def sample_neighbors_fixed(
         indptr, indices, eids = (
             _np(rel.csr_indptr), _np(rel.csr_indices), _np(rel.csr_eids)
         )
+    if prob is None:
+        # native OpenMP rowwise pick (csrc/host_ops.cpp); numpy fallback below
+        from .. import _native
+
+        res = _native.sample_neighbors_fixed(
+            indptr, indices, eids, seeds, fanout, replace,
+            rng.integers(2**63),
+        )
+        if res is not None:
+            return res
     n = seeds.shape[0]
     nbr = np.zeros((n, fanout), dtype=np.int64)
     eid = np.zeros((n, fanout), dtype=np.int64)

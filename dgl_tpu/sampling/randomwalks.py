@@ -40,6 +40,27 @@ def random_walk(
     """
     rng = np.random.default_rng(seed)
     nodes = np.atleast_1d(_np(nodes)).astype(np.int64)
+    # native fast path: homogeneous uniform walks without restart/prob
+    if (
+        metapath is None
+        and length is not None
+        and prob is None
+        and restart_prob is None
+        and not return_eids
+        and len(g.canonical_etypes) == 1
+    ):
+        from .. import _native
+
+        rel = g._relation(None)
+        res = _native.random_walk_uniform(
+            _np(rel.csr_indptr), _np(rel.csr_indices), nodes, length,
+            np.random.default_rng(seed).integers(2**63),
+        )
+        if res is not None:
+            ntype_ids = {nt: i for i, nt in enumerate(g.ntypes)}
+            types = np.zeros(length + 1, dtype=np.int64)
+            return res, types
+
     if metapath is None:
         if len(g.canonical_etypes) > 1:
             raise DGLError("metapath required for heterographs")
