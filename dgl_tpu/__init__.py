@@ -60,7 +60,20 @@ from . import data
 from . import sparse
 from . import geometry
 from . import distributed
+from . import mpops
+from . import random_mod as random
+from .random_mod import seed
+from .homophily import (
+    node_homophily,
+    edge_homophily,
+    linkx_homophily,
+    adjusted_homophily,
+    edge_label_informativeness,
+    node_label_informativeness,
+)
+from .merge import merge
 from . import dataloading
+from . import graphbolt
 from . import models
 from . import parallel
 from .data.serialize import save_graphs, load_graphs

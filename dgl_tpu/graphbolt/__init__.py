@@ -1,0 +1,53 @@
+"""GraphBolt-shaped data pipeline (reference ``python/dgl/graphbolt/`` +
+``graphbolt/`` C++).
+
+Composable stages over a unified ``MiniBatch``: ``ItemSet``/``ItemSampler``
+-> ``NeighborSampler`` (fixed-shape MFGs) -> ``FeatureFetcher`` (pluggable
+``FeatureStore`` with cache policies / disk-backed npy) -> ``CopyTo``.
+The reference's torchdata DataPipes become a plain generator chain driven by
+``DataLoader`` with a background prefetch thread.
+"""
+from .itemset import ItemSet, ItemSetDict
+from .item_sampler import ItemSampler
+from .minibatch import MiniBatch
+from .feature_store import (
+    Feature,
+    FeatureStore,
+    NumpyFeature,
+    DiskBasedFeature,
+    CachedFeature,
+    cache_policies,
+)
+from .impl.cache_policy import (
+    CachePolicy,
+    LRUPolicy,
+    ClockPolicy,
+    SievePolicy,
+    S3FifoPolicy,
+)
+from .neighbor_sampler_gb import NeighborSamplerStage, FeatureFetcher, CopyTo
+from .dataloader import DataLoader
+from .ondisk_dataset import OnDiskDataset
+
+__all__ = [
+    "ItemSet",
+    "ItemSetDict",
+    "ItemSampler",
+    "MiniBatch",
+    "Feature",
+    "FeatureStore",
+    "NumpyFeature",
+    "DiskBasedFeature",
+    "CachedFeature",
+    "cache_policies",
+    "CachePolicy",
+    "LRUPolicy",
+    "ClockPolicy",
+    "SievePolicy",
+    "S3FifoPolicy",
+    "NeighborSamplerStage",
+    "FeatureFetcher",
+    "CopyTo",
+    "DataLoader",
+    "OnDiskDataset",
+]

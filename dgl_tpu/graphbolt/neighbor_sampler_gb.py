@@ -1,0 +1,107 @@
+"""Pipeline stages (reference ``python/dgl/graphbolt/impl/neighbor_sampler.py``,
+``feature_fetcher.py:49``, ``copy_to.py``): each stage maps an iterator of
+MiniBatches to an iterator of MiniBatches."""
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..base import NID
+from .minibatch import MiniBatch
+
+__all__ = ["NeighborSamplerStage", "FeatureFetcher", "CopyTo"]
+
+
+class _Stage:
+    def __init__(self, source: Iterable[MiniBatch]):
+        self.source = source
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[MiniBatch]:
+        for mb in self.source:
+            yield self._apply(mb)
+
+    def __len__(self):
+        return len(self.source)
+
+
+class NeighborSamplerStage(_Stage):
+    """Attach fixed-shape MFG blocks for the seed nodes (reference
+    ``impl/neighbor_sampler.py:640`` over FusedCSCSamplingGraph; here the
+    native fixed-shape sampler)."""
+
+    def __init__(self, source, graph, fanouts: Sequence[int],
+                 batch_size: int, replace: bool = False, prob=None,
+                 seed: Optional[int] = None):
+        super().__init__(source)
+        from ..dataloading import FixedShapeNeighborSampler
+
+        self.graph = graph
+        self.sampler = FixedShapeNeighborSampler(
+            list(fanouts), batch_size=batch_size, replace=replace,
+            prob=prob, seed=seed,
+        )
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        input_nodes, output_nodes, blocks = self.sampler.sample_blocks(
+            self.graph, np.asarray(mb.seeds)
+        )
+        mb.blocks = blocks
+        mb.input_nodes = np.asarray(blocks[0].srcdata[NID])
+        return mb
+
+
+class FeatureFetcher(_Stage):
+    """Gather features for input nodes (reference ``feature_fetcher.py:49``)."""
+
+    def __init__(self, source, feature_store, node_feature_keys: Sequence[str],
+                 domain: str = "node", type_name: str = "_N"):
+        super().__init__(source)
+        self.store = feature_store
+        self.keys = list(node_feature_keys)
+        self.domain = domain
+        self.type_name = type_name
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        ids = mb.input_nodes if mb.input_nodes is not None else mb.seeds
+        for k in self.keys:
+            mb.node_features[k] = self.store.read(
+                self.domain, self.type_name, k, ids
+            )
+        return mb
+
+
+class CopyTo(_Stage):
+    """Move arrays to device (reference ``copy_to.py``); on TPU this is the
+    host->HBM transfer point, double-buffered by the DataLoader's prefetch."""
+
+    def __init__(self, source, device=None):
+        super().__init__(source)
+        self.device = device
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        import jax
+        import jax.numpy as jnp
+
+        def put(x):
+            if x is None:
+                return None
+            arr = jnp.asarray(x)
+            return (
+                jax.device_put(arr, self.device) if self.device is not None else arr
+            )
+
+        mb.seeds = put(mb.seeds)
+        mb.labels = put(mb.labels)
+        mb.node_features = {k: put(v) for k, v in mb.node_features.items()}
+        if mb.blocks is not None:
+            mb.blocks = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.device)
+                if self.device is not None
+                else x,
+                mb.blocks,
+            )
+        return mb

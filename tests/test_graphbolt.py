@@ -1,0 +1,110 @@
+"""GraphBolt pipeline tests (mirrors reference tests/python/pytorch/graphbolt/)."""
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu import graphbolt as gb
+
+
+@pytest.fixture
+def g():
+    rng = np.random.default_rng(0)
+    return dgl.graph(
+        (rng.integers(0, 100, 1000), rng.integers(0, 100, 1000)),
+        num_nodes=100,
+    )
+
+
+def test_itemset():
+    s = gb.ItemSet(np.arange(10), names="seeds")
+    assert len(s) == 10
+    assert s[3] == 3
+    pair = gb.ItemSet((np.arange(10), np.arange(10) * 2),
+                      names=("seeds", "labels"))
+    a, b = pair[np.array([1, 2])]
+    np.testing.assert_array_equal(b, [2, 4])
+
+
+def test_item_sampler():
+    s = gb.ItemSet((np.arange(25), np.arange(25) % 3),
+                   names=("seeds", "labels"))
+    batches = list(gb.ItemSampler(s, batch_size=10, shuffle=True, seed=0))
+    assert len(batches) == 3
+    seen = np.sort(np.concatenate([np.asarray(b.seeds) for b in batches]))
+    np.testing.assert_array_equal(seen, np.arange(25))
+    assert batches[0].labels is not None
+
+
+@pytest.mark.parametrize("policy", ["lru", "clock", "sieve", "s3-fifo"])
+def test_cache_policies(policy):
+    rng = np.random.default_rng(0)
+    base = gb.NumpyFeature(rng.normal(size=(100, 4)).astype(np.float32))
+    cached = gb.CachedFeature(base, capacity=16, policy=policy)
+    # skewed access: hot set of 8 keys + uniform noise
+    hot = rng.integers(0, 8, 400)
+    noise = rng.integers(0, 100, 100)
+    ids = np.concatenate([hot, noise])
+    rng.shuffle(ids)
+    out = cached.read(ids)
+    np.testing.assert_allclose(out, base.read(ids))
+    assert cached.hit_rate > 0.3, f"{policy} hit rate {cached.hit_rate}"
+
+
+def test_disk_feature(tmp_path):
+    arr = np.random.default_rng(0).normal(size=(50, 8)).astype(np.float32)
+    p = str(tmp_path / "feat.npy")
+    np.save(p, arr)
+    f = gb.DiskBasedFeature(p)
+    np.testing.assert_allclose(f.read([3, 7]), arr[[3, 7]])
+    assert f.count() == 50 and f.size() == (8,)
+
+
+def test_feature_store():
+    store = gb.FeatureStore({("node", "_N", "feat"): np.ones((10, 3))})
+    out = store.read("node", "_N", "feat", [0, 2])
+    assert out.shape == (2, 3)
+
+
+def test_full_pipeline(g):
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(100, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, 100)
+    store = gb.FeatureStore({("node", "_N", "feat"): feats})
+    itemset = gb.ItemSet(
+        (np.arange(60), labels[:60]), names=("seeds", "labels")
+    )
+    dp = gb.ItemSampler(itemset, batch_size=16, shuffle=True, seed=0)
+    dp = gb.NeighborSamplerStage(dp, g, [3, 3], batch_size=16, seed=0)
+    dp = gb.FeatureFetcher(dp, store, ["feat"])
+    dp = gb.CopyTo(dp)
+    loader = gb.DataLoader(dp)
+    n = 0
+    for mb in loader:
+        n += 1
+        assert mb.blocks is not None and len(mb.blocks) == 2
+        assert "feat" in mb.node_features
+        assert mb.node_features["feat"].shape[0] == mb.input_nodes.shape[0]
+    assert n == 4
+
+
+def test_ondisk_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 50, 400)
+    feats = rng.normal(size=(50, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, 50)
+    ds = gb.OnDiskDataset.write(
+        str(tmp_path / "ds"), name="toy", src=src, dst=dst, num_nodes=50,
+        features={"feat": feats}, labels=labels,
+        train_ids=np.arange(30), test_ids=np.arange(30, 50),
+    )
+    assert ds.dataset_name == "toy"
+    assert ds.graph.num_nodes() == 50
+    out = ds.feature.read("node", "_N", "feat", [1, 2])
+    np.testing.assert_allclose(out, feats[[1, 2]])
+    assert len(ds.train_set) == 30
+    assert len(ds.test_set) == 20
+    assert ds.validation_set is None
+    # reload from disk
+    ds2 = gb.OnDiskDataset(str(tmp_path / "ds"))
+    assert ds2.graph.num_edges() == 400
