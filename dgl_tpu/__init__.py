@@ -72,6 +72,11 @@ from .homophily import (
     node_label_informativeness,
 )
 from .merge import merge
+from . import utils
+from . import checkpoint
+from .checkpoint import save_checkpoint, load_checkpoint
+from .config import config, get_config
+from .logging_mod import get_logger, enable_verbose_logging
 from . import dataloading
 from . import graphbolt
 from . import models
