@@ -225,23 +225,33 @@ def update_all_(g: Graph, message_func, reduce_func, apply_node_func=None, etype
 
 
 def apply_edges_(g: Graph, func, edges=ALL, etype=None):
-    """``DGLGraph.apply_edges`` (reference ``heterograph.py:4597``)."""
-    if not is_all(edges):
-        raise NotImplementedError(
-            "apply_edges on an edge subset is not supported; use edge masks"
-        )
+    """``DGLGraph.apply_edges`` (reference ``heterograph.py:4597``).
+
+    Subset semantics use the fixed-shape strategy: compute over ALL edges
+    (one fused kernel) and scatter the requested rows into the frame.
+    """
     cet = g.to_canonical_etype(etype)
     if isinstance(func, MessageFunction):
         edata = invoke_gsddmm(g, cet, func)
     else:
         edata = invoke_edge_udf(g, cet, func)
-    _edge_frame(g, cet).update(edata)
-    return edata
+    frame = _edge_frame(g, cet)
+    if is_all(edges):
+        frame.update(edata)
+        return edata
+    eids = jnp.asarray(np.atleast_1d(np.asarray(edges)))
+    for k, val in edata.items():
+        if k in frame and frame[k].shape == val.shape:
+            frame[k] = frame[k].at[eids].set(val[eids])
+        else:
+            base = jnp.zeros_like(val)
+            frame[k] = base.at[eids].set(val[eids])
+    return {k: v[eids] for k, v in edata.items()}
 
 
 def apply_nodes(g: Graph, func, v=ALL, ntype=None):
-    if not is_all(v):
-        raise NotImplementedError("apply_nodes on a node subset is not supported")
+    """``DGLGraph.apply_nodes`` (reference ``heterograph.py:4495``); node
+    subsets computed full-width then scattered (fixed-shape strategy)."""
     if ntype is None:
         if len(g.ntypes) != 1:
             raise DGLError("ntype required for graphs with multiple node types")
@@ -252,8 +262,16 @@ def apply_nodes(g: Graph, func, v=ALL, ntype=None):
         if g.is_block
         else g._node_frames.setdefault(ntype, {})
     )
-    frame.update(ndata)
-    return ndata
+    if is_all(v):
+        frame.update(ndata)
+        return ndata
+    vids = jnp.asarray(np.atleast_1d(np.asarray(v)))
+    for k, val in ndata.items():
+        if k in frame and frame[k].shape == val.shape:
+            frame[k] = frame[k].at[vids].set(val[vids])
+        else:
+            frame[k] = jnp.zeros_like(val).at[vids].set(val[vids])
+    return {k: val[vids] for k, val in ndata.items()}
 
 
 def multi_update_all_(g: Graph, etype_dict, cross_reducer, apply_node_func=None):

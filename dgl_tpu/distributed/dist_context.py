@@ -29,6 +29,11 @@ def initialize(
     global _initialized
     if _initialized:
         return
+    # tools/launch.py env plumbing (reference: DGL_ROLE/DGL_IP_CONFIG)
+    if coordinator_address is None and "DGL_TPU_COORDINATOR" in os.environ:
+        coordinator_address = os.environ["DGL_TPU_COORDINATOR"]
+        num_processes = int(os.environ.get("DGL_TPU_NUM_PROCS", "1"))
+        process_id = int(os.environ.get("DGL_TPU_PROC_ID", "0"))
     if coordinator_address is not None:
         import jax
 

@@ -36,6 +36,10 @@ __all__ = [
     "random_walk_pe",
     "lap_pe",
     "shortest_dist",
+    "reorder_graph",
+    "ppr",
+    "heat_kernel",
+    "sign_diffusion",
 ]
 
 
@@ -648,3 +652,144 @@ def shortest_dist(g: Graph, root=None, return_paths: bool = False):
     dmat = shortest_path(adj, method="D", unweighted=True, indices=root)
     dmat = np.where(np.isinf(dmat), -1, dmat).astype(np.int64)
     return jnp.asarray(dmat)
+
+
+def reorder_graph(g: Graph, node_permute_algo: str = "rcmk",
+                  edge_permute_algo: str = "src", store_ids: bool = True,
+                  permute_config=None) -> Graph:
+    """Relabel nodes for locality (reference ``functional.py``
+    ``reorder_graph``): 'rcmk' (reverse Cuthill-McKee), 'metis'
+    (partition-major order via the native partitioner), or 'custom'
+    (permute_config['nodes_perm'])."""
+    import scipy.sparse as sp
+
+    n = g.num_nodes()
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    if node_permute_algo == "rcmk":
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        adj = sp.csr_matrix((np.ones(src.size), (src, dst)), shape=(n, n))
+        perm = np.asarray(reverse_cuthill_mckee(adj + adj.T))
+    elif node_permute_algo == "metis":
+        from ..distributed.partition import metis_partition_assignment
+
+        k = (permute_config or {}).get("k", 8)
+        parts = metis_partition_assignment(g, k)
+        perm = np.argsort(parts, kind="stable")
+    elif node_permute_algo == "custom":
+        perm = _np((permute_config or {})["nodes_perm"])
+    else:
+        raise DGLError(f"Unknown node_permute_algo {node_permute_algo!r}")
+    new_of_old = np.empty(n, dtype=np.int64)
+    new_of_old[perm] = np.arange(n)
+    new_src = new_of_old[src]
+    new_dst = new_of_old[dst]
+    out = _rebuild(g, g.to_canonical_etype(None), new_src, new_dst,
+                   edge_map=np.arange(rel.num_edges, dtype=np.int64))
+    # permute node features into the new order
+    for nt, f in list(out._node_frames.items()):
+        out._node_frames[nt] = {k: jnp.asarray(_np(v)[perm]) for k, v in f.items()}
+    if store_ids:
+        out._node_frames.setdefault(g.ntypes[0], {})[NID] = jnp.asarray(perm)
+        out._edge_frames.setdefault(g.to_canonical_etype(None), {})[EID] = (
+            jnp.asarray(np.arange(rel.num_edges))
+        )
+    return out
+
+
+def _transition_matrix(g: Graph, eweight_name=None):
+    import scipy.sparse as sp
+
+    n = g.num_nodes()
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    w = (
+        _np(g._edge_frames[g.canonical_etypes[0]][eweight_name])[: rel.num_edges]
+        if eweight_name
+        else np.ones(src.size)
+    )
+    a = sp.csr_matrix((w, (dst, src)), shape=(n, n))  # column-stochastic-ish
+    deg = np.asarray(a.sum(axis=0)).ravel()
+    dinv = sp.diags(1.0 / np.maximum(deg, 1e-12))
+    return a @ dinv, n
+
+
+def ppr(g: Graph, alpha: float = 0.15, eweight_name=None, eps=None,
+        avg_degree: int = 5) -> Graph:
+    """Personalized PageRank diffusion (reference ``GDC``/``PPR`` transform,
+    ``transforms/module.py:1411``): dense solve of
+    S = alpha (I - (1-alpha) T)^-1, sparsified to top avg_degree*n entries."""
+    t_mat, n = _transition_matrix(g, eweight_name)
+    s = alpha * np.linalg.inv(
+        np.eye(n) - (1 - alpha) * t_mat.toarray()
+    )
+    return _sparsify_diffusion(g, s, eps, avg_degree)
+
+
+def heat_kernel(g: Graph, t: float = 5.0, eweight_name=None, eps=None,
+                avg_degree: int = 5, k: int = 10) -> Graph:
+    """Heat-kernel diffusion exp(t(T - I)) via truncated Taylor series
+    (reference HeatKernel transform)."""
+    t_mat, n = _transition_matrix(g, eweight_name)
+    m = np.asarray(t_mat.todense())  # T
+    acc = np.eye(n)
+    term = np.eye(n)
+    import math
+
+    for i in range(1, k + 1):
+        term = (t / i) * (term @ (m - np.eye(n)))
+        term = np.asarray(term)
+        acc = acc + term
+    return _sparsify_diffusion(g, acc, eps, avg_degree)
+
+
+def _sparsify_diffusion(g: Graph, s: np.ndarray, eps, avg_degree: int):
+    n = s.shape[0]
+    if eps is None:
+        k = min(avg_degree * n, s.size - 1)
+        eps = np.sort(s.ravel())[-k] if k > 0 else 0.0
+    s = np.where(s >= max(eps, 1e-12), s, 0.0)
+    dstn, srcn = np.nonzero(s)  # s[d, u] = weight of edge u->d
+    w = s[dstn, srcn]
+    out = _rebuild(g, g.to_canonical_etype(None), srcn, dstn)
+    out._edge_frames[out.canonical_etypes[0]] = {
+        "w": jnp.asarray(w.astype(np.float32))
+    }
+    return out
+
+
+def sign_diffusion(g: Graph, k: int, in_feat_name: str = "feat",
+                   out_feat_name: str = "out_feat", eweight_name=None,
+                   diffuse_op: str = "gcn", alpha: float = 0.2):
+    """SIGN preprocessing (reference ``SIGNDiffusion``, ``module.py:1692``):
+    stores k diffused copies of the features (out_feat_name_1..k)."""
+    from .. import function as fn
+    from ..nn.utils_nn import EdgeWeightNorm
+
+    h = g.ndata[in_feat_name]
+    rel = g._relation(None)
+    if diffuse_op in ("gcn", "ppr"):
+        deg_in = jnp.maximum(rel.in_degrees().astype(h.dtype), 1)
+        deg_out = jnp.maximum(rel.out_degrees().astype(h.dtype), 1)
+        ni = jax.lax.rsqrt(deg_in)[:, None]
+        no = jax.lax.rsqrt(deg_out)[:, None]
+    for i in range(1, k + 1):
+        with g.local_scope() as gg:
+            if diffuse_op in ("gcn", "ppr"):
+                gg.srcdata["h"] = h * no
+                gg.update_all(fn.copy_u("h", "m"), fn.sum("m", "h"))
+                nxt = gg.dstdata["h"] * ni
+            elif diffuse_op in ("raw", "rw"):
+                gg.srcdata["h"] = h
+                gg.update_all(fn.copy_u("h", "m"), fn.mean("m", "h"))
+                nxt = gg.dstdata["h"]
+            else:
+                raise DGLError(f"Unknown diffuse_op {diffuse_op!r}")
+        if diffuse_op == "ppr":
+            nxt = (1 - alpha) * nxt + alpha * g.ndata[in_feat_name]
+        h = nxt
+        g.ndata[f"{out_feat_name}_{i}"] = h
+    return g
