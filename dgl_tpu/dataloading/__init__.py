@@ -17,6 +17,8 @@ from .neighbor_sampler import (
     LaborSampler,
 )
 from .dataloader import DataLoader, NodeDataLoader, EdgeDataLoader
+from .negative_sampler import Uniform, GlobalUniform, PerSourceUniform
+from .subgraph_samplers import ClusterGCNSampler, SAINTSampler, ShaDowKHopSampler
 
 __all__ = [
     "Sampler",
@@ -31,4 +33,10 @@ __all__ = [
     "DataLoader",
     "NodeDataLoader",
     "EdgeDataLoader",
+    "Uniform",
+    "GlobalUniform",
+    "PerSourceUniform",
+    "ClusterGCNSampler",
+    "SAINTSampler",
+    "ShaDowKHopSampler",
 ]
