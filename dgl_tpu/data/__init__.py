@@ -16,6 +16,8 @@ from .citation import (
 )
 from .synthetic import (
     synthetic_classification_graph,
+    synthetic_hetero_graph,
+    SyntheticHeteroDataset,
     SyntheticDataset,
     RedditDataset,
     PPIDataset,
@@ -36,6 +38,8 @@ __all__ = [
     "CiteseerGraphDataset",
     "PubmedGraphDataset",
     "synthetic_classification_graph",
+    "synthetic_hetero_graph",
+    "SyntheticHeteroDataset",
     "SyntheticDataset",
     "RedditDataset",
     "PPIDataset",

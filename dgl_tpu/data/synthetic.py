@@ -166,3 +166,102 @@ class PPIDataset(DGLDataset):
     @property
     def num_labels(self):
         return 121
+
+
+def synthetic_hetero_graph(
+    num_nodes_dict=None,
+    num_edges_dict=None,
+    num_classes: int = 8,
+    feat_dim: int = 64,
+    target_ntype: str = "paper",
+    seed: int = 0,
+):
+    """ogbn-mag-shaped heterograph (reference ``data/adapter.py`` OGB mag):
+    paper/author/institution/field nodes, 4 relation types, classes planted
+    on the target ntype with homophilous paper-paper citations."""
+    from .. import convert
+
+    rng = np.random.default_rng(seed)
+    if num_nodes_dict is None:
+        num_nodes_dict = {
+            "paper": 2000, "author": 1200, "institution": 100, "field": 200
+        }
+    if num_edges_dict is None:
+        num_edges_dict = {
+            ("paper", "cites", "paper"): 8000,
+            ("author", "writes", "paper"): 6000,
+            ("author", "affiliated_with", "institution"): 1500,
+            ("paper", "has_topic", "field"): 4000,
+        }
+    n_paper = num_nodes_dict[target_ntype]
+    labels = rng.integers(0, num_classes, n_paper)
+    data = {}
+    for cet, ne in num_edges_dict.items():
+        st, _, dt = cet
+        src = rng.integers(0, num_nodes_dict[st], ne)
+        if st == target_ntype and dt == target_ntype:
+            # homophilous citations
+            order = np.argsort(labels, kind="stable")
+            starts = np.searchsorted(labels[order], np.arange(num_classes + 1))
+            dst = np.empty(ne, dtype=np.int64)
+            for i in range(ne):
+                if rng.random() < 0.75:
+                    c = labels[src[i]]
+                    lo, hi = starts[c], starts[c + 1]
+                    dst[i] = order[rng.integers(lo, hi)] if hi > lo else rng.integers(0, n_paper)
+                else:
+                    dst[i] = rng.integers(0, n_paper)
+        else:
+            dst = rng.integers(0, num_nodes_dict[dt], ne)
+        data[cet] = (src, dst)
+    g = convert.heterograph(data, num_nodes_dict=num_nodes_dict)
+    centroids = rng.normal(size=(num_classes, feat_dim)) * 2.0
+    g._node_frames.setdefault(target_ntype, {})["feat"] = jnp.asarray(
+        centroids[labels] + rng.normal(size=(n_paper, feat_dim)),
+        dtype=jnp.float32,
+    )
+    g._node_frames[target_ntype]["label"] = jnp.asarray(labels, jnp.int32)
+    for nt, n in num_nodes_dict.items():
+        if nt != target_ntype:
+            g._node_frames.setdefault(nt, {})["feat"] = jnp.asarray(
+                rng.normal(size=(n, feat_dim)), dtype=jnp.float32
+            )
+    perm = rng.permutation(n_paper)
+    masks = {}
+    n_train = int(n_paper * 0.6)
+    n_val = int(n_paper * 0.2)
+    for name, sl in (
+        ("train_mask", perm[:n_train]),
+        ("val_mask", perm[n_train : n_train + n_val]),
+        ("test_mask", perm[n_train + n_val :]),
+    ):
+        m = np.zeros(n_paper, bool)
+        m[sl] = True
+        g._node_frames[target_ntype][name] = jnp.asarray(m)
+    return g
+
+
+class SyntheticHeteroDataset(DGLDataset):
+    """ogbn-mag-shaped dataset (the R-GCN north-star config)."""
+
+    def __init__(self, num_classes=8, transform=None, **kwargs):
+        self._num_classes = num_classes
+        super().__init__(name="synthetic_hetero", transform=transform)
+
+    def process(self):
+        self._g = synthetic_hetero_graph(num_classes=self._num_classes)
+
+    def __getitem__(self, idx):
+        assert idx == 0
+        return self._apply_transform(self._g)
+
+    def __len__(self):
+        return 1
+
+    @property
+    def num_classes(self):
+        return self._num_classes
+
+    @property
+    def predict_ntype(self):
+        return "paper"
