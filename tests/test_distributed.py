@@ -182,3 +182,62 @@ def test_dist_embedding(mesh):
     out = emb(jnp.asarray([1, 2, 63]))
     assert out.shape == (3, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sparse_all_to_all_pull(mesh):
+    from dgl_tpu.distributed.cooperative import sparse_all_to_all_pull
+
+    rng = np.random.default_rng(0)
+    P_, rows, F = 8, 16, 4
+    ranges = np.arange(P_ + 1) * rows              # 128 global rows
+    table_global = rng.normal(size=(P_ * rows, F)).astype(np.float32)
+    table = jnp.asarray(table_global.reshape(P_, rows, F))
+    ids = rng.integers(0, P_ * rows, (P_, 10))
+    out = sparse_all_to_all_pull(mesh, ranges, table, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(out), table_global[ids], rtol=1e-6
+    )
+
+
+def test_sparse_all_to_all_pull_grad(mesh):
+    from dgl_tpu.distributed.cooperative import sparse_all_to_all_pull
+
+    rng = np.random.default_rng(1)
+    P_, rows, F = 8, 8, 3
+    ranges = np.arange(P_ + 1) * rows
+    table_global = rng.normal(size=(P_ * rows, F)).astype(np.float32)
+    table = jnp.asarray(table_global.reshape(P_, rows, F))
+    ids = jnp.asarray(rng.integers(0, P_ * rows, (P_, 6)))
+
+    @jax.jit
+    def loss(t):
+        return (sparse_all_to_all_pull(mesh, ranges, t, ids) ** 2).sum()
+
+    gt = jax.grad(loss)(table)
+    # reference gradient: 2 * row value per pull occurrence
+    expect = np.zeros_like(table_global)
+    for i in np.asarray(ids).ravel():
+        expect[i] += 2 * table_global[i]
+    np.testing.assert_allclose(
+        np.asarray(gt).reshape(P_ * rows, F), expect, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sparse_all_to_all_push(mesh):
+    from dgl_tpu.distributed.cooperative import sparse_all_to_all_push
+
+    rng = np.random.default_rng(2)
+    P_, rows, F = 8, 8, 3
+    ranges = np.arange(P_ + 1) * rows
+    ids = rng.integers(0, P_ * rows, (P_, 6))
+    grads = rng.normal(size=(P_, 6, F)).astype(np.float32)
+    out = sparse_all_to_all_push(
+        mesh, ranges, jnp.asarray(grads), jnp.asarray(ids), rows_max=rows
+    )
+    expect = np.zeros((P_ * rows, F), np.float32)
+    for p in range(P_):
+        for j in range(6):
+            expect[ids[p, j]] += grads[p, j]
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(P_ * rows, F), expect, rtol=1e-5, atol=1e-5
+    )
