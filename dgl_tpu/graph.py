@@ -1083,3 +1083,137 @@ jax.tree_util.register_pytree_node(
     lambda g: g.tree_flatten(),
     Graph.tree_unflatten,
 )
+
+
+# ---------------------------------------------------------------------------
+# Additional DGLGraph API surface (bound as methods)
+# ---------------------------------------------------------------------------
+
+
+def _graph_nodes(self, ntype: Optional[str] = None):
+    """All node ids (reference ``heterograph.py`` ``nodes()``)."""
+    n = self.num_nodes(ntype) if ntype else self.num_nodes(
+        self.ntypes[0] if len(self.ntypes) == 1 else None
+    )
+    return jnp.arange(n, dtype=self.idtype)
+
+
+def _graph_all_edges(self, form="uv", order="eid", etype=None):
+    return self.edges(form=form, order=order, etype=etype)
+
+
+def _graph_adj(self, etype=None, eweight_name=None):
+    """Adjacency as a SparseMatrix (reference ``heterograph.py`` ``adj``:
+    shape (num_src, num_dst), value 1 or eweight)."""
+    from .sparse.sparse_matrix import SparseMatrix
+
+    rel = self._relation(etype)
+    cet = self.to_canonical_etype(etype)
+    if eweight_name is not None:
+        val = self._edge_frames[cet][eweight_name]
+    else:
+        val = jnp.ones((rel.num_edges_padded,), jnp.float32)
+        if rel.num_edges != rel.num_edges_padded:
+            val = val * rel.edge_mask()
+    return SparseMatrix(rel, val)
+
+
+def _graph_adjacency_matrix(self, transpose=False, etype=None):
+    a = self.adj(etype=etype)
+    return a.T if transpose else a
+
+
+def _graph_inc(self, typestr="both", etype=None):
+    """Incidence matrix (reference ``heterograph.py`` ``inc``/
+    ``incidence_matrix``): 'in' | 'out' | 'both' (N, E)."""
+    from .sparse.sparse_matrix import from_coo
+
+    rel = self._relation(etype)
+    E = rel.num_edges
+    src = rel.src[:E]
+    dst = rel.dst[:E]
+    eid = jnp.arange(E, dtype=src.dtype)
+    n = self.num_nodes()
+    if typestr == "in":
+        return from_coo(dst, eid, jnp.ones(E, jnp.float32), (n, E))
+    if typestr == "out":
+        return from_coo(src, eid, jnp.ones(E, jnp.float32), (n, E))
+    # both: +1 at dst, -1 at src (self-loops excluded like the reference)
+    import numpy as _np
+
+    s = _np.asarray(src)
+    d = _np.asarray(dst)
+    keep = s != d
+    rows = _np.concatenate([d[keep], s[keep]])
+    cols = _np.concatenate([_np.nonzero(keep)[0]] * 2)
+    vals = _np.concatenate(
+        [_np.ones(keep.sum(), _np.float32), -_np.ones(keep.sum(), _np.float32)]
+    )
+    return from_coo(jnp.asarray(rows), jnp.asarray(cols),
+                    jnp.asarray(vals), (n, E))
+
+
+def _graph_astype(self, idtype):
+    """Cast index arrays (reference ``DGLGraph.long/int/astype``)."""
+    np_id = np.int64 if idtype == jnp.int64 else np.int32
+
+    def conv(rel: Relation) -> Relation:
+        new = Relation.__new__(Relation)
+        for f in Relation.ARRAY_FIELDS:
+            setattr(new, f, jnp.asarray(getattr(rel, f), dtype=idtype))
+        new.num_src = rel.num_src
+        new.num_dst = rel.num_dst
+        new.num_edges = rel.num_edges
+        new.max_in_degree = rel.max_in_degree
+        new.max_out_degree = rel.max_out_degree
+        return new
+
+    g = self.structural_clone()
+    g._relations = {k: conv(r) for k, r in self._relations.items()}
+    return g
+
+
+def _graph_long(self):
+    return self.astype(jnp.int64)
+
+
+def _graph_int(self):
+    return self.astype(jnp.int32)
+
+
+def _graph_to_networkx(self, node_attrs=None, edge_attrs=None):
+    """Export to networkx MultiDiGraph (reference ``heterograph.py``
+    ``to_networkx``)."""
+    import networkx as nx
+
+    nxg = nx.MultiDiGraph()
+    nxg.add_nodes_from(range(self.num_nodes()))
+    rel = self._relation(None)
+    src = np.asarray(rel.src)[: rel.num_edges]
+    dst = np.asarray(rel.dst)[: rel.num_edges]
+    cet = self.canonical_etypes[0]
+    for i, (u, v) in enumerate(zip(src, dst)):
+        attrs = {"id": i}
+        if edge_attrs:
+            for k in edge_attrs:
+                attrs[k] = np.asarray(self._edge_frames[cet][k][i])
+        nxg.add_edge(int(u), int(v), **attrs)
+    if node_attrs:
+        nt = self.ntypes[0]
+        for k in node_attrs:
+            vals = np.asarray(self._node_frames[nt][k])
+            for i in range(self.num_nodes()):
+                nxg.nodes[i][k] = vals[i]
+    return nxg
+
+
+Graph.nodes_ids = _graph_nodes
+Graph.all_edges = _graph_all_edges
+Graph.adj = _graph_adj
+Graph.adjacency_matrix = _graph_adjacency_matrix
+Graph.inc = _graph_inc
+Graph.incidence_matrix = _graph_inc
+Graph.astype = _graph_astype
+Graph.long = _graph_long
+Graph.int = _graph_int
+Graph.to_networkx = _graph_to_networkx

@@ -160,3 +160,30 @@ def test_to_homogeneous_roundtrip():
     hetero = dgl.to_heterogeneous(homo, ["user", "game"], ["follows", "plays"])
     assert hetero.num_nodes("user") == 3
     assert hetero.num_edges("plays") == 3
+
+
+def test_adj_and_inc():
+    import dgl_tpu as dgl
+    import numpy as np
+
+    g = dgl.graph(([0, 1, 2], [1, 2, 0]))
+    A = g.adj()
+    assert A.shape == (3, 3) and A.nnz == 3
+    d = np.asarray(A.to_dense())
+    assert d[0, 1] == 1 and d[1, 2] == 1 and d[2, 0] == 1
+    I_in = g.inc("in")
+    di = np.asarray(I_in.to_dense())
+    assert di[1, 0] == 1  # edge 0 enters node 1
+    I_both = g.inc("both")
+    db = np.asarray(I_both.to_dense())
+    assert db[1, 0] == 1 and db[0, 0] == -1
+
+
+def test_to_networkx_roundtrip():
+    import dgl_tpu as dgl
+    import numpy as np
+
+    g = dgl.graph(([0, 1], [1, 2]))
+    nxg = g.to_networkx()
+    g2 = dgl.from_networkx(nxg)
+    assert g2.num_nodes() == 3 and g2.num_edges() == 2
