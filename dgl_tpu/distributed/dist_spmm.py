@@ -126,3 +126,49 @@ def dist_spmm(mesh: Mesh, shards: GraphShards, x, edge_vals=None,
         tables["send_idx"], tables["send_mask"],
         tables["src_ext"], tables["dst_local"], tables["in_deg"],
     )
+
+
+def init_halo_state(mesh: Mesh, shards: GraphShards, feat_dim: int,
+                    dtype=jnp.float32, axis: str = "gp"):
+    """Zero halo cache for the delayed-aggregation variant."""
+    z = jnp.zeros(
+        (shards.num_parts, shards.num_parts, shards.h_max, feat_dim), dtype
+    )
+    return jax.device_put(z, NamedSharding(mesh, P(axis)))
+
+
+def dist_copy_u_sum_delayed(mesh: Mesh, shards: GraphShards, x, halo_state,
+                            tables=None, axis: str = "gp",
+                            mean: bool = False):
+    """Delayed-halo aggregation (reference distgnn, ``python/dgl/distgnn/``:
+    Libra-partitioned full-graph training with stale remote partials).
+
+    Uses the PREVIOUS iteration's halo features for remote edges while the
+    fresh exchange runs — XLA overlaps the all_to_all with the local SpMM
+    because nothing downstream of ``out`` depends on it. Returns
+    ``(out, new_halo_state)``; thread the state through the training loop.
+    One-iteration staleness, bounded like the reference's delayed aggregates.
+    """
+    if tables is None:
+        tables = shard_arrays(mesh, shards, axis)
+    n_max = shards.n_max
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),) * 7,
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(x_blk, halo_blk, send_idx, send_mask, src_ext, dst_local, in_deg):
+        x0 = x_blk[0]
+        fresh = halo_exchange(x0, send_idx[0], send_mask[0], axis)
+        out = _local_spmm(x0, halo_blk[0], src_ext[0], dst_local[0], n_max)
+        if mean:
+            out = out / jnp.maximum(in_deg[0], 1.0)[:, None]
+        return out[None], fresh[None]
+
+    return run(
+        x, halo_state,
+        tables["send_idx"], tables["send_mask"],
+        tables["src_ext"], tables["dst_local"], tables["in_deg"],
+    )

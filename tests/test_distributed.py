@@ -241,3 +241,32 @@ def test_sparse_all_to_all_push(mesh):
     np.testing.assert_allclose(
         np.asarray(out).reshape(P_ * rows, F), expect, rtol=1e-5, atol=1e-5
     )
+
+
+def test_delayed_halo_aggregation(g, mesh):
+    """Stale-halo variant: first step uses zero halo (local-only), second
+    step with refreshed halo matches the exact aggregation."""
+    from dgl_tpu.distributed.dist_spmm import (
+        dist_copy_u_sum_delayed,
+        init_halo_state,
+        shard_arrays,
+    )
+    from dgl_tpu.distributed import build_shards, metis_partition_assignment
+
+    parts = metis_partition_assignment(g, 8)
+    shards = build_shards(g, parts, 8)
+    tables = shard_arrays(mesh, shards)
+    F = 4
+    x_global = np.random.default_rng(7).normal(
+        size=(g.num_nodes(), F)
+    ).astype(np.float32)
+    x = shards.shard_features(x_global)
+    halo = init_halo_state(mesh, shards, F)
+    out1, halo = dist_copy_u_sum_delayed(mesh, shards, x, halo, tables=tables)
+    out2, halo = dist_copy_u_sum_delayed(mesh, shards, x, halo, tables=tables)
+    exact = np.asarray(ops.copy_u_sum(g, jnp.asarray(x_global)))
+    got2 = np.asarray(shards.unshard(out2))
+    np.testing.assert_allclose(got2, exact, rtol=1e-4, atol=1e-4)
+    # first step only aggregated locally-owned edges (stale zero halo)
+    got1 = np.asarray(shards.unshard(out1))
+    assert not np.allclose(got1, exact)
