@@ -3,7 +3,14 @@ from .conv import *  # noqa: F401,F403
 from .glob import *  # noqa: F401,F403
 from .hetero import HeteroGraphConv  # noqa: F401
 from .linear import TypedLinear, HeteroLinear, HeteroEmbedding  # noqa: F401
-from .utils_nn import EdgeWeightNorm  # noqa: F401
+from .utils_nn import (  # noqa: F401
+    EdgeWeightNorm,
+    Identity,
+    Sequential,
+    WeightBasis,
+    JumpingKnowledge,
+    LabelPropagation,
+)
 from . import gt  # noqa: F401
 from . import explain  # noqa: F401
 from .link import EdgePredictor, TransE, TransR  # noqa: F401
