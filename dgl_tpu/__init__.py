@@ -22,7 +22,7 @@ from .convert import (
 from . import function
 from . import ops
 from .ops import edge_softmax
-from .batch import batch, unbatch
+from .batch import batch, unbatch, stack_graphs
 from .readout import (
     readout_nodes,
     readout_edges,

@@ -17,7 +17,7 @@ from .base import DGLError
 from .graph import Graph, Relation, _asnumpy
 from .convert import heterograph, create_block
 
-__all__ = ["batch", "unbatch"]
+__all__ = ["batch", "unbatch", "stack_graphs"]
 
 
 def batch(graphs: Sequence[Graph]) -> Graph:
@@ -114,3 +114,21 @@ def unbatch(bg: Graph) -> List[Graph]:
                 ]
         out.append(g)
     return out
+
+
+def stack_graphs(graphs: Sequence[Graph]) -> Graph:
+    """Stack same-shape graphs along a new leading batch axis for ``vmap``.
+
+    The dp-sharded minibatch layout (see ``parallel.spmd``): all graphs must
+    share static shapes; the data-dependent max-degree aux is normalized to
+    the batch max so treedefs match. No reference analog (XLA-specific).
+    """
+    import jax
+
+    graphs = list(graphs)
+    mi = max(r.max_in_degree for g in graphs for r in g._relations.values())
+    mo = max(r.max_out_degree for g in graphs for r in g._relations.values())
+    for g in graphs:
+        for r in g._relations.values():
+            r.max_in_degree, r.max_out_degree = mi, mo
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
