@@ -28,6 +28,9 @@ from .edgegatconv import EdgeGATConv
 from .dense import DenseGraphConv, DenseSAGEConv, DenseChebConv
 from .hgtconv import HGTConv
 from .grouprevres import GroupRevRes
+from .dgnconv import DGNConv
+from .twirlsconv import TWIRLSConv, TWIRLSUnfoldingAndAttention
+from .atomicconv import AtomicConv
 
 __all__ = [
     "GraphConv",
@@ -60,4 +63,8 @@ __all__ = [
     "DenseChebConv",
     "HGTConv",
     "GroupRevRes",
+    "DGNConv",
+    "TWIRLSConv",
+    "TWIRLSUnfoldingAndAttention",
+    "AtomicConv",
 ]

@@ -177,3 +177,34 @@ def test_grouprevres(g):
     mod = GroupRevRes(lambda i: GraphConv(8, 8, name=f"gc{i}"), groups=2)
     out = _init_apply(mod, g, x)
     assert out.shape == (20, 16)
+
+
+def test_dgn(g, x):
+    import dgl_tpu as dgl
+    from dgl_tpu.nn.conv import DGNConv
+
+    eig = dgl.lap_pe(g, 2)
+    out = _init_apply(DGNConv(8, 8), g, x, eig)
+    assert out.shape == (20, 8) and np.isfinite(np.asarray(out)).all()
+
+
+def test_twirls(g, x):
+    from dgl_tpu.nn.conv import TWIRLSConv
+
+    out = _init_apply(TWIRLSConv(8, 4, 16, prop_step=4), g, x)
+    assert out.shape == (20, 4)
+    out2 = _init_apply(TWIRLSConv(8, 4, 16, prop_step=4, attention=True), g, x)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_atomic(g):
+    from dgl_tpu.nn.conv import AtomicConv
+
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.choice([1.0, 6.0], 20))[:, None]
+    d = jnp.asarray(rng.uniform(0.5, 5.0, (g.num_edges(), 1)),
+                    dtype=jnp.float32)
+    conv = AtomicConv((3.0,), (1.5,), (1.0,), features_to_use=(1.0, 6.0))
+    out = _init_apply(conv, g, z, d)
+    assert out.shape == (20, 2)
+    assert (np.asarray(out) >= 0).all()
