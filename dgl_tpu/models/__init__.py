@@ -8,5 +8,6 @@ from .gcn import GCN
 from .gat import GAT
 from .sage import GraphSAGE
 from .rgcn import RGCN
+from .graphormer import Graphormer, prepare_batch
 
-__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN"]
+__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "Graphormer", "prepare_batch"]

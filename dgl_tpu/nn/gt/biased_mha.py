@@ -38,7 +38,9 @@ class BiasedMHA(nn.Module):
             else:
                 attn = attn * ab
         if attn_mask is not None:
-            attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
+            # large-negative (not -inf): fully-masked padding rows would
+            # otherwise produce NaN through softmax
+            attn = jnp.where(attn_mask[:, None, :, :], -1e9, attn)
         attn = jax.nn.softmax(attn, axis=-1)
         if self.attn_drop > 0 and not deterministic:
             attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)

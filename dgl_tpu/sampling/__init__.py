@@ -5,7 +5,12 @@ jit-compiled device steps — the TPU-native replacement of the reference's
 C++ rowwise-pick kernels (``src/array/cpu/rowwise_pick.h``,
 ``src/graph/sampling/neighbor/neighbor.cc``).
 """
-from .neighbor import sample_neighbors, sample_neighbors_fixed, in_subgraph_sample
+from .neighbor import (
+    sample_neighbors,
+    sample_neighbors_fixed,
+    in_subgraph_sample,
+    temporal_sample_neighbors,
+)
 from .randomwalks import random_walk, node2vec_random_walk, pack_traces
 from .negative import global_uniform_negative_sampling
 from .labor import sample_labors
@@ -15,6 +20,7 @@ __all__ = [
     "sample_neighbors",
     "sample_neighbors_fixed",
     "in_subgraph_sample",
+    "temporal_sample_neighbors",
     "random_walk",
     "node2vec_random_walk",
     "pack_traces",

@@ -20,7 +20,7 @@ import numpy as np
 from ..base import DGLError, EID
 from ..graph import Graph, Relation
 
-__all__ = ["sample_neighbors", "sample_neighbors_fixed", "in_subgraph_sample"]
+__all__ = ["sample_neighbors", "sample_neighbors_fixed", "in_subgraph_sample", "temporal_sample_neighbors"]
 
 
 def _np(x):
@@ -215,3 +215,69 @@ def in_subgraph_sample(g: Graph, nodes) -> Graph:
     from ..subgraph import in_subgraph
 
     return in_subgraph(g, nodes)
+
+
+def temporal_sample_neighbors(
+    g: Graph,
+    nodes,
+    fanout: int,
+    node_timestamp: str = "timestamp",
+    edge_timestamp: Optional[str] = None,
+    seed_timestamps=None,
+    replace: bool = False,
+    etype=None,
+    seed: Optional[int] = None,
+):
+    """Temporal neighbor sampling (reference GraphBolt
+    ``temporal_sample_neighbors``, ``fused_csc_sampling_graph.cc``
+    TemporalPick): only neighbors/edges strictly older than the seed's
+    timestamp are eligible.
+
+    Returns dense padded ``(nbr, eid, mask)`` like ``sample_neighbors_fixed``.
+    ``seed_timestamps`` overrides per-seed times (else read from
+    ``ndata[node_timestamp]``).
+    """
+    rng = np.random.default_rng(seed)
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    seeds = np.atleast_1d(_np(nodes)).astype(np.int64)
+    indptr = _np(rel.csc_indptr)
+    indices = _np(rel.csc_indices)
+    eids = _np(rel.csc_eids)
+    if seed_timestamps is not None:
+        seed_ts = np.atleast_1d(_np(seed_timestamps))
+    else:
+        nt_all = _np(g._node_frames[cet[2]][node_timestamp])
+        seed_ts = nt_all[seeds]
+    nbr_ts_all = None
+    if edge_timestamp is not None:
+        e_ts = _np(g._edge_frames[cet][edge_timestamp])
+    else:
+        e_ts = None
+        nbr_ts_all = _np(g._node_frames[cet[0]][node_timestamp])
+    n = seeds.shape[0]
+    nbr = np.zeros((n, fanout), np.int64)
+    eid = np.zeros((n, fanout), np.int64)
+    mask = np.zeros((n, fanout), bool)
+    for i, (s, t) in enumerate(zip(seeds, seed_ts)):
+        lo, hi = int(indptr[s]), int(indptr[s + 1])
+        row_nbr = indices[lo:hi]
+        row_eid = eids[lo:hi]
+        if e_ts is not None:
+            ok = e_ts[row_eid] < t
+        else:
+            ok = nbr_ts_all[row_nbr] < t
+        cand = np.nonzero(ok)[0]
+        if cand.size == 0:
+            continue
+        if cand.size <= fanout and not replace:
+            sel = cand
+        elif replace:
+            sel = cand[rng.integers(0, cand.size, fanout)]
+        else:
+            sel = cand[rng.choice(cand.size, fanout, replace=False)]
+        k = sel.shape[0]
+        nbr[i, :k] = row_nbr[sel]
+        eid[i, :k] = row_eid[sel]
+        mask[i, :k] = True
+    return nbr, eid, mask
