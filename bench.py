@@ -80,7 +80,9 @@ def main():
     src = rng.integers(0, N, E)
     dst = rng.integers(0, N, E)
     g = dgl_tpu.graph((src, dst), num_nodes=N)
-    x = jnp.asarray(rng.normal(size=(N, F)), dtype=jnp.float32)
+    # generate features on-device: a 173 MB host->device transfer can wedge
+    # the remote tunnel
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
 
     # Chain iterations (output feeds the next input) inside one jit and
     # return a scalar, then time k=1 vs k=1+iters and difference: the fixed
