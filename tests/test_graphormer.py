@@ -1,0 +1,41 @@
+"""Graphormer model test (graph classification on planted structure)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import dgl_tpu as dgl
+from dgl_tpu.models import Graphormer, prepare_batch
+
+
+def test_graphormer_trains():
+    rng = np.random.default_rng(0)
+    graphs, ys = [], []
+    for i in range(8):
+        g = dgl.rand_graph(int(rng.integers(5, 12)), 30, seed=i)
+        g.ndata["feat"] = jnp.asarray(
+            rng.normal(size=(g.num_nodes(), 16)), dtype=jnp.float32
+        )
+        graphs.append(g)
+        ys.append(i % 2)
+    x, deg, dist, am = prepare_batch(graphs)
+    y = jnp.asarray(ys)
+    m = Graphormer(16, 32, 2, num_layers=2, num_heads=4, dropout=0.0)
+    params = m.init(jax.random.PRNGKey(0), x, deg, dist, am)
+    tx = optax.adam(1e-3)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, st):
+        loss, grads = jax.value_and_grad(
+            lambda p: optax.softmax_cross_entropy_with_integer_labels(
+                m.apply(p, x, deg, dist, am), y
+            ).mean()
+        )(p)
+        u, st = tx.update(grads, st)
+        return optax.apply_updates(p, u), st, loss
+
+    for _ in range(40):
+        params, st, loss = step(params, st)
+    assert float(loss) < 0.4
+    assert np.isfinite(float(loss))

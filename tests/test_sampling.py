@@ -164,3 +164,20 @@ def test_pinsage():
     _, v = out.edges()
     assert set(np.asarray(v).tolist()) <= {0, 1}
     assert "weights" in out.edata
+
+
+def test_temporal_sampling():
+    import jax.numpy as jnp
+
+    g = dgl.graph(([0, 1, 2, 3], [4, 4, 4, 4]), num_nodes=5)
+    g.ndata["timestamp"] = jnp.asarray([1.0, 2.0, 3.0, 4.0, 3.5])
+    nbr, eid, mask = sampling.temporal_sample_neighbors(g, [4], 4, seed=0)
+    valid = set(nbr[0][mask[0]].tolist())
+    assert valid == {0, 1, 2}  # node 3 (t=4.0) is in the seed's future
+    # edge timestamps override
+    g.edata["ets"] = jnp.asarray([0.5, 0.5, 9.0, 0.5])
+    nbr, eid, mask = sampling.temporal_sample_neighbors(
+        g, [4], 4, edge_timestamp="ets", seed=0
+    )
+    valid = set(nbr[0][mask[0]].tolist())
+    assert valid == {0, 1, 3}  # edge from 2 is too new
