@@ -23,6 +23,8 @@ from .synthetic import (
     PPIDataset,
 )
 from .csv_dataset import CSVDataset
+from .adapter import AsNodePredDataset, AsLinkPredDataset, AsGraphPredDataset, from_ogb
+from .synthetic import KnowledgeGraphDataset
 from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset
 
 __all__ = [
@@ -44,6 +46,11 @@ __all__ = [
     "RedditDataset",
     "PPIDataset",
     "CSVDataset",
+    "AsNodePredDataset",
+    "AsLinkPredDataset",
+    "AsGraphPredDataset",
+    "from_ogb",
+    "KnowledgeGraphDataset",
     "BAShapeDataset",
     "TreeCycleDataset",
     "TreeGridDataset",

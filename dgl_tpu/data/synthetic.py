@@ -265,3 +265,55 @@ class SyntheticHeteroDataset(DGLDataset):
     @property
     def predict_ntype(self):
         return "paper"
+
+
+class KnowledgeGraphDataset(DGLDataset):
+    """FB15k237-shaped KG dataset (reference ``data/knowledge_graph.py``):
+    (head, relation, tail) triples with train/valid/test splits; synthetic
+    fallback plants relation-consistent clusters so TransE/R can learn."""
+
+    def __init__(self, name="kg_synthetic", num_entities=500, num_rels=12,
+                 num_triples=6000, seed=0, transform=None, **kwargs):
+        self._cfg = (num_entities, num_rels, num_triples, seed)
+        super().__init__(name=name, transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        n, r, t, s = self._cfg
+        rng = np.random.default_rng(s)
+        # planted structure: each relation is (roughly) a shift permutation
+        shift = rng.integers(1, n, r)
+        heads = rng.integers(0, n, t)
+        rels = rng.integers(0, r, t)
+        noise = rng.random(t) < 0.1
+        tails = np.where(
+            noise, rng.integers(0, n, t), (heads + shift[rels]) % n
+        )
+        perm = rng.permutation(t)
+        n_tr = int(t * 0.8)
+        n_va = int(t * 0.1)
+        self.train = np.stack(
+            [heads[perm[:n_tr]], rels[perm[:n_tr]], tails[perm[:n_tr]]], 1
+        )
+        self.valid = np.stack(
+            [heads[perm[n_tr : n_tr + n_va]], rels[perm[n_tr : n_tr + n_va]],
+             tails[perm[n_tr : n_tr + n_va]]], 1
+        )
+        self.test = np.stack(
+            [heads[perm[n_tr + n_va :]], rels[perm[n_tr + n_va :]],
+             tails[perm[n_tr + n_va :]]], 1
+        )
+        g = convert.graph((heads[perm[:n_tr]], tails[perm[:n_tr]]),
+                          num_nodes=n)
+        g.edata["etype"] = jnp.asarray(rels[perm[:n_tr]].astype(np.int32))
+        self._g = g
+        self.num_entities = n
+        self.num_rels = r
+
+    def __getitem__(self, idx):
+        assert idx == 0
+        return self._apply_transform(self._g)
+
+    def __len__(self):
+        return 1
