@@ -1217,3 +1217,33 @@ Graph.astype = _graph_astype
 Graph.long = _graph_long
 Graph.int = _graph_int
 Graph.to_networkx = _graph_to_networkx
+
+
+def _graph_set_n_initializer(self, initializer, field=None, ntype=None):
+    """Register a default initializer for new node rows (reference
+    ``heterograph.py`` ``set_n_initializer`` / ``frame.py`` initializers);
+    consumed by ``dgl.add_nodes``/``add_edges`` instead of zero fill."""
+    if not hasattr(self, "_n_initializers"):
+        self._n_initializers = {}
+    self._n_initializers[(ntype, field)] = initializer
+
+
+def _graph_set_e_initializer(self, initializer, field=None, etype=None):
+    if not hasattr(self, "_e_initializers"):
+        self._e_initializers = {}
+    self._e_initializers[(etype, field)] = initializer
+
+
+def _graph_get_initializer(self, kind, field, type_key):
+    store = getattr(
+        self, "_n_initializers" if kind == "node" else "_e_initializers", {}
+    )
+    for key in ((type_key, field), (None, field), (type_key, None), (None, None)):
+        if key in store:
+            return store[key]
+    return None
+
+
+Graph.set_n_initializer = _graph_set_n_initializer
+Graph.set_e_initializer = _graph_set_e_initializer
+Graph._get_initializer = _graph_get_initializer

@@ -232,7 +232,13 @@ def add_nodes(g: Graph, num: int, data=None, ntype=None) -> Graph:
             newf = {}
             for k, v in f.items():
                 v = jnp.asarray(v)
-                pad = jnp.zeros((num,) + v.shape[1:], v.dtype)
+                init = g._get_initializer("node", k, nt)
+                if init is not None:
+                    pad = jnp.asarray(
+                        init((num,) + v.shape[1:], v.dtype)
+                    )
+                else:
+                    pad = jnp.zeros((num,) + v.shape[1:], v.dtype)
                 if data and k in data:
                     pad = jnp.asarray(data[k]).astype(v.dtype)
                 newf[k] = jnp.concatenate([v, pad])

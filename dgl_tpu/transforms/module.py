@@ -31,6 +31,8 @@ __all__ = [
     "AddEdge",
     "RandomWalkPE",
     "LapPE",
+    "GDC",
+    "SIGNDiffusion",
 ]
 
 
@@ -272,3 +274,54 @@ class LapPE(BaseTransform):
         else:
             g.ndata[self.feat_name] = F.lap_pe(g, self.k, self.padding)
         return g
+
+
+class GDC(BaseTransform):
+    """Graph diffusion convolution preprocessing (reference
+    ``module.py:1411``): PPR or heat-kernel diffusion + sparsification,
+    storing weights in ``edata[eweight_name]``."""
+
+    def __init__(self, diffusion: str = "ppr", alpha: float = 0.15,
+                 t: float = 5.0, eps=None, avg_degree: int = 5,
+                 eweight_name: str = "w"):
+        self.diffusion = diffusion
+        self.alpha = alpha
+        self.t = t
+        self.eps = eps
+        self.avg_degree = avg_degree
+        self.eweight_name = eweight_name
+
+    def __call__(self, g):
+        if self.diffusion == "ppr":
+            out = F.ppr(g, alpha=self.alpha, eps=self.eps,
+                        avg_degree=self.avg_degree)
+        elif self.diffusion == "heat":
+            out = F.heat_kernel(g, t=self.t, eps=self.eps,
+                                avg_degree=self.avg_degree)
+        else:
+            raise DGLError(f"Unknown diffusion {self.diffusion!r}")
+        if self.eweight_name != "w":
+            cet = out.canonical_etypes[0]
+            out._edge_frames[cet][self.eweight_name] = (
+                out._edge_frames[cet].pop("w")
+            )
+        return out
+
+
+class SIGNDiffusion(BaseTransform):
+    """(reference ``module.py:1692``)."""
+
+    def __init__(self, k: int, in_feat_name="feat", out_feat_name="out_feat",
+                 eweight_name=None, diffuse_op="gcn", alpha=0.2):
+        self.k = k
+        self.in_feat_name = in_feat_name
+        self.out_feat_name = out_feat_name
+        self.eweight_name = eweight_name
+        self.diffuse_op = diffuse_op
+        self.alpha = alpha
+
+    def __call__(self, g):
+        return F.sign_diffusion(
+            g, self.k, self.in_feat_name, self.out_feat_name,
+            self.eweight_name, self.diffuse_op, self.alpha,
+        )
