@@ -1,5 +1,6 @@
 """Explainability (reference ``python/dgl/nn/pytorch/explain/``)."""
 from .gnnexplainer import GNNExplainer
 from .pgexplainer import PGExplainer
+from .subgraphx import SubgraphX
 
-__all__ = ["GNNExplainer", "PGExplainer"]
+__all__ = ["GNNExplainer", "PGExplainer", "SubgraphX"]

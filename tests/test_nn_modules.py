@@ -203,3 +203,29 @@ def test_gnnexplainer():
     assert fmask.shape == (6,)
     assert emask.shape[0] == sg._relation(None).num_edges_padded
     assert np.all((np.asarray(emask) >= 0) & (np.asarray(emask) <= 1))
+
+
+def test_subgraphx():
+    from dgl_tpu import readout
+    from dgl_tpu.nn.conv import GraphConv
+    from dgl_tpu.nn.explain import SubgraphX
+    import dgl_tpu as dgl
+
+    g = dgl.add_self_loop(
+        dgl.graph(([0, 1, 2, 3, 4, 5, 6], [1, 2, 0, 4, 5, 6, 3]),
+                  num_nodes=7)
+    )
+    feat = jnp.zeros((7, 4)).at[:, 1].set(1.0)
+    conv = GraphConv(4, 2)
+    params = conv.init(jax.random.PRNGKey(0), g, feat)
+
+    def model_fn(graph, x):
+        h = conv.apply(params, graph, x)
+        with graph.local_scope() as gg:
+            gg.ndata["h"] = h
+            return readout.sum_nodes(gg, "h")
+
+    sx = SubgraphX(model_fn, num_rollouts=6, shapley_steps=4, node_min=2)
+    nodes, score = sx.explain_graph(g, feat, node_max=3)
+    assert 2 <= len(nodes) <= 3
+    assert np.isfinite(score)
