@@ -24,7 +24,7 @@ from .synthetic import (
 )
 from .csv_dataset import CSVDataset
 from .adapter import AsNodePredDataset, AsLinkPredDataset, AsGraphPredDataset, from_ogb
-from .synthetic import KnowledgeGraphDataset
+from .synthetic import KnowledgeGraphDataset, GraphClassificationDataset
 from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset
 
 __all__ = [
@@ -51,6 +51,7 @@ __all__ = [
     "AsGraphPredDataset",
     "from_ogb",
     "KnowledgeGraphDataset",
+    "GraphClassificationDataset",
     "BAShapeDataset",
     "TreeCycleDataset",
     "TreeGridDataset",

@@ -317,3 +317,56 @@ class KnowledgeGraphDataset(DGLDataset):
 
     def __len__(self):
         return 1
+
+
+class GraphClassificationDataset(DGLDataset):
+    """TUDataset/GINDataset-shaped multi-graph classification set (reference
+    ``data/tu.py``, ``data/gindt.py``): B small graphs whose class is
+    determined by planted structure (cycle vs. star motifs + feature shift)."""
+
+    def __init__(self, name="graphcls_synthetic", num_graphs=120,
+                 num_classes=2, feat_dim=8, seed=0, transform=None, **kwargs):
+        self._cfg = (num_graphs, num_classes, feat_dim, seed)
+        self._num_classes = num_classes
+        super().__init__(name=name, transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        nb, c, d, s = self._cfg
+        rng = np.random.default_rng(s)
+        self._graphs = []
+        self._labels = []
+        for i in range(nb):
+            label = int(rng.integers(0, c))
+            n = int(rng.integers(6, 14))
+            # base random edges
+            src = rng.integers(0, n, n * 2)
+            dst = rng.integers(0, n, n * 2)
+            if label == 0:
+                # planted cycle
+                ring = np.arange(n)
+                src = np.concatenate([src, ring])
+                dst = np.concatenate([dst, (ring + 1) % n])
+            else:
+                # planted star at node 0
+                spokes = np.arange(1, n)
+                src = np.concatenate([src, spokes])
+                dst = np.concatenate([dst, np.zeros(n - 1, np.int64)])
+            g = convert.graph((src, dst), num_nodes=n)
+            feat = rng.normal(size=(n, d)).astype(np.float32)
+            feat[:, 0] += label * 1.5  # feature signal too
+            g.ndata["feat"] = jnp.asarray(feat)
+            self._graphs.append(g)
+            self._labels.append(label)
+        self.labels = jnp.asarray(np.array(self._labels, np.int32))
+
+    def __getitem__(self, idx):
+        return self._apply_transform(self._graphs[idx]), self._labels[idx]
+
+    def __len__(self):
+        return len(self._graphs)
+
+    @property
+    def num_classes(self):
+        return self._num_classes
