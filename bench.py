@@ -107,9 +107,11 @@ def _run(fallback: bool):
     src = rng.integers(0, N, E)
     dst = rng.integers(0, N, E)
     g = dgl_tpu.graph((src, dst), num_nodes=N)
-    # generate features on-device: a 173 MB host->device transfer can wedge
-    # the remote tunnel
-    x = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
+    # host transfer (not jax.random on device): the transfer path needs no
+    # fresh XLA program, so a warm compile cache keeps the TPU benchmark
+    # alive even when the remote compile service is wedged; the watchdog in
+    # main() covers the remaining hang modes
+    x = jnp.asarray(rng.normal(size=(N, F)), dtype=jnp.float32)
 
     # Chain iterations (output feeds the next input) inside one jit and
     # return a scalar, then time k=1 vs k=1+iters and difference: the fixed

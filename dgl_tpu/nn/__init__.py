@@ -12,6 +12,7 @@ from .utils_nn import (  # noqa: F401
     LabelPropagation,
 )
 from . import gt  # noqa: F401
+from . import functional  # noqa: F401
 from . import explain  # noqa: F401
 from .link import EdgePredictor, TransE, TransR  # noqa: F401
 from .factory import KNNGraph, SegmentedKNNGraph, RadiusGraph  # noqa: F401
