@@ -19,6 +19,7 @@ from .neighbor_sampler import (
 from .dataloader import DataLoader, NodeDataLoader, EdgeDataLoader
 from .negative_sampler import Uniform, GlobalUniform, PerSourceUniform
 from .subgraph_samplers import ClusterGCNSampler, SAINTSampler, ShaDowKHopSampler
+from .hetero_sampler import HeteroFixedShapeNeighborSampler
 
 __all__ = [
     "Sampler",
@@ -39,4 +40,5 @@ __all__ = [
     "ClusterGCNSampler",
     "SAINTSampler",
     "ShaDowKHopSampler",
+    "HeteroFixedShapeNeighborSampler",
 ]
