@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import DGLError
-from .graph import Graph, Relation, _asnumpy
-from .convert import heterograph, create_block
+from .graph import Graph, _asnumpy
+from .convert import heterograph
 
 __all__ = ["batch", "unbatch", "stack_graphs"]
 

@@ -6,7 +6,6 @@ format with identical semantics for the common (pytree of arrays) case.
 """
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Optional
 

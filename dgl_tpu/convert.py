@@ -14,7 +14,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import DGLError, NTYPE, ETYPE, NID, EID
+from .base import NTYPE, ETYPE, NID, EID
 from .graph import Graph, Relation, CanonicalEtype, _asnumpy
 
 __all__ = [

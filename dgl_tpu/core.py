@@ -14,17 +14,16 @@
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Union
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import function as fn
 from . import ops
 from .base import ALL, DGLError, is_all
 from .function.base import MessageFunction, ReduceFunction
-from .graph import Graph, Relation
+from .graph import Graph
 from .udf import EdgeBatch, NodeBatch
 
 __all__ = [

@@ -7,7 +7,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -3,11 +3,10 @@
 edge-prediction with eid exclusion)."""
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
-from ..base import DGLError, EID, NID
+from ..base import DGLError, NID
 
 __all__ = [
     "Sampler",

@@ -10,11 +10,10 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
-from ..base import DGLError
 
 __all__ = ["DataLoader", "NodeDataLoader", "EdgeDataLoader"]
 

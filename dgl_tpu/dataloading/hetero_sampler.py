@@ -9,11 +9,11 @@ last slot per type as the padding sink. One pytree treedef across batches.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
-from ..base import DGLError, EID, NID
+from ..base import EID, NID
 from ..graph import Graph
 from .base import BlockSampler
 

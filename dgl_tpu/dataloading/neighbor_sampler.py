@@ -16,13 +16,12 @@ Two tiers:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from ..base import DGLError, EID, NID
-from ..graph import Graph, Relation
+from ..graph import Graph
 from .base import BlockSampler
 
 __all__ = [

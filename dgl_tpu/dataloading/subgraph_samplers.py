@@ -2,11 +2,11 @@
 ``python/dgl/dataloading/cluster_gcn.py``, ``saint.py``, ``shadow.py``)."""
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
-from ..base import DGLError, NID
+from ..base import DGLError
 from .base import Sampler
 
 __all__ = ["ClusterGCNSampler", "SAINTSampler", "ShaDowKHopSampler"]

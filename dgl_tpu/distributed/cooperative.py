@@ -12,12 +12,10 @@ reference's ``CooperativeConvFunction.backward``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax>=0.8
     from jax import shard_map  # type: ignore

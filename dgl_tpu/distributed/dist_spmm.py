@@ -9,7 +9,6 @@ aggregation (SURVEY.md §5.8, BASELINE north star).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,12 +13,12 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..base import DGLError, EID, NID
+from ..base import DGLError
 from ..graph import Graph
 
 __all__ = [

@@ -9,12 +9,10 @@ is a precomputed index table consumed by one ``all_to_all`` on device
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..base import DGLError
 from ..graph import Graph
 
 __all__ = ["GraphShards", "build_shards"]

@@ -19,8 +19,7 @@ The Python API surface mirrors ``DGLGraph``
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,7 @@
 collection of items (seed ids, (src, dst) pairs, (ids, labels) tuples)."""
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Tuple, Union
 
 import numpy as np
 

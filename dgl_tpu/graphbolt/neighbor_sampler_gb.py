@@ -3,7 +3,7 @@
 MiniBatches to an iterator of MiniBatches."""
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -2,8 +2,6 @@
 informativeness (reference ``python/dgl/label_informativeness.py``)."""
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .graph import Graph

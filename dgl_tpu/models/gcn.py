@@ -1,7 +1,6 @@
 """GCN model (reference ``examples/core/gcn/train.py``: two GraphConv layers)."""
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 from flax import linen as nn

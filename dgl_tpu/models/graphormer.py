@@ -6,9 +6,8 @@ Operates on dense padded batches — built with ``prepare_batch`` from a list
 of Graphs (the natural TPU layout for molecule-scale graphs)."""
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

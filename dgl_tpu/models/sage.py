@@ -7,7 +7,6 @@ for neighbor-sampled minibatch training.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
 
 import jax
 from flax import linen as nn

@@ -4,7 +4,6 @@ layer for users preferring a functional API."""
 from __future__ import annotations
 
 from . import ops
-from .ops import gspmm, gsddmm
 
 __all__ = [
     "copy_u_sum", "copy_u_mean", "copy_u_max", "copy_u_min",

@@ -4,9 +4,8 @@ layer plus directional aggregators along the gradient of Laplacian
 eigenvectors (``ndata['eig']`` from ``dgl.lap_pe``)."""
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

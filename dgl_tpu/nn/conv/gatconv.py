@@ -8,11 +8,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
-from ...base import DGLError
 from ... import function as fn
 from ...ops import edge_softmax
 from .graphconv import expand_as_pair, check_zero_in_degree

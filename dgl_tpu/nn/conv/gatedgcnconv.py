@@ -3,10 +3,9 @@
 e' = A h_u + B h_v + C e; h' = U h_v + sum(sigma(e') * V h_u) / sum sigma(e')."""
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ... import function as fn

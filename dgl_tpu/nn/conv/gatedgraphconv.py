@@ -1,7 +1,6 @@
 """Gated Graph Convolution (GGNN), reference ``python/dgl/nn/pytorch/conv/gatedgraphconv.py``."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

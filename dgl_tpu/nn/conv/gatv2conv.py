@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ... import function as fn

@@ -3,7 +3,6 @@
 pseudo-coordinates gate K projected copies of the source features."""
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

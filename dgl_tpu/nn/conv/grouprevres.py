@@ -10,9 +10,8 @@ custom autograd.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -3,7 +3,7 @@
 scalers, combined by an MLP tower."""
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

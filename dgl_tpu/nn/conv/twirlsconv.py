@@ -4,7 +4,6 @@ reweighting) -> MLP, from "Graph Neural Networks Inspired by Classical
 Iterative Algorithms" (arXiv:2103.06064)."""
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

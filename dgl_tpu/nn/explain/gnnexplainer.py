@@ -8,7 +8,7 @@ The model must be a callable ``model_fn(graph, feat, eweight) -> logits``
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

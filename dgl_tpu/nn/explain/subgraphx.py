@@ -9,7 +9,6 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ...base import DGLError
 
 
 class _MCTSNode:

@@ -1,7 +1,7 @@
 """Typed/hetero linear layers (reference ``python/dgl/nn/pytorch/linear.py``)."""
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

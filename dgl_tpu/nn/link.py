@@ -2,7 +2,7 @@
 ``edgepred.py``, ``transe.py``, ``transr.py``)."""
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -7,15 +7,12 @@ the skip-gram objective as a jit-compiled batch step.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..base import DGLError
-from ..sampling import random_walk, node2vec_random_walk
+from ..sampling import random_walk
 
 
 class DeepWalk(nn.Module):

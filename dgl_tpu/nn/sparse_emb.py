@@ -9,7 +9,7 @@ optimizers but expressed as pure array ops under jit.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

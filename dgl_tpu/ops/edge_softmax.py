@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import Graph, Relation
-from .spmm import _expand
 
 __all__ = ["edge_softmax"]
 

@@ -9,7 +9,7 @@ mesh, and embedding tables shard by row over the ``tp`` axis.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 __all__ = ["StageTimer", "profile_trace", "timed_stage"]
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 import numpy as np
 
 from . import traversal
-from .base import DGLError
 
 __all__ = [
     "prop_nodes",

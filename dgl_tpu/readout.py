@@ -7,7 +7,6 @@ primitive as g-SpMM.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .base import DGLError

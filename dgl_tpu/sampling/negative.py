@@ -7,7 +7,6 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..base import DGLError
 from ..graph import Graph
 
 __all__ = ["global_uniform_negative_sampling"]

@@ -18,7 +18,7 @@ from typing import Dict, Mapping, Optional, Union
 import numpy as np
 
 from ..base import DGLError, EID
-from ..graph import Graph, Relation
+from ..graph import Graph
 
 __all__ = ["sample_neighbors", "sample_neighbors_fixed", "in_subgraph_sample", "temporal_sample_neighbors"]
 

@@ -1,7 +1,6 @@
 """Sparse matmuls (reference ``python/dgl/sparse/matmul.py:12,50,88``)."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

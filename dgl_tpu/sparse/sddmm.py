@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..base import DGLError
 from ..ops import gsddmm
 from .sparse_matrix import SparseMatrix, val_like
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..base import DGLError
 from .sparse_matrix import SparseMatrix, val_like
 
 __all__ = ["softmax"]

@@ -8,7 +8,7 @@ reference crosses into C++. Induced node/edge ids are stored in
 """
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Sequence, Union
+from typing import Dict, Mapping, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -5,7 +5,7 @@ Each transform is a callable object ``t(g) -> g'`` composable with
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ fixed-shape device steps.
 """
 from __future__ import annotations
 
-from collections import deque
 from typing import List
 
 import numpy as np

@@ -3,7 +3,6 @@ C++ ``src/array/filter.cc`` cuco-based GPU filter -> ``jnp.isin`` on TPU)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["Filter"]
 
