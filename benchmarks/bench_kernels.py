@@ -13,7 +13,7 @@ from functools import partial
 import numpy as np
 
 
-def chain_timer(op, g, args, iters=10, reps=2):
+def chain_timer(op, g, args, iters=10, reps=3):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,10 @@ def chain_timer(op, g, args, iters=10, reps=2):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (timed(1 + iters) - timed(1)) / iters
+    # differencing cancels dispatch overhead but is noisy for sub-ms
+    # kernels: clamp to a dispatch-noise floor
+    dt = (timed(1 + iters) - timed(1)) / iters
+    return max(dt, 1e-6)
 
 
 def main():
