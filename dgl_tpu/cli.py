@@ -22,6 +22,7 @@ RECIPES = {
     "nodepred_sage_cora": {"pipeline": "nodepred", "model": "sage", "dataset": "cora", "epochs": 200, "lr": 1e-2, "hidden": 64},
     "nodepred-ns_sage_synthetic": {"pipeline": "nodepred-ns", "model": "sage", "dataset": "synthetic", "epochs": 5, "lr": 1e-3, "hidden": 128, "batch_size": 256, "fanouts": [10, 10]},
     "linkpred_sage_synthetic": {"pipeline": "linkpred", "model": "sage", "dataset": "synthetic", "epochs": 50, "lr": 1e-3, "hidden": 64},
+    "graphpred_gin_synthetic": {"pipeline": "graphpred", "model": "gin", "dataset": "graphcls", "epochs": 60, "lr": 5e-3, "hidden": 32},
 }
 
 
@@ -164,6 +165,64 @@ def _run_nodepred_ns(cfg: dict):
         print(f"epoch {epoch} loss {tot/nb:.4f} ({time.perf_counter()-t0:.2f}s)")
 
 
+def _run_graphpred(cfg: dict):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax import linen as fnn
+
+    from .batch import batch as batch_graphs
+    from . import readout
+    from .data import GraphClassificationDataset
+    from .nn.conv import GINConv
+
+    ds = GraphClassificationDataset(num_graphs=96)
+    graphs = [ds[i][0] for i in range(len(ds))]
+    labels = np.array([int(ds[i][1]) for i in range(len(ds))])
+    bg = batch_graphs(graphs)
+    x = bg.ndata["feat"]
+    y = jnp.asarray(labels)
+    hidden = cfg.get("hidden", 32)
+
+    class GIN(fnn.Module):
+        @fnn.compact
+        def __call__(self, g, h):
+            mlp1 = fnn.Sequential([fnn.Dense(hidden), jax.nn.relu, fnn.Dense(hidden)])
+            h = GINConv(apply_func=mlp1, aggregator_type="sum", name="gin0")(g, h)
+            h = jax.nn.relu(h)
+            mlp2 = fnn.Sequential([fnn.Dense(hidden), jax.nn.relu, fnn.Dense(hidden)])
+            h = GINConv(apply_func=mlp2, aggregator_type="sum", name="gin1")(g, h)
+            with g.local_scope() as gg:
+                gg.ndata["h"] = h
+                hg = readout.mean_nodes(gg, "h")
+            return fnn.Dense(ds.num_classes, name="head")(hg)
+
+    model = GIN()
+    params = model.init(jax.random.PRNGKey(0), bg, x)
+    tx = optax.adam(cfg.get("lr", 5e-3))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, st):
+        loss, grads = jax.value_and_grad(
+            lambda p: optax.softmax_cross_entropy_with_integer_labels(
+                model.apply(p, bg, x), y
+            ).mean()
+        )(p)
+        u, st = tx.update(grads, st)
+        return optax.apply_updates(p, u), st, loss
+
+    for epoch in range(cfg.get("epochs", 60)):
+        params, opt_state, loss = step(params, opt_state)
+        if epoch % 20 == 0:
+            print(f"epoch {epoch} loss {float(loss):.4f}")
+    pred = np.asarray(jnp.argmax(model.apply(params, bg, x), -1))
+    acc = (pred == labels).mean()
+    print(f"graph classification accuracy {acc:.4f}")
+    return acc
+
+
 def _run_linkpred(cfg: dict):
     sys.argv = ["linkpred", "--epochs", str(cfg.get("epochs", 50))]
     import importlib.util
@@ -188,7 +247,7 @@ def main(argv=None):
     rp.add_argument("name", nargs="?")
 
     cp = sub.add_parser("configure", help="emit a pipeline config JSON")
-    cp.add_argument("pipeline", choices=["nodepred", "nodepred-ns", "linkpred"])
+    cp.add_argument("pipeline", choices=["nodepred", "nodepred-ns", "linkpred", "graphpred"])
     cp.add_argument("--model", default="gcn")
     cp.add_argument("--dataset", default="cora")
     cp.add_argument("--epochs", type=int, default=200)
@@ -197,7 +256,7 @@ def main(argv=None):
 
     tp = sub.add_parser("train", help="run a pipeline")
     tp.add_argument("--cfg", help="config JSON path")
-    tp.add_argument("--pipeline", choices=["nodepred", "nodepred-ns", "linkpred"])
+    tp.add_argument("--pipeline", choices=["nodepred", "nodepred-ns", "linkpred", "graphpred"])
     tp.add_argument("--model", default="gcn")
     tp.add_argument("--dataset", default="cora")
     tp.add_argument("--epochs", type=int)
@@ -251,6 +310,8 @@ def main(argv=None):
             _run_nodepred_ns(cfg)
         elif pipeline == "linkpred":
             _run_linkpred(cfg)
+        elif pipeline == "graphpred":
+            _run_graphpred(cfg)
         else:
             raise SystemExit(f"unknown pipeline {pipeline!r}")
 
