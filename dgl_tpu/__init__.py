@@ -72,6 +72,24 @@ from .homophily import (
     node_label_informativeness,
 )
 from .merge import merge
+from . import storages
+from . import optim
+from .graphbolt.lazy import (
+    LazyFeature,
+    set_node_lazy_features,
+    set_edge_lazy_features,
+    set_src_lazy_features,
+    set_dst_lazy_features,
+)
+
+
+def apply_each(data, fn, *args, **kwargs):
+    """Apply ``fn`` to every value of a dict (or to a bare value) —
+    reference ``dgl.apply_each`` (``python/dgl/utils/internal.py``)."""
+    if isinstance(data, dict):
+        return {k: fn(v, *args, **kwargs) for k, v in data.items()}
+    return fn(data, *args, **kwargs)
+
 from . import utils
 from . import checkpoint
 from .checkpoint import save_checkpoint, load_checkpoint
@@ -107,6 +125,10 @@ from .transforms.functional import (
 
 # convenience alias matching `import dgl.function as fn`
 fn = function
+
+# reference-compatible aliases
+DGLGraph = Graph
+DGLHeteroGraph = Graph
 
 __version__ = "0.1.0"
 
