@@ -290,3 +290,72 @@ def load_partition_book(part_path: str):
     return RangePartitionBook(
         np.asarray(book["node_ranges"]), book["num_parts"], meta=book
     )
+
+
+def hetero_partition_assignment(g: Graph, k: int) -> "np.ndarray":
+    """Partition a heterograph via its homogeneous encoding (reference
+    ``graph_partition_book.py:480-530`` homogeneous-ID scheme): returns
+    per-ntype part assignments {ntype: (N_nt,) int64}."""
+    from ..base import NID, NTYPE
+    from ..convert import to_homogeneous
+
+    homo = to_homogeneous(g)
+    parts = metis_partition_assignment(homo, k)
+    ntype_ids = np.asarray(homo._node_frames["_N"][NTYPE])
+    local_ids = np.asarray(homo._node_frames["_N"][NID])
+    out = {}
+    for i, nt in enumerate(g.ntypes):
+        sel = ntype_ids == i
+        arr = np.zeros(g.num_nodes(nt), np.int64)
+        arr[local_ids[sel]] = parts[sel]
+        out[nt] = arr
+    return out
+
+
+def partition_hetero_graph(g: Graph, graph_name: str, num_parts: int,
+                           out_path: str, **kwargs):
+    """Partition + write shards for a heterograph (per-part node-induced
+    hetero subgraphs with inner-node markers per ntype)."""
+    from ..data.serialize import save_graphs
+    from ..subgraph import node_subgraph
+
+    assign = hetero_partition_assignment(g, num_parts)
+    os.makedirs(out_path, exist_ok=True)
+    cut = 0
+    for cet in g.canonical_etypes:
+        rel = g._relations[cet]
+        st, _, dt = cet
+        src = np.asarray(rel.src)[: rel.num_edges]
+        dst = np.asarray(rel.dst)[: rel.num_edges]
+        cut += int((assign[st][src] != assign[dt][dst]).sum())
+    book = {
+        "graph_name": graph_name,
+        "num_parts": num_parts,
+        "hetero": True,
+        "ntypes": list(g.ntypes),
+        "num_nodes_per_type": {nt: g.num_nodes(nt) for nt in g.ntypes},
+        "edge_cut": cut,
+    }
+    with open(os.path.join(out_path, f"{graph_name}.json"), "w") as f:
+        json.dump(book, f)
+    for p in range(num_parts):
+        owned = {nt: np.nonzero(assign[nt] == p)[0] for nt in g.ntypes}
+        # 1-hop halo per relation (in-neighbors of owned dst nodes)
+        keep = {nt: set(map(int, ids)) for nt, ids in owned.items()}
+        for cet in g.canonical_etypes:
+            st, _, dt = cet
+            rel = g._relations[cet]
+            indptr = np.asarray(rel.csc_indptr)
+            indices = np.asarray(rel.csc_indices)
+            for v in owned[dt]:
+                keep[st].update(map(int, indices[indptr[v] : indptr[v + 1]]))
+        nodes = {nt: np.array(sorted(s), np.int64) for nt, s in keep.items()}
+        sub = node_subgraph(g, nodes)
+        for nt in g.ntypes:
+            inner = np.isin(nodes[nt], owned[nt])
+            sub._node_frames.setdefault(nt, {})["inner_node"] = jnp.asarray(inner)
+        save_graphs(os.path.join(out_path, f"part{p}.npz"), [sub])
+    return assign
+
+
+__all__ += ["hetero_partition_assignment", "partition_hetero_graph"]

@@ -270,3 +270,33 @@ def test_delayed_halo_aggregation(g, mesh):
     # first step only aggregated locally-owned edges (stale zero halo)
     got1 = np.asarray(shards.unshard(out1))
     assert not np.allclose(got1, exact)
+
+
+def test_hetero_partition():
+    from dgl_tpu.data import synthetic_hetero_graph
+    from dgl_tpu.data.serialize import load_graphs
+    from dgl_tpu.distributed.partition import (
+        hetero_partition_assignment,
+        partition_hetero_graph,
+    )
+    import json
+    import os
+
+    g = synthetic_hetero_graph()
+    assign = hetero_partition_assignment(g, 4)
+    assert set(assign) == set(g.ntypes)
+    for nt in g.ntypes:
+        assert assign[nt].shape[0] == g.num_nodes(nt)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    partition_hetero_graph(g, "mag", 4, d)
+    total_inner = 0
+    for p in range(4):
+        graphs, _ = load_graphs(os.path.join(d, f"part{p}.npz"))
+        pg = graphs[0]
+        total_inner += sum(
+            int(np.asarray(pg._node_frames[nt]["inner_node"]).sum())
+            for nt in pg.ntypes
+        )
+    assert total_inner == sum(g.num_nodes(nt) for nt in g.ntypes)
