@@ -23,6 +23,7 @@ from .partition import (
 )
 from .shard import GraphShards, build_shards
 from .dist_spmm import dist_copy_u_sum, dist_spmm, halo_exchange
+from .hetero_shard import HeteroGraphShards, build_hetero_shards, dist_hetero_copy_u_sum
 from .dist_tensor import DistTensor, DistEmbedding
 from .dist_context import initialize, get_rank, get_world_size
 
@@ -38,6 +39,9 @@ __all__ = [
     "dist_copy_u_sum",
     "dist_spmm",
     "halo_exchange",
+    "HeteroGraphShards",
+    "build_hetero_shards",
+    "dist_hetero_copy_u_sum",
     "DistTensor",
     "DistEmbedding",
     "initialize",

@@ -300,3 +300,45 @@ def test_hetero_partition():
             for nt in pg.ntypes
         )
     assert total_inner == sum(g.num_nodes(nt) for nt in g.ntypes)
+
+
+def test_hetero_halo_exchange_matches_local(mesh):
+    """Hetero partition-parallel aggregation == single-device
+    multi_update_all(copy_u, sum; cross sum)."""
+    from dgl_tpu.data import synthetic_hetero_graph
+    from dgl_tpu.distributed.hetero_shard import (
+        build_hetero_shards,
+        dist_hetero_copy_u_sum,
+    )
+    from dgl_tpu.distributed.partition import hetero_partition_assignment
+    import dgl_tpu.function as fn
+
+    g = synthetic_hetero_graph()
+    assign = hetero_partition_assignment(g, 8)
+    shards = build_hetero_shards(g, assign, 8)
+    rng = np.random.default_rng(0)
+    F = 6
+    feats = {
+        nt: rng.normal(size=(g.num_nodes(nt), F)).astype(np.float32)
+        for nt in g.ntypes
+    }
+    # single-device reference via multi_update_all
+    gl = g.local_var()
+    for nt in g.ntypes:
+        gl._node_frames.setdefault(nt, {})["h"] = jnp.asarray(feats[nt])
+    gl.multi_update_all(
+        {cet: (fn.copy_u("h", "m"), fn.sum("m", "agg"))
+         for cet in g.canonical_etypes},
+        "sum",
+    )
+    # distributed
+    x_sh = shards.shard_features(feats)
+    out_sh = dist_hetero_copy_u_sum(mesh, shards, x_sh)
+    got = shards.unshard(out_sh)
+    for nt in g.ntypes:
+        expect = gl._node_frames[nt].get("agg")
+        if expect is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(got[nt]), np.asarray(expect), rtol=1e-4, atol=1e-4
+        )
