@@ -55,12 +55,28 @@ class NeighborSamplerStage(_Stage):
 
 
 class FeatureFetcher(_Stage):
-    """Gather features for input nodes (reference ``feature_fetcher.py:49``)."""
+    """Gather features for input nodes (reference ``feature_fetcher.py:49``).
 
-    def __init__(self, source, feature_store, node_feature_keys: Sequence[str],
-                 domain: str = "node", type_name: str = "_N"):
+    ``node_feature_keys=None`` reads ``LazyFeature`` markers from ``graph``
+    (set with ``dgl.set_node_lazy_features``) to decide what to fetch —
+    the reference's lazy-feature prefetch contract."""
+
+    def __init__(self, source, feature_store, node_feature_keys=None,
+                 domain: str = "node", type_name: str = "_N", graph=None):
         super().__init__(source)
         self.store = feature_store
+        if node_feature_keys is None:
+            from .lazy import LazyFeature
+
+            if graph is None:
+                raise ValueError(
+                    "node_feature_keys=None requires graph= to read "
+                    "LazyFeature markers"
+                )
+            frame = graph._node_frames.get(type_name, {})
+            node_feature_keys = [
+                k for k, v in frame.items() if isinstance(v, LazyFeature)
+            ]
         self.keys = list(node_feature_keys)
         self.domain = domain
         self.type_name = type_name
