@@ -1246,3 +1246,18 @@ def _graph_get_initializer(self, kind, field, type_key):
 Graph.set_n_initializer = _graph_set_n_initializer
 Graph.set_e_initializer = _graph_set_e_initializer
 Graph._get_initializer = _graph_get_initializer
+
+
+def _graph_formats(self, formats=None):
+    """Report sparse formats (reference ``heterograph.py:6090``).
+
+    All formats are materialized eagerly at construction (the TPU-first
+    static-layout design), so this is informational: restricting formats is
+    a no-op and returns self.
+    """
+    if formats is None:
+        return {"created": ["coo", "csr", "csc"], "not created": []}
+    return self
+
+
+Graph.formats = _graph_formats
