@@ -20,7 +20,10 @@ def chain_timer(op, g, args, iters=10, reps=3):
     @jax.jit
     def chained(g, k, *a):
         def body(_, c):
-            return c + jnp.sum(op(g, *a)) * 1e-9
+            # mix the carry into the inputs so the op is loop-variant —
+            # otherwise XLA hoists it out of the loop and timing collapses
+            a_dep = tuple(x * (1.0 + c * 1e-20) for x in a)
+            return c + jnp.sum(op(g, *a_dep)) * 1e-9
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     float(chained(g, 1, *args))

@@ -187,3 +187,26 @@ def test_to_networkx_roundtrip():
     nxg = g.to_networkx()
     g2 = dgl.from_networkx(nxg)
     assert g2.num_nodes() == 3 and g2.num_edges() == 2
+
+
+def test_pickle_roundtrip():
+    """Graph pickling (reference test_heterograph pickling tests)."""
+    import pickle
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import dgl_tpu as dgl
+
+    g = dgl.heterograph(
+        {
+            ("user", "follows", "user"): ([0, 1], [1, 2]),
+            ("user", "plays", "game"): ([0, 2], [0, 1]),
+        }
+    )
+    g._node_frames.setdefault("user", {})["x"] = jnp.arange(3.0)
+    g2 = pickle.loads(pickle.dumps(g))
+    assert g2.num_nodes("user") == 3 and g2.num_edges("plays") == 2
+    np.testing.assert_allclose(
+        np.asarray(g2._node_frames["user"]["x"]), [0, 1, 2]
+    )
