@@ -100,6 +100,7 @@ def create_block(
     num_dst_nodes=None,
     idtype=jnp.int32,
     num_edges=None,
+    to_device: bool = True,
 ) -> Graph:
     """Create a message-flow-graph block (reference ``convert.py:389``).
 
@@ -140,6 +141,7 @@ def create_block(
             num_dst_nodes[dt],
             idtype=idtype,
             num_edges=ne,
+            to_device=to_device,
         )
     return Graph(
         rels,

@@ -37,6 +37,7 @@ class DataLoader:
         drop_last: bool = False,
         seed: Optional[int] = None,
         num_prefetch: int = 2,
+        num_workers: int = 1,
         use_prefetch_thread: bool = True,
         device=None,
         ddp_rank: int = 0,
@@ -50,6 +51,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.device = device
         self.num_prefetch = num_prefetch
+        self.num_workers = num_workers
         self.use_prefetch_thread = use_prefetch_thread
         self._rng = np.random.default_rng(seed)
         # DDP-style split (reference ``DDPTensorizedDataset``,
@@ -88,6 +90,24 @@ class DataLoader:
         if not self.use_prefetch_thread:
             for batch in self._batches():
                 yield self._produce(batch)
+            return
+        if self.num_workers > 1:
+            # thread-pool sampling: the native sampler releases the GIL, so
+            # batches sample in parallel; results yielded in order
+            # (reference: GraphBolt's multiprocess pre-fetch segment,
+            # ``graphbolt/dataloader.py:108-191`` — threads suffice here
+            # because the hot loops are in C)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = []
+                batches = self._batches()
+                for batch in batches:
+                    futures.append(pool.submit(self._produce, batch))
+                    if len(futures) >= self.num_workers + self.num_prefetch:
+                        yield futures.pop(0).result()
+                for f in futures:
+                    yield f.result()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
         _END = object()

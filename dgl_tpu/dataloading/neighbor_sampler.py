@@ -207,23 +207,24 @@ def _finalize_block(g, seed_ids, cap_dst, cap_src, src_ids, esrc, edst,
         num_src_nodes={"_N": cap_src},
         num_dst_nodes={"_N": cap_dst},
         idtype=g.idtype,
+        to_device=False,  # host-side arrays: jit converts once per step
     )
     # static degree bounds so every batch shares one pytree treedef (the
     # data-dependent max degrees would otherwise force recompiles)
     brel = block._relations[("_N", "_E", "_N")]
     brel.max_in_degree = Ecap
     brel.max_out_degree = Ecap
-    block._node_frames.setdefault("_N", {})[NID] = jnp.asarray(
-        np.where(src_ids >= 0, src_ids, 0)
+    block._node_frames.setdefault("_N", {})[NID] = np.where(
+        src_ids >= 0, src_ids, 0
     )
-    block._node_frames["_N"]["_mask"] = jnp.asarray(src_ids >= 0)
-    block._dst_frames.setdefault("_N", {})[NID] = jnp.asarray(
-        np.where(seed_ids >= 0, seed_ids, 0)
+    block._node_frames["_N"]["_mask"] = src_ids >= 0
+    block._dst_frames.setdefault("_N", {})[NID] = np.where(
+        seed_ids >= 0, seed_ids, 0
     )
-    block._dst_frames["_N"]["_mask"] = jnp.asarray(seed_ids >= 0)
+    block._dst_frames["_N"]["_mask"] = seed_ids >= 0
     cet = block.canonical_etypes[0]
-    block._edge_frames.setdefault(cet, {})[EID] = jnp.asarray(eids_out)
-    block._edge_frames[cet]["_mask"] = jnp.asarray(emask)
+    block._edge_frames.setdefault(cet, {})[EID] = eids_out
+    block._edge_frames[cet]["_mask"] = emask
     return block
 
 
