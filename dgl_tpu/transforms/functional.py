@@ -40,6 +40,9 @@ __all__ = [
     "ppr",
     "heat_kernel",
     "sign_diffusion",
+    "to_levi",
+    "double_radius_node_labeling",
+    "svd_pe",
 ]
 
 
@@ -799,3 +802,76 @@ def sign_diffusion(g: Graph, k: int, in_feat_name: str = "feat",
         h = nxt
         g.ndata[f"{out_feat_name}_{i}"] = h
     return g
+
+
+def to_levi(g: Graph) -> Graph:
+    """Levi graph: edges become nodes (reference ``functional.py``
+    ``ToLevi`` transform): heterograph with 'node' and 'edge' ntypes and
+    relations node->edge ('belongs'), edge->node ('points')."""
+    from .. import convert
+
+    rel = g._relation(None)
+    E = rel.num_edges
+    src = _np(rel.src)[:E]
+    dst = _np(rel.dst)[:E]
+    eids = np.arange(E, dtype=np.int64)
+    out = convert.heterograph(
+        {
+            ("node", "belongs", "edge"): (src, eids),
+            ("edge", "points", "node"): (eids, dst),
+        },
+        num_nodes_dict={"node": g.num_nodes(), "edge": E},
+    )
+    for k, v in g._node_frames.get(g.ntypes[0], {}).items():
+        out._node_frames.setdefault("node", {})[k] = v
+    for k, v in g._edge_frames.get(g.canonical_etypes[0], {}).items():
+        out._node_frames.setdefault("edge", {})[k] = v
+    return out
+
+
+def double_radius_node_labeling(g: Graph, src: int, dst: int):
+    """DRNL labels for SEAL-style link prediction (reference
+    ``functional.py`` ``double_radius_node_labeling``):
+    z = 1 + min(d_src, d_dst) + (d//2)(d//2 + d%2 - 1) with d = d_src+d_dst;
+    z(src)=z(dst)=1; unreachable nodes get 0."""
+    d_all = np.asarray(shortest_dist(g))
+    ds = d_all[src].astype(np.float64)
+    dt = d_all[dst].astype(np.float64)
+    ds[ds < 0] = np.inf
+    dt[dt < 0] = np.inf
+    d = ds + dt
+    with np.errstate(invalid="ignore"):
+        z = 1 + np.minimum(ds, dt) + (d // 2) * ((d // 2) + (d % 2) - 1)
+    z[src] = 1.0
+    z[dst] = 1.0
+    z[~np.isfinite(z)] = 0.0
+    return jnp.asarray(z.astype(np.int64))
+
+
+def svd_pe(g: Graph, k: int, padding: bool = False, random_flip: bool = True,
+           seed: int = 0):
+    """SVD-based positional encoding (reference ``functional.py``
+    ``svd_pe``): concat of top-k left/right singular vectors scaled by
+    sqrt of singular values."""
+    n = g.num_nodes()
+    if not padding and n < k:
+        raise DGLError(f"need num_nodes >= k ({n} < {k}); use padding=True")
+    rel = g._relation(None)
+    src = _np(rel.src)[: rel.num_edges]
+    dst = _np(rel.dst)[: rel.num_edges]
+    a = np.zeros((n, n), np.float64)
+    a[src, dst] = 1.0
+    u, s, vt = np.linalg.svd(a)
+    kk = min(k, n)
+    sq = np.sqrt(s[:kk])
+    pu = u[:, :kk] * sq
+    pv = vt[:kk].T * sq
+    if random_flip:
+        rng = np.random.default_rng(seed)
+        signs = np.where(rng.random(kk) < 0.5, -1.0, 1.0)
+        pu = pu * signs
+        pv = pv * signs
+    pe = np.concatenate([pu, pv], axis=1)
+    if kk < k:
+        pe = np.pad(pe, ((0, 0), (0, 2 * (k - kk))))
+    return jnp.asarray(pe.astype(np.float32))
