@@ -95,6 +95,7 @@ from . import checkpoint
 from .checkpoint import save_checkpoint, load_checkpoint
 from .config import config, get_config
 from .logging_mod import get_logger, enable_verbose_logging
+from . import health
 from . import dataloading
 from . import graphbolt
 from . import models
