@@ -27,6 +27,7 @@ __all__ = [
     "partition_graph",
     "load_partition",
     "load_partition_book",
+    "load_assignment",
 ]
 
 
@@ -241,6 +242,9 @@ def partition_graph(
     }
     with open(os.path.join(out_path, f"{graph_name}.json"), "w") as f:
         json.dump(book, f)
+    # assignment array: lets training jobs rebuild SPMD shard tables
+    # (build_shards) without re-partitioning
+    np.save(os.path.join(out_path, "assignment.npy"), parts)
 
     for p in range(num_parts):
         owned_old = order[ranges[p] : ranges[p + 1]]
@@ -275,6 +279,13 @@ def load_partition(part_path: str, part_id: int):
     book = load_partition_book(part_path)
     graphs, _ = load_graphs(os.path.join(d, f"part{part_id}.npz"))
     return graphs[0], book
+
+
+def load_assignment(part_path: str) -> np.ndarray:
+    """Per-node part ids saved by ``partition_graph`` — feed to
+    ``build_shards`` to reconstruct the SPMD tables."""
+    d = os.path.dirname(part_path) if part_path.endswith(".json") else part_path
+    return np.load(os.path.join(d, "assignment.npy"))
 
 
 def load_partition_book(part_path: str):
