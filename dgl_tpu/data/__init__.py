@@ -25,6 +25,23 @@ from .synthetic import (
 from .csv_dataset import CSVDataset
 from .adapter import AsNodePredDataset, AsLinkPredDataset, AsGraphPredDataset, from_ogb
 from .synthetic import KnowledgeGraphDataset, GraphClassificationDataset
+from .synthetic import (
+    CoraFullDataset,
+    AmazonCoBuyComputerDataset,
+    AmazonCoBuyPhotoDataset,
+    CoauthorCSDataset,
+    CoauthorPhysicsDataset,
+    WikiCSDataset,
+    FlickrDataset,
+    YelpDataset,
+    ActorDataset,
+    ChameleonDataset,
+    SquirrelDataset,
+    CornellDataset,
+    TexasDataset,
+    WisconsinDataset,
+    split_dataset,
+)
 from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset
 
 __all__ = [
@@ -52,6 +69,21 @@ __all__ = [
     "from_ogb",
     "KnowledgeGraphDataset",
     "GraphClassificationDataset",
+    "CoraFullDataset",
+    "AmazonCoBuyComputerDataset",
+    "AmazonCoBuyPhotoDataset",
+    "CoauthorCSDataset",
+    "CoauthorPhysicsDataset",
+    "WikiCSDataset",
+    "FlickrDataset",
+    "YelpDataset",
+    "ActorDataset",
+    "ChameleonDataset",
+    "SquirrelDataset",
+    "CornellDataset",
+    "TexasDataset",
+    "WisconsinDataset",
+    "split_dataset",
     "BAShapeDataset",
     "TreeCycleDataset",
     "TreeGridDataset",

@@ -369,3 +369,90 @@ class GraphClassificationDataset(DGLDataset):
     @property
     def num_classes(self):
         return self._num_classes
+
+
+def _make_named_dataset(name, n, e, c, d, homophily=0.8):
+    """Factory for reference-named node-classification datasets with
+    matching (nodes, edges, feat, classes) statistics (reference
+    ``data/``: CoraFull, AmazonCoBuy, Coauthor, WikiCS, heterophilous
+    suites, Flickr/Yelp graphsaint sets)."""
+
+    class _Named(SyntheticDataset):
+        def __init__(self, transform=None, **kwargs):
+            super().__init__(
+                name=name, num_nodes=n, num_edges=e, num_classes=c,
+                feat_dim=d, seed=abs(hash(name)) % 2**31,
+                transform=transform,
+            )
+
+        def process(self):
+            nn_, e_, c_, d_, s_ = self._cfg
+            self._g = synthetic_classification_graph(
+                nn_, e_, c_, d_, homophily=homophily, seed=s_
+            )
+
+    _Named.__name__ = name
+    return _Named
+
+
+# citation-family extensions (reference data/citation_graph.py CoraFull,
+# data/gnn_benchmark.py Amazon/Coauthor)
+CoraFullDataset = _make_named_dataset("CoraFullDataset", 19793, 126842, 70, 512)
+AmazonCoBuyComputerDataset = _make_named_dataset(
+    "AmazonCoBuyComputerDataset", 13752, 491722, 10, 767
+)
+AmazonCoBuyPhotoDataset = _make_named_dataset(
+    "AmazonCoBuyPhotoDataset", 7650, 238162, 8, 745
+)
+CoauthorCSDataset = _make_named_dataset(
+    "CoauthorCSDataset", 18333, 163788, 15, 300
+)
+CoauthorPhysicsDataset = _make_named_dataset(
+    "CoauthorPhysicsDataset", 34493, 495924, 5, 400
+)
+WikiCSDataset = _make_named_dataset("WikiCSDataset", 11701, 431726, 10, 300)
+# graphsaint suite (reference data/flickr.py, data/yelp.py)
+FlickrDataset = _make_named_dataset("FlickrDataset", 89250, 899756, 7, 500)
+YelpDataset = _make_named_dataset("YelpDataset", 716847, 13954819 // 10, 100, 300)
+# heterophilous suite (reference data/geom_gcn.py: low homophily)
+ActorDataset = _make_named_dataset("ActorDataset", 7600, 33544, 5, 931, 0.25)
+ChameleonDataset = _make_named_dataset(
+    "ChameleonDataset", 2277, 36101, 5, 2325, 0.3
+)
+SquirrelDataset = _make_named_dataset(
+    "SquirrelDataset", 5201, 217073, 5, 2089, 0.3
+)
+CornellDataset = _make_named_dataset("CornellDataset", 183, 295, 5, 1703, 0.2)
+TexasDataset = _make_named_dataset("TexasDataset", 183, 309, 5, 1703, 0.2)
+WisconsinDataset = _make_named_dataset(
+    "WisconsinDataset", 251, 499, 5, 1703, 0.2
+)
+
+
+def split_dataset(dataset, frac_list=(0.8, 0.1, 0.1), shuffle=False,
+                  random_state=None):
+    """Split a dataset into subsets (reference ``data/utils.py``
+    ``split_dataset``): returns list of index-view subsets."""
+
+    class _Subset:
+        def __init__(self, ds, idx):
+            self._ds = ds
+            self._idx = idx
+
+        def __getitem__(self, i):
+            return self._ds[int(self._idx[i])]
+
+        def __len__(self):
+            return len(self._idx)
+
+    n = len(dataset)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(random_state).shuffle(idx)
+    out = []
+    lo = 0
+    for i, f in enumerate(frac_list):
+        hi = n if i == len(frac_list) - 1 else lo + int(n * f)
+        out.append(_Subset(dataset, idx[lo:hi]))
+        lo = hi
+    return out
