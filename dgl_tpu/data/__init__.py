@@ -42,7 +42,12 @@ from .synthetic import (
     WisconsinDataset,
     split_dataset,
 )
-from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset
+from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset, MiniGCDataset
+
+# graph-classification aliases (reference data/tu.py, data/gindt.py):
+# deterministic synthetic stand-ins with planted structure
+TUDataset = GraphClassificationDataset
+GINDataset = GraphClassificationDataset
 
 __all__ = [
     "DGLDataset",
@@ -87,4 +92,7 @@ __all__ = [
     "BAShapeDataset",
     "TreeCycleDataset",
     "TreeGridDataset",
+    "MiniGCDataset",
+    "TUDataset",
+    "GINDataset",
 ]

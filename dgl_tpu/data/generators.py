@@ -8,7 +8,7 @@ import numpy as np
 
 from .dgl_dataset import DGLDataset
 
-__all__ = ["BAShapeDataset", "TreeCycleDataset", "TreeGridDataset"]
+__all__ = ["BAShapeDataset", "TreeCycleDataset", "TreeGridDataset", "MiniGCDataset"]
 
 
 def _barabasi_albert(n: int, m: int, rng) -> list:
@@ -141,3 +141,72 @@ class TreeGridDataset(_MotifDataset):
     @property
     def num_classes(self):
         return 2
+
+
+class MiniGCDataset(DGLDataset):
+    """Mini graph classification dataset (reference ``data/minigc.py``):
+    8 topology classes — cycle, star, wheel, lollipop, hypercube, grid,
+    clique, circular ladder."""
+
+    def __init__(self, num_graphs: int, min_num_v: int, max_num_v: int,
+                 seed=0, transform=None, **kwargs):
+        self.num_graphs = num_graphs
+        self.min_num_v = min_num_v
+        self.max_num_v = max_num_v
+        self._seed = seed
+        super().__init__(name="minigc", transform=transform)
+
+    def process(self):
+        import networkx as nx
+
+        from .. import convert
+
+        rng = np.random.default_rng(self._seed)
+        self.graphs = []
+        self.labels = []
+
+        def build(label, n):
+            n = max(n, 4)
+            if label == 0:
+                nxg = nx.cycle_graph(n)
+            elif label == 1:
+                nxg = nx.star_graph(n - 1)
+            elif label == 2:
+                nxg = nx.wheel_graph(n - 1)
+            elif label == 3:
+                m = max(2, n // 2)
+                nxg = nx.lollipop_graph(m, n - m)
+            elif label == 4:
+                d = max(2, int(np.log2(n)))
+                nxg = nx.hypercube_graph(d)
+                nxg = nx.convert_node_labels_to_integers(nxg)
+            elif label == 5:
+                r = max(2, int(np.sqrt(n)))
+                nxg = nx.grid_2d_graph(r, r)
+                nxg = nx.convert_node_labels_to_integers(nxg)
+            elif label == 6:
+                nxg = nx.complete_graph(min(n, 20))
+            else:
+                nxg = nx.circular_ladder_graph(max(2, n // 2))
+            return nxg
+
+        per = self.num_graphs // 8
+        for label in range(8):
+            cnt = per if label < 7 else self.num_graphs - 7 * per
+            for _ in range(cnt):
+                n = int(rng.integers(self.min_num_v, self.max_num_v))
+                nxg = build(label, n)
+                g = convert.from_networkx(nx.DiGraph(nxg))
+                self.graphs.append(g)
+                self.labels.append(label)
+        self.labels = jnp.asarray(np.array(self.labels, np.int32))
+
+    def __getitem__(self, idx):
+        return self._apply_transform(self.graphs[idx]), self.labels[idx]
+
+    def __len__(self):
+        return len(self.graphs)
+
+    @property
+    def num_classes(self):
+        return 8
