@@ -76,6 +76,10 @@ class CitationGraphDataset(DGLDataset):
     def download(self):
         if self._synthetic:
             return
+        # pre-populated planetoid files need no download
+        for base in (self.raw_dir, os.path.join(self.raw_dir, self.name)):
+            if os.path.exists(os.path.join(base, f"ind.{self.name}.x")):
+                return
         zip_path = os.path.join(self.raw_dir, f"{self.name}.zip")
         download(self.url, zip_path)
         extract_archive(zip_path, self.raw_dir)
@@ -114,10 +118,85 @@ class CitationGraphDataset(DGLDataset):
         self._g = g
 
     def _process_real(self):
-        raise NotImplementedError(
-            "Real planetoid parsing requires the downloaded pickle files; "
-            "pre-populate raw_dir or use synthetic=True."
+        """Parse the planetoid file set (reference ``citation_graph.py``
+        ``_load``): ind.{name}.{x,tx,allx,y,ty,ally,graph,test.index}."""
+        import pickle
+
+        import scipy.sparse as sp
+
+        from .. import convert
+
+        name = self.name
+        root = self.raw_dir
+        # files may live at raw_dir or raw_dir/<name>
+        base = root
+        if not os.path.exists(os.path.join(base, f"ind.{name}.x")):
+            cand = os.path.join(root, name)
+            if os.path.exists(os.path.join(cand, f"ind.{name}.x")):
+                base = cand
+
+        def load_pickle(suffix):
+            with open(os.path.join(base, f"ind.{name}.{suffix}"), "rb") as f:
+                return pickle.load(f, encoding="latin1")
+
+        x = load_pickle("x")
+        y = load_pickle("y")
+        tx = load_pickle("tx")
+        ty = load_pickle("ty")
+        allx = load_pickle("allx")
+        ally = load_pickle("ally")
+        graph_dict = load_pickle("graph")
+        test_idx = np.loadtxt(
+            os.path.join(base, f"ind.{name}.test.index"), dtype=np.int64
         )
+        test_range = np.sort(test_idx)
+        if name == "citeseer":
+            # citeseer has isolated test nodes missing from tx/ty: pad the
+            # full contiguous test range with zeros (reference does the same)
+            full = np.arange(test_range.min(), test_range.max() + 1)
+            tx_ext = sp.lil_matrix((full.shape[0], x.shape[1]))
+            tx_ext[test_range - test_range.min(), :] = tx
+            tx = tx_ext
+            ty_ext = np.zeros((full.shape[0], y.shape[1]))
+            ty_ext[test_range - test_range.min(), :] = ty
+            ty = ty_ext
+            test_idx_local = test_idx - test_range.min()
+        else:
+            test_idx_local = None
+        feats = sp.vstack((allx, tx)).tolil()
+        labels_oh = np.vstack((ally, ty))
+        if test_idx_local is None:
+            feats[test_idx, :] = feats[np.sort(test_idx), :]
+            labels_oh[test_idx, :] = labels_oh[np.sort(test_idx), :]
+        else:
+            order = test_range.min() + np.arange(tx.shape[0])
+            feats[test_idx, :] = feats[order[test_idx_local], :]
+            labels_oh[test_idx, :] = labels_oh[order[test_idx_local], :]
+        n = feats.shape[0]
+        src = []
+        dst = []
+        for u, nbrs in graph_dict.items():
+            for v in nbrs:
+                src.append(int(u))
+                dst.append(int(v))
+        g = convert.graph(
+            (np.array(src, np.int64), np.array(dst, np.int64)), num_nodes=n
+        )
+        labels = labels_oh.argmax(axis=1).astype(np.int32)
+        train_mask = np.zeros(n, bool)
+        val_mask = np.zeros(n, bool)
+        test_mask = np.zeros(n, bool)
+        train_mask[: y.shape[0]] = True
+        val_mask[y.shape[0] : y.shape[0] + 500] = True
+        test_mask[test_idx] = True
+        g.ndata["feat"] = jnp.asarray(
+            np.asarray(feats.todense(), dtype=np.float32)
+        )
+        g.ndata["label"] = jnp.asarray(labels)
+        g.ndata["train_mask"] = jnp.asarray(train_mask)
+        g.ndata["val_mask"] = jnp.asarray(val_mask)
+        g.ndata["test_mask"] = jnp.asarray(test_mask)
+        return g
 
     def save(self):
         save_graphs(self._cache_file, [self._g])

@@ -196,6 +196,40 @@ def _build_padded_block(
     ), src_ids
 
 
+def _mask_excluded_edges(block, exclude_eids):
+    """Post-hoc edge exclusion (link prediction leakage control): excluded
+    edges keep their slots but are masked AND rerouted to the padding sink,
+    so shapes stay static and the aggregation ignores them. Effective
+    fanout shrinks by the number of excluded picks (the reference resamples
+    instead; acceptable bias for bounded exclusion sets)."""
+    import jax.numpy as jnp
+
+    cet = block.canonical_etypes[0]
+    eids = np.asarray(block._edge_frames[cet][EID])
+    emask = np.asarray(block._edge_frames[cet]["_mask"])
+    bad = np.isin(eids, np.asarray(exclude_eids)) & emask
+    if not bad.any():
+        return
+    rel = block._relations[cet]
+    sink_dst = rel.num_dst - 1
+    # reroute: since aggregation uses csc order, rebuild the relation with
+    # excluded edges pointed at the sink
+    esrc = np.asarray(rel.src).copy()
+    edst = np.asarray(rel.dst).copy()
+    esrc[bad] = sink_dst
+    edst[bad] = sink_dst
+    from ..graph import Relation
+
+    new_rel = Relation.from_coo(
+        esrc, edst, rel.num_src, rel.num_dst, to_device=False
+    )
+    new_rel.max_in_degree = rel.max_in_degree
+    new_rel.max_out_degree = rel.max_out_degree
+    block._relations[cet] = new_rel
+    emask = emask & ~bad
+    block._edge_frames[cet]["_mask"] = emask
+
+
 def _finalize_block(g, seed_ids, cap_dst, cap_src, src_ids, esrc, edst,
                     eids_out, emask):
     from .. import convert
@@ -246,10 +280,6 @@ class FixedShapeNeighborSampler(BlockSampler):
         self._rng = np.random.default_rng(seed)
 
     def sample_blocks(self, g, seed_nodes, exclude_eids=None):
-        if exclude_eids is not None:
-            raise NotImplementedError(
-                "FixedShapeNeighborSampler does not support edge exclusion yet"
-            )
         seed_nodes = np.asarray(seed_nodes).astype(np.int64)
         if seed_nodes.shape[0] > self.batch_size:
             raise DGLError(
@@ -265,5 +295,7 @@ class FixedShapeNeighborSampler(BlockSampler):
             block, cur = _build_padded_block(
                 g, cur, fanout, self._rng, self.replace, self.prob
             )
+            if exclude_eids is not None:
+                _mask_excluded_edges(block, exclude_eids)
             blocks.insert(0, block)
         return cur, output_nodes, blocks

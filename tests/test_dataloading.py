@@ -164,3 +164,25 @@ def test_fixed_shape_minibatch_training(g):
         losses.append(tot)
     assert len(traces) == 1, f"expected 1 compile, got {len(traces)}"
     assert losses[-1] < losses[0]
+
+
+def test_fixed_shape_exclusion(g):
+    """Edge exclusion for link prediction keeps static shapes and drops the
+    excluded picks from aggregation."""
+    import dgl_tpu as dgl
+
+    sampler = dataloading.FixedShapeNeighborSampler([5], batch_size=8, seed=0)
+    rel = g._relation(None)
+    indeg0 = int(np.asarray(g.in_degrees())[0])
+    excl = np.asarray(rel.csc_eids)[:indeg0]
+    _, _, blocks = sampler.sample_blocks(g, np.arange(8), exclude_eids=excl)
+    blk = blocks[0]
+    em = np.asarray(blk.edata["_mask"])
+    eid = np.asarray(blk.edata[EID])
+    assert not np.isin(eid[em], excl).any()
+    # shapes identical to the unexcluded case
+    _, _, blocks2 = sampler.sample_blocks(g, np.arange(8))
+    f1, t1 = jax.tree_util.tree_flatten(blocks)
+    f2, t2 = jax.tree_util.tree_flatten(blocks2)
+    assert str(t1) == str(t2)
+    assert all(a.shape == b.shape for a, b in zip(f1, f2))
