@@ -110,13 +110,17 @@ class SyntheticDataset(DGLDataset):
 
 
 class RedditDataset(SyntheticDataset):
-    """Reddit-shaped stand-in (reference ``data/reddit.py``): 232,965 nodes
-    in the real data; synthetic fallback is scaled down by default.
+    """Reddit dataset (reference ``data/reddit.py``).
 
-    Pass ``full_scale=True`` for reference-sized structure.
+    With ``raw_dir`` containing the real files (``reddit_data.npz`` with
+    feature/label/node_types arrays + ``reddit_graph.npz`` scipy CSR, the
+    data.dgl.ai layout), loads them; otherwise a scaled-down synthetic
+    stand-in (``full_scale=True`` for reference-sized structure).
     """
 
-    def __init__(self, full_scale=False, transform=None, **kwargs):
+    def __init__(self, full_scale=False, raw_dir=None, transform=None,
+                 **kwargs):
+        self._real_dir = raw_dir
         n = 232_965 if full_scale else 20_000
         e = 114_615_892 if full_scale else 400_000
         super().__init__(
@@ -128,6 +132,37 @@ class RedditDataset(SyntheticDataset):
             seed=41,
             transform=transform,
         )
+
+    def process(self):
+        import os
+
+        d = self._real_dir
+        if d and os.path.exists(os.path.join(d, "reddit_data.npz")):
+            self._g = self._process_real(d)
+            return
+        super().process()
+
+    @staticmethod
+    def _process_real(d):
+        import os
+
+        import scipy.sparse as sp
+
+        from .. import convert
+
+        data = np.load(os.path.join(d, "reddit_data.npz"))
+        adj = sp.load_npz(os.path.join(d, "reddit_graph.npz")).tocoo()
+        g = convert.graph(
+            (adj.row.astype(np.int64), adj.col.astype(np.int64)),
+            num_nodes=data["feature"].shape[0],
+        )
+        g.ndata["feat"] = jnp.asarray(data["feature"].astype(np.float32))
+        g.ndata["label"] = jnp.asarray(data["label"].astype(np.int32))
+        types = data["node_types"]  # 1=train, 2=val, 3=test
+        g.ndata["train_mask"] = jnp.asarray(types == 1)
+        g.ndata["val_mask"] = jnp.asarray(types == 2)
+        g.ndata["test_mask"] = jnp.asarray(types == 3)
+        return g
 
 
 class PPIDataset(DGLDataset):
