@@ -24,7 +24,7 @@ from .synthetic import (
 )
 from .csv_dataset import CSVDataset
 from .adapter import AsNodePredDataset, AsLinkPredDataset, AsGraphPredDataset, from_ogb
-from .synthetic import KnowledgeGraphDataset, GraphClassificationDataset
+from .synthetic import KnowledgeGraphDataset, GraphClassificationDataset, FraudDataset
 from .synthetic import (
     CoraFullDataset,
     AmazonCoBuyComputerDataset,
@@ -74,6 +74,7 @@ __all__ = [
     "from_ogb",
     "KnowledgeGraphDataset",
     "GraphClassificationDataset",
+    "FraudDataset",
     "CoraFullDataset",
     "AmazonCoBuyComputerDataset",
     "AmazonCoBuyPhotoDataset",

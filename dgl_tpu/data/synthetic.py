@@ -491,3 +491,68 @@ def split_dataset(dataset, frac_list=(0.8, 0.1, 0.1), shuffle=False,
         out.append(_Subset(dataset, idx[lo:hi]))
         lo = hi
     return out
+
+
+class FraudDataset(DGLDataset):
+    """Fraud detection heterograph (reference ``data/fraud.py``:
+    FraudYelpDataset/FraudAmazonDataset — one review/user node type with
+    multiple relation types and a fraud/benign label; synthetic stand-in
+    with planted anomalous structure)."""
+
+    RELATIONS = {
+        "yelp": ["net_rsr", "net_rtr", "net_rur"],
+        "amazon": ["net_upu", "net_usu", "net_uvu"],
+    }
+
+    def __init__(self, name="yelp", num_nodes=2000, avg_degree=8,
+                 fraud_frac=0.15, seed=0, transform=None, **kwargs):
+        if name not in self.RELATIONS:
+            raise ValueError(f"name must be one of {list(self.RELATIONS)}")
+        self._which = name
+        self._cfg = (num_nodes, avg_degree, fraud_frac, seed)
+        super().__init__(name=f"fraud_{name}_synthetic", transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        n, deg, frac, s = self._cfg
+        rng = np.random.default_rng(s)
+        labels = (rng.random(n) < frac).astype(np.int32)
+        benign = np.nonzero(labels == 0)[0]
+        fraud = np.nonzero(labels == 1)[0]
+        data = {}
+        for i, et in enumerate(self.RELATIONS[self._which]):
+            E = n * deg // len(self.RELATIONS[self._which])
+            src = rng.integers(0, n, E)
+            # fraud nodes connect disproportionately to random targets,
+            # benign to benign (camouflage structure)
+            dst = np.where(
+                (labels[src] == 0) & (rng.random(E) < 0.8) & (benign.size > 0),
+                benign[rng.integers(0, max(benign.size, 1), E)],
+                rng.integers(0, n, E),
+            )
+            data[("review", et, "review")] = (src, dst)
+        g = convert.heterograph(data, num_nodes_dict={"review": n})
+        feat = rng.normal(size=(n, 32)).astype(np.float32)
+        feat[fraud] += rng.normal(size=(fraud.size, 32)) * 0.5 + 0.8
+        g._node_frames.setdefault("review", {})["feature"] = jnp.asarray(feat)
+        g._node_frames["review"]["label"] = jnp.asarray(labels)
+        perm = rng.permutation(n)
+        for key, sl in (("train_mask", perm[: int(n * 0.4)]),
+                        ("val_mask", perm[int(n * 0.4): int(n * 0.6)]),
+                        ("test_mask", perm[int(n * 0.6):])):
+            m = np.zeros(n, bool)
+            m[sl] = True
+            g._node_frames["review"][key] = jnp.asarray(m)
+        self._g = g
+
+    def __getitem__(self, idx):
+        assert idx == 0
+        return self._apply_transform(self._g)
+
+    def __len__(self):
+        return 1
+
+    @property
+    def num_classes(self):
+        return 2
