@@ -31,6 +31,7 @@ from .grouprevres import GroupRevRes
 from .dgnconv import DGNConv
 from .twirlsconv import TWIRLSConv, TWIRLSUnfoldingAndAttention
 from .atomicconv import AtomicConv
+from .egnnconv import EGNNConv
 
 __all__ = [
     "GraphConv",
@@ -67,4 +68,5 @@ __all__ = [
     "TWIRLSConv",
     "TWIRLSUnfoldingAndAttention",
     "AtomicConv",
+    "EGNNConv",
 ]

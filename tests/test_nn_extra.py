@@ -208,3 +208,25 @@ def test_atomic(g):
     out = _init_apply(conv, g, z, d)
     assert out.shape == (20, 2)
     assert (np.asarray(out) >= 0).all()
+
+
+def test_egnn_equivariance(g):
+    from dgl_tpu.nn.conv import EGNNConv
+    import scipy.spatial.transform as st
+
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(20, 8)),
+                    dtype=jnp.float32)
+    xyz = jnp.asarray(np.random.default_rng(1).normal(size=(20, 3)),
+                      dtype=jnp.float32)
+    m = EGNNConv(8, 16, 8)
+    params = m.init(jax.random.PRNGKey(0), g, h, xyz)
+    h2, x2 = m.apply(params, g, h, xyz)
+    R = jnp.asarray(
+        st.Rotation.from_euler("xyz", [0.3, 0.5, 0.7]).as_matrix(),
+        dtype=jnp.float32,
+    )
+    h2r, x2r = m.apply(params, g, h, xyz @ R.T)
+    np.testing.assert_allclose(np.asarray(x2r), np.asarray(x2 @ R.T),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h2r), np.asarray(h2),
+                               rtol=2e-3, atol=2e-4)
