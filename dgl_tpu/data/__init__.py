@@ -42,7 +42,7 @@ from .synthetic import (
     WisconsinDataset,
     split_dataset,
 )
-from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset, MiniGCDataset
+from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset, MiniGCDataset, KarateClubDataset, SBMMixtureDataset
 
 # graph-classification aliases (reference data/tu.py, data/gindt.py):
 # deterministic synthetic stand-ins with planted structure
@@ -94,6 +94,8 @@ __all__ = [
     "TreeCycleDataset",
     "TreeGridDataset",
     "MiniGCDataset",
+    "KarateClubDataset",
+    "SBMMixtureDataset",
     "TUDataset",
     "GINDataset",
 ]

@@ -8,7 +8,7 @@ import numpy as np
 
 from .dgl_dataset import DGLDataset
 
-__all__ = ["BAShapeDataset", "TreeCycleDataset", "TreeGridDataset", "MiniGCDataset"]
+__all__ = ["BAShapeDataset", "TreeCycleDataset", "TreeGridDataset", "MiniGCDataset", "KarateClubDataset", "SBMMixtureDataset"]
 
 
 def _barabasi_albert(n: int, m: int, rng) -> list:
@@ -210,3 +210,84 @@ class MiniGCDataset(DGLDataset):
     @property
     def num_classes(self):
         return 8
+
+
+class KarateClubDataset(DGLDataset):
+    """Zachary's karate club (reference ``data/karate.py``) — the real
+    34-node graph via networkx, labels = the two factions."""
+
+    def __init__(self, transform=None, **kwargs):
+        super().__init__(name="karate_club", transform=transform)
+
+    def process(self):
+        import networkx as nx
+
+        from .. import convert
+
+        nxg = nx.karate_club_graph()
+        g = convert.from_networkx(nx.DiGraph(nxg))
+        labels = np.array(
+            [0 if nxg.nodes[i]["club"] == "Mr. Hi" else 1
+             for i in range(nxg.number_of_nodes())],
+            np.int32,
+        )
+        g.ndata["label"] = jnp.asarray(labels)
+        self._g = g
+
+    def __getitem__(self, idx):
+        assert idx == 0
+        return self._apply_transform(self._g)
+
+    def __len__(self):
+        return 1
+
+    @property
+    def num_classes(self):
+        return 2
+
+
+class SBMMixtureDataset(DGLDataset):
+    """Symmetric stochastic-block-model mixture (reference
+    ``data/sbm.py``): graphs drawn from SBM(n_blocks, p, q) with community
+    labels — the line-graph community-detection benchmark."""
+
+    def __init__(self, n_graphs=16, n_nodes=200, n_communities=4,
+                 p=0.2, q=0.02, seed=0, transform=None, **kwargs):
+        self._cfg = (n_graphs, n_nodes, n_communities, p, q, seed)
+        super().__init__(name="sbm_mixture", transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        ng, n, k, p, q, s = self._cfg
+        rng = np.random.default_rng(s)
+        self._graphs = []
+        self._labels = []
+        size = n // k
+        for gi in range(ng):
+            labels = np.repeat(np.arange(k), size)
+            labels = np.concatenate([labels, rng.integers(0, k, n - labels.size)])
+            rng.shuffle(labels)
+            src, dst = [], []
+            # upper-triangle Bernoulli draws, then symmetrize
+            for i in range(n):
+                prob = np.where(labels == labels[i], p, q)
+                draws = rng.random(n) < prob
+                draws[: i + 1] = False
+                js = np.nonzero(draws)[0]
+                src.extend([i] * js.size)
+                dst.extend(js.tolist())
+            a = np.array(src, np.int64)
+            b = np.array(dst, np.int64)
+            g = convert.graph(
+                (np.concatenate([a, b]), np.concatenate([b, a])), num_nodes=n
+            )
+            g.ndata["label"] = jnp.asarray(labels.astype(np.int32))
+            self._graphs.append(g)
+            self._labels.append(labels)
+
+    def __getitem__(self, idx):
+        return self._apply_transform(self._graphs[idx])
+
+    def __len__(self):
+        return len(self._graphs)
