@@ -16,6 +16,13 @@ __all__ = [
     "SortPooling",
     "GlobalAttentionPooling",
     "Set2Set",
+    "WeightAndSum",
+    "MultiHeadAttention",
+    "SetAttentionBlock",
+    "InducedSetAttentionBlock",
+    "PMALayer",
+    "SetTransformerEncoder",
+    "SetTransformerDecoder",
 ]
 
 
