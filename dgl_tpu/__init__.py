@@ -122,6 +122,8 @@ from .transforms.functional import (
     random_walk_pe,
     lap_pe,
     shortest_dist,
+    reorder_graph,
+    svd_pe,
 )
 
 # convenience alias matching `import dgl.function as fn`
@@ -134,22 +136,36 @@ DGLHeteroGraph = Graph
 __version__ = "0.1.0"
 
 __all__ = [
-    "ALL",
-    "DGLError",
-    "DGLWarning",
-    "Graph",
-    "Relation",
-    "graph",
-    "heterograph",
-    "create_block",
-    "from_scipy",
-    "from_networkx",
-    "to_homogeneous",
-    "to_heterogeneous",
-    "rand_graph",
-    "rand_bipartite",
-    "function",
-    "fn",
-    "ops",
-    "edge_softmax",
+    # core
+    "ALL", "DGLError", "DGLWarning", "NID", "EID", "NTYPE", "ETYPE",
+    "Graph", "Relation", "DGLGraph", "DGLHeteroGraph",
+    # construction
+    "graph", "heterograph", "create_block", "from_scipy", "from_networkx",
+    "to_homogeneous", "to_heterogeneous", "rand_graph", "rand_bipartite",
+    # message passing
+    "function", "fn", "ops", "edge_softmax", "apply_each",
+    # batching / readout
+    "batch", "unbatch", "stack_graphs", "readout_nodes", "readout_edges",
+    "sum_nodes", "mean_nodes", "max_nodes", "softmax_nodes",
+    "broadcast_nodes", "topk_nodes",
+    # subgraphs / structure
+    "node_subgraph", "edge_subgraph", "in_subgraph", "out_subgraph",
+    "khop_in_subgraph", "khop_out_subgraph", "node_type_subgraph",
+    "edge_type_subgraph", "add_self_loop", "remove_self_loop",
+    "add_reverse_edges", "add_edges", "remove_edges", "add_nodes",
+    "to_bidirected", "to_simple", "khop_graph", "knn_graph", "to_block",
+    "reverse", "line_graph", "compact_graphs", "reorder_graph", "merge",
+    # positional encodings / metrics
+    "random_walk_pe", "lap_pe", "svd_pe", "shortest_dist",
+    "laplacian_lambda_max", "node_homophily", "edge_homophily",
+    "linkx_homophily", "adjusted_homophily",
+    # namespaces
+    "transforms", "sampling", "dataloading", "graphbolt", "data", "nn",
+    "models", "distributed", "parallel", "sparse", "geometry", "optim",
+    "storages", "traversal", "propagate", "mpops", "utils", "random",
+    "health",
+    # state
+    "seed", "save_graphs", "load_graphs", "save_checkpoint",
+    "load_checkpoint", "config", "get_config", "get_logger",
+    "LazyFeature", "set_node_lazy_features", "set_edge_lazy_features",
 ]
