@@ -76,7 +76,16 @@ def edge_softmax(graph, logits, eids=None, norm_by="dst", etype=None):
     """
     rel = graph._relation(etype) if isinstance(graph, Graph) else graph
     if eids is not None:
-        raise NotImplementedError(
-            "partial-edge softmax not supported; pass full edge logits"
+        # softmax over the edge subset only (reference semantics): other
+        # edges contribute -inf logits and receive zeros, shapes stay static
+        import numpy as np
+
+        mask = np.zeros(rel.num_edges_padded, bool)
+        mask[np.asarray(eids)] = True
+        maskj = jnp.asarray(mask).reshape(
+            (-1,) + (1,) * (logits.ndim - 1)
         )
+        neg = jnp.full_like(logits, -jnp.inf)
+        out = _edge_softmax(rel, norm_by, jnp.where(maskj, logits, neg))
+        return jnp.where(maskj, out, 0.0)
     return _edge_softmax(rel, norm_by, logits)

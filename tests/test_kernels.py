@@ -376,3 +376,26 @@ def test_gspmm_bf16():
     grad = jax.grad(lambda x: (ops.copy_u_sum(g, x).astype(jnp.float32) ** 2).sum())(x16)
     assert grad.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(grad.astype(jnp.float32))).all()
+
+
+def test_edge_softmax_partial():
+    """Softmax over an edge subset (reference edge_softmax eids arg):
+    excluded edges get zeros; included edges normalize among themselves."""
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 20, 100)
+    dst = rng.integers(0, 20, 100)
+    g = dgl.graph((src, dst), num_nodes=20)
+    logits = jnp.asarray(rng.normal(size=(100, 4)), jnp.float32)
+    eids = np.arange(0, 100, 3)
+    out = np.asarray(ops.edge_softmax(g, logits, eids=eids))
+    mask = np.zeros(100, bool)
+    mask[eids] = True
+    assert np.all(out[~mask] == 0)
+    for d in range(20):
+        sel = np.where((dst == d) & mask)[0]
+        if sel.size == 0:
+            continue
+        e = np.exp(np.asarray(logits)[sel])
+        np.testing.assert_allclose(
+            out[sel], e / e.sum(axis=0, keepdims=True), rtol=1e-5
+        )
