@@ -60,8 +60,19 @@ class HeteroFixedShapeNeighborSampler(BlockSampler):
         from .. import convert
         import jax.numpy as jnp
 
+        excl: Dict = {}
         if exclude_eids is not None:
-            raise NotImplementedError("edge exclusion unsupported")
+            # {etype: eids} — excluded picks are rerouted to the sink by
+            # clearing their sample mask, so shapes stay static (reference
+            # ``EdgePredictionSampler`` exclude semantics for heterographs)
+            if not isinstance(exclude_eids, dict):
+                raise TypeError(
+                    "hetero exclude_eids must be {etype: eids}"
+                )
+            excl = {
+                g.to_canonical_etype(k): np.asarray(v)
+                for k, v in exclude_eids.items()
+            }
         if not isinstance(seed_nodes, dict):
             seed_nodes = {self.seed_ntype: np.asarray(seed_nodes)}
         L = len(self.fanouts)
@@ -110,6 +121,9 @@ class HeteroFixedShapeNeighborSampler(BlockSampler):
                     g, real_seeds, f, replace=self.replace, etype=cet,
                     seed=int(self._rng.integers(2**31)),
                 )
+                ex = excl.get(cet)
+                if ex is not None and ex.size:
+                    mask = mask & ~np.isin(eid, ex)
                 Ecap = cap_dst * f
                 esrc = np.full(Ecap, sink_src, np.int64)
                 edst = np.full(Ecap, sink_dst, np.int64)

@@ -122,3 +122,31 @@ def test_hetero_minibatch_training(g):
         losses.append(tot / nb)
     assert len(compiles) == 1, f"expected 1 compile, got {len(compiles)}"
     assert losses[-1] < losses[0]
+
+
+def test_hetero_exclude_eids(g):
+    """Edge exclusion (hetero link prediction): excluded eids never appear
+    masked-in, and shapes/treedef match the unexcluded case."""
+    from dgl_tpu.base import EID
+
+    sampler = HeteroFixedShapeNeighborSampler(
+        g, [FANOUT], batch_size=8, seed_ntype="paper", seed=0
+    )
+    cet = ("paper", "cites", "paper")
+    rel = g._relations[g.to_canonical_etype(cet)]
+    excl = np.asarray(rel.csc_eids)[:40]
+    _, _, blocks = sampler.sample_blocks(
+        g, np.arange(8), exclude_eids={cet: excl}
+    )
+    blk = blocks[0]
+    em = np.asarray(blk._edge_frames[cet]["_mask"])
+    eid = np.asarray(blk._edge_frames[cet][EID])
+    assert not np.isin(eid[em], excl).any()
+    sampler2 = HeteroFixedShapeNeighborSampler(
+        g, [FANOUT], batch_size=8, seed_ntype="paper", seed=0
+    )
+    _, _, blocks2 = sampler2.sample_blocks(g, np.arange(8))
+    f1, t1 = jax.tree_util.tree_flatten(blocks)
+    f2, t2 = jax.tree_util.tree_flatten(blocks2)
+    assert str(t1) == str(t2)
+    assert all(a.shape == b.shape for a, b in zip(f1, f2))
