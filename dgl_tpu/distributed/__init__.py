@@ -23,7 +23,13 @@ from .partition import (
 )
 from .shard import GraphShards, build_shards
 from .dist_spmm import dist_copy_u_sum, dist_spmm, halo_exchange
-from .hetero_shard import HeteroGraphShards, build_hetero_shards, dist_hetero_copy_u_sum
+from .hetero_shard import (
+    HeteroGraphShards,
+    build_hetero_shards,
+    dist_hetero_copy_u_sum,
+    init_hetero_halo_state,
+    dist_hetero_copy_u_sum_delayed,
+)
 from .dist_tensor import DistTensor, DistEmbedding
 from .dist_context import initialize, get_rank, get_world_size
 
@@ -42,6 +48,8 @@ __all__ = [
     "HeteroGraphShards",
     "build_hetero_shards",
     "dist_hetero_copy_u_sum",
+    "init_hetero_halo_state",
+    "dist_hetero_copy_u_sum_delayed",
     "DistTensor",
     "DistEmbedding",
     "initialize",

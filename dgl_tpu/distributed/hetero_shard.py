@@ -24,7 +24,13 @@ except ImportError:  # pragma: no cover
 
 from ..graph import Graph
 
-__all__ = ["HeteroGraphShards", "build_hetero_shards", "dist_hetero_copy_u_sum"]
+__all__ = [
+    "HeteroGraphShards",
+    "build_hetero_shards",
+    "dist_hetero_copy_u_sum",
+    "init_hetero_halo_state",
+    "dist_hetero_copy_u_sum_delayed",
+]
 
 
 @dataclass
@@ -44,6 +50,8 @@ class HeteroGraphShards:
     src_ext: Dict[tuple, jnp.ndarray]   # per cetype (P, e_max)
     dst_local: Dict[tuple, jnp.ndarray]
     in_deg: Dict[str, jnp.ndarray]      # per dst ntype (P, n_max) total over etypes
+    eids_tbl: Dict[tuple, np.ndarray]   # per cetype (P, e_max) original eids
+    e_mask: Dict[tuple, np.ndarray]     # per cetype (P, e_max) real-edge mask
 
     def shard_features(self, feats: Dict[str, np.ndarray]):
         out = {}
@@ -70,6 +78,18 @@ class HeteroGraphShards:
                 buf[ids_old] = x[p, : ids_old.shape[0]]
             out[nt] = jnp.asarray(buf)
         return out
+
+    def shard_edge_data(self, cet, w):
+        """Map per-edge values ``w`` (E,[F]) of etype ``cet`` into the
+        (P, e_max[, F]) layout matching ``src_ext``/``dst_local`` edge
+        order; padding slots get zeros (reference DistGraph edata access)."""
+        w = np.asarray(w)
+        tbl = self.eids_tbl[cet]
+        m = self.e_mask[cet]
+        out = w[tbl] * m.reshape(m.shape + (1,) * (w.ndim - 1)).astype(
+            w.dtype
+        )
+        return jnp.asarray(out)
 
 
 def build_hetero_shards(g: Graph, assign: Dict[str, np.ndarray],
@@ -142,6 +162,7 @@ def build_hetero_shards(g: Graph, assign: Dict[str, np.ndarray],
         send_mask[nt] = jnp.asarray(sm)
 
     src_ext, dst_local, e_max = {}, {}, {}
+    eids_tbl, e_mask = {}, {}
     in_deg_np = {nt: np.zeros((num_parts, n_max[nt]), np.float32)
                  for nt in ntypes}
     for cet in cetypes:
@@ -152,11 +173,15 @@ def build_hetero_shards(g: Graph, assign: Dict[str, np.ndarray],
         e_max[cet] = em
         se = np.zeros((num_parts, em), np.int32)
         de = np.full((num_parts, em), n_max[dt], np.int32)
+        et = np.zeros((num_parts, em), np.int64)
+        emk = np.zeros((num_parts, em), bool)
         for p in range(num_parts):
             sel = np.nonzero(dp_ == p)[0]
             o = np.argsort(dl[sel], kind="stable")
             sel = sel[o]
             k = sel.shape[0]
+            et[p, :k] = sel
+            emk[p, :k] = True
             de[p, :k] = dl[sel]
             np.add.at(in_deg_np[dt][p], dl[sel], 1.0)
             ext = np.empty(k, np.int64)
@@ -174,6 +199,8 @@ def build_hetero_shards(g: Graph, assign: Dict[str, np.ndarray],
             se[p, :k] = ext
         src_ext[cet] = jnp.asarray(se)
         dst_local[cet] = jnp.asarray(de)
+        eids_tbl[cet] = et
+        e_mask[cet] = emk
 
     return HeteroGraphShards(
         num_parts=num_parts, ntypes=ntypes, cetypes=cetypes,
@@ -182,25 +209,42 @@ def build_hetero_shards(g: Graph, assign: Dict[str, np.ndarray],
         send_idx=send_idx, send_mask=send_mask,
         src_ext=src_ext, dst_local=dst_local,
         in_deg={nt: jnp.asarray(v) for nt, v in in_deg_np.items()},
+        eids_tbl=eids_tbl, e_mask=e_mask,
     )
 
 
-def dist_hetero_copy_u_sum(mesh: Mesh, shards: HeteroGraphShards,
-                           feats: Dict[str, jnp.ndarray],
-                           axis: str = "gp", mean: bool = False):
-    """Per-etype halo-exchange SpMM, summed per destination ntype
-    (``multi_update_all(copy_u, sum; cross sum)`` semantics)."""
+def _hetero_run(mesh, shards, feats, axis, mean, eweights=None,
+                halo_state=None):
+    """Shared driver for the fresh- and delayed-halo hetero SpMM.
+
+    ``eweights``: optional {cetype: (P, e_max)} per-edge scalars laid out by
+    ``shards.shard_edge_data`` (edge-weighted R-GCN / GCN-norm messages).
+    ``halo_state``: optional {ntype: (P, P, h_max, F)} stale halo rows; when
+    given, local aggregation reads the STALE rows while the fresh exchange
+    runs (delayed aggregation, reference ``python/dgl/distgnn/``), and the
+    fresh rows are returned as the new state.
+    """
     ntypes = shards.ntypes
     cetypes = shards.cetypes
     s = NamedSharding(mesh, P(axis))
     put = lambda x: jax.device_put(x, s)  # noqa: E731
 
+    delayed = halo_state is not None
+    has_ew = eweights is not None
     xs = tuple(feats[nt] for nt in ntypes)
     sidx = tuple(put(shards.send_idx[nt]) for nt in ntypes)
     smask = tuple(put(shards.send_mask[nt]) for nt in ntypes)
     sext = tuple(put(shards.src_ext[cet]) for cet in cetypes)
     dloc = tuple(put(shards.dst_local[cet]) for cet in cetypes)
     indeg = tuple(put(shards.in_deg[nt]) for nt in ntypes)
+    ew = tuple(
+        put(eweights[cet]) if has_ew and cet in eweights else put(jnp.zeros((shards.num_parts, 1)))
+        for cet in cetypes
+    )
+    halo = tuple(
+        halo_state[nt] if delayed else put(jnp.zeros((shards.num_parts, 1)))
+        for nt in ntypes
+    )
     nt_index = {nt: i for i, nt in enumerate(ntypes)}
 
     specs = lambda tup: tuple(P(axis) for _ in tup)  # noqa: E731
@@ -208,25 +252,32 @@ def dist_hetero_copy_u_sum(mesh: Mesh, shards: HeteroGraphShards,
     @partial(
         shard_map, mesh=mesh,
         in_specs=(specs(xs), specs(sidx), specs(smask), specs(sext),
-                  specs(dloc), specs(indeg)),
-        out_specs=tuple(P(axis) for _ in ntypes),
+                  specs(dloc), specs(indeg), specs(ew), specs(halo)),
+        out_specs=(tuple(P(axis) for _ in ntypes),
+                   tuple(P(axis) for _ in ntypes)),
     )
-    def run(xs_blk, sidx_blk, smask_blk, sext_blk, dloc_blk, indeg_blk):
+    def run(xs_blk, sidx_blk, smask_blk, sext_blk, dloc_blk, indeg_blk,
+            ew_blk, halo_blk):
         # halo exchange once per src ntype
         ext_space = {}
+        fresh = []
         for i, nt in enumerate(ntypes):
             x0 = xs_blk[i][0]
             sb = x0[sidx_blk[i][0]] * smask_blk[i][0][..., None].astype(x0.dtype)
             recv = jax.lax.all_to_all(sb, axis, split_axis=0, concat_axis=0,
                                       tiled=False)
-            Pn, hm, F = recv.shape
+            fresh.append(recv[None])
+            use = halo_blk[i][0] if delayed else recv
+            Pn, hm, F = use.shape
             ext_space[nt] = jnp.concatenate(
-                [x0, recv.reshape(Pn * hm, F)], axis=0
+                [x0, use.reshape(Pn * hm, F)], axis=0
             )
         outs = [None] * len(ntypes)
         for j, cet in enumerate(cetypes):
             st, _, dt = cet
             msgs = ext_space[st][sext_blk[j][0]]
+            if has_ew:
+                msgs = msgs * ew_blk[j][0][..., None]
             agg = jax.ops.segment_sum(
                 msgs, dloc_blk[j][0], num_segments=shards.n_max[dt],
                 indices_are_sorted=True,
@@ -241,7 +292,47 @@ def dist_hetero_copy_u_sum(mesh: Mesh, shards: HeteroGraphShards,
             if mean:
                 o = o / jnp.maximum(indeg_blk[i][0], 1.0)[:, None]
             res.append(o[None])
-        return tuple(res)
+        return tuple(res), tuple(fresh)
 
-    out = run(xs, sidx, smask, sext, dloc, indeg)
-    return {nt: out[i] for i, nt in enumerate(ntypes)}
+    out, fresh = run(xs, sidx, smask, sext, dloc, indeg, ew, halo)
+    outd = {nt: out[i] for i, nt in enumerate(ntypes)}
+    if delayed:
+        return outd, {nt: fresh[i] for i, nt in enumerate(ntypes)}
+    return outd
+
+
+def dist_hetero_copy_u_sum(mesh: Mesh, shards: HeteroGraphShards,
+                           feats: Dict[str, jnp.ndarray],
+                           axis: str = "gp", mean: bool = False,
+                           eweights: Dict = None):
+    """Per-etype halo-exchange SpMM, summed per destination ntype
+    (``multi_update_all(copy_u, sum; cross sum)`` semantics; with
+    ``eweights`` the message is ``u_mul_e``)."""
+    return _hetero_run(mesh, shards, feats, axis, mean, eweights=eweights)
+
+
+def init_hetero_halo_state(mesh: Mesh, shards: HeteroGraphShards,
+                           feat_dims: Dict[str, int], dtype=jnp.float32,
+                           axis: str = "gp"):
+    """Zero halo cache per ntype for the delayed-aggregation variant."""
+    s = NamedSharding(mesh, P(axis))
+    return {
+        nt: jax.device_put(
+            jnp.zeros((shards.num_parts, shards.num_parts,
+                       shards.h_max[nt], feat_dims[nt]), dtype), s
+        )
+        for nt in shards.ntypes
+    }
+
+
+def dist_hetero_copy_u_sum_delayed(mesh: Mesh, shards: HeteroGraphShards,
+                                   feats: Dict[str, jnp.ndarray],
+                                   halo_state: Dict,
+                                   axis: str = "gp", mean: bool = False,
+                                   eweights: Dict = None):
+    """Delayed-halo hetero aggregation: remote rows come from the previous
+    iteration's state while the fresh exchange overlaps with the local
+    SpMMs. Returns ``(out_dict, new_halo_state)``; thread the state through
+    the training loop (one-iteration staleness, reference distgnn)."""
+    return _hetero_run(mesh, shards, feats, axis, mean, eweights=eweights,
+                       halo_state=halo_state)

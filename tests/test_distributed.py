@@ -342,3 +342,94 @@ def test_hetero_halo_exchange_matches_local(mesh):
         np.testing.assert_allclose(
             np.asarray(got[nt]), np.asarray(expect), rtol=1e-4, atol=1e-4
         )
+
+
+def test_hetero_weighted_halo_exchange(mesh):
+    """Edge-weighted hetero aggregation (u_mul_e + sum) == single-device."""
+    from dgl_tpu.data import synthetic_hetero_graph
+    from dgl_tpu.distributed.hetero_shard import (
+        build_hetero_shards,
+        dist_hetero_copy_u_sum,
+    )
+    from dgl_tpu.distributed.partition import hetero_partition_assignment
+    import dgl_tpu.function as fn
+
+    g = synthetic_hetero_graph()
+    assign = hetero_partition_assignment(g, 8)
+    shards = build_hetero_shards(g, assign, 8)
+    rng = np.random.default_rng(1)
+    F = 6
+    feats = {
+        nt: rng.normal(size=(g.num_nodes(nt), F)).astype(np.float32)
+        for nt in g.ntypes
+    }
+    ew = {
+        cet: rng.normal(size=(g.num_edges(cet),)).astype(np.float32)
+        for cet in g.canonical_etypes
+    }
+    gl = g.local_var()
+    for nt in g.ntypes:
+        gl._node_frames.setdefault(nt, {})["h"] = jnp.asarray(feats[nt])
+    for cet in g.canonical_etypes:
+        E = gl._relations[cet].num_edges_padded
+        w = np.zeros(E, np.float32)
+        w[: ew[cet].shape[0]] = ew[cet]
+        gl._edge_frames.setdefault(cet, {})["w"] = jnp.asarray(w)
+    gl.multi_update_all(
+        {cet: (fn.u_mul_e("h", "w", "m"), fn.sum("m", "agg"))
+         for cet in g.canonical_etypes},
+        "sum",
+    )
+    x_sh = shards.shard_features(feats)
+    ew_sh = {cet: shards.shard_edge_data(cet, ew[cet])
+             for cet in g.canonical_etypes}
+    got = shards.unshard(
+        dist_hetero_copy_u_sum(mesh, shards, x_sh, eweights=ew_sh)
+    )
+    for nt in g.ntypes:
+        expect = gl._node_frames[nt].get("agg")
+        if expect is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(got[nt]), np.asarray(expect), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_hetero_delayed_halo(mesh):
+    """Delayed-halo hetero aggregation: step 1 uses zero halo (local-only
+    remote contributions), step 2 with unchanged features matches the
+    fresh-exchange result exactly."""
+    from dgl_tpu.data import synthetic_hetero_graph
+    from dgl_tpu.distributed.hetero_shard import (
+        build_hetero_shards,
+        dist_hetero_copy_u_sum,
+        dist_hetero_copy_u_sum_delayed,
+        init_hetero_halo_state,
+    )
+    from dgl_tpu.distributed.partition import hetero_partition_assignment
+
+    g = synthetic_hetero_graph()
+    assign = hetero_partition_assignment(g, 8)
+    shards = build_hetero_shards(g, assign, 8)
+    rng = np.random.default_rng(2)
+    F = 4
+    feats = {
+        nt: rng.normal(size=(g.num_nodes(nt), F)).astype(np.float32)
+        for nt in g.ntypes
+    }
+    x_sh = shards.shard_features(feats)
+    state = init_hetero_halo_state(mesh, shards, {nt: F for nt in g.ntypes})
+    out1, state = dist_hetero_copy_u_sum_delayed(mesh, shards, x_sh, state)
+    out2, state = dist_hetero_copy_u_sum_delayed(mesh, shards, x_sh, state)
+    fresh = dist_hetero_copy_u_sum(mesh, shards, x_sh)
+    for nt in g.ntypes:
+        # step 2's halo is exactly last step's exchange of the same feats
+        np.testing.assert_allclose(
+            np.asarray(out2[nt]), np.asarray(fresh[nt]), rtol=1e-5, atol=1e-5
+        )
+    # step 1 (zero halo) must differ somewhere if any cross-part edge exists
+    diff = sum(
+        float(np.abs(np.asarray(out1[nt]) - np.asarray(fresh[nt])).sum())
+        for nt in g.ntypes
+    )
+    assert diff > 0
