@@ -21,6 +21,8 @@ from .sddmm import sddmm, bsddmm
 from .softmax_mod import softmax
 from .reduction import reduce as sp_reduce
 from .unary import neg
+from .elementwise_op import add, sub, mul, div, power, inv
+from .convert import from_bcoo, to_bcoo, from_scipy, to_scipy
 from .broadcast import sp_broadcast_v
 
 __all__ = [
@@ -41,5 +43,15 @@ __all__ = [
     "softmax",
     "sp_reduce",
     "neg",
+    "add",
+    "sub",
+    "mul",
+    "div",
+    "power",
+    "inv",
+    "from_bcoo",
+    "to_bcoo",
+    "from_scipy",
+    "to_scipy",
     "sp_broadcast_v",
 ]

@@ -143,3 +143,46 @@ def test_bspmm(A):
             np.asarray(out[..., h]), dense @ np.asarray(X[..., h]),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_elementwise_functions_and_inv():
+    from dgl_tpu import sparse as dglsp
+
+    A = dglsp.from_coo([0, 1, 2], [1, 2, 0], jnp.asarray([1.0, 2.0, 3.0]),
+                       shape=(3, 3))
+    B = dglsp.val_like(A, jnp.asarray([10.0, 20.0, 30.0]))
+    np.testing.assert_allclose(
+        np.asarray(dglsp.add(A, B).to_dense()),
+        np.asarray(A.to_dense()) + np.asarray(B.to_dense()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglsp.power(A, 2.0).val), [1.0, 4.0, 9.0]
+    )
+    np.testing.assert_allclose(np.asarray(dglsp.mul(A, 2.0).val), [2, 4, 6])
+    D = dglsp.diag(jnp.asarray([2.0, 4.0, 8.0]))
+    Dinv = dglsp.inv(D)
+    np.testing.assert_allclose(
+        np.asarray(Dinv.to_dense()), np.diag([0.5, 0.25, 0.125])
+    )
+    with pytest.raises(ValueError):
+        dglsp.inv(A)
+
+
+def test_bcoo_scipy_roundtrip():
+    import scipy.sparse as sp
+    from dgl_tpu import sparse as dglsp
+
+    rng = np.random.default_rng(0)
+    m = sp.random(10, 8, density=0.3, random_state=rng, format="coo")
+    A = dglsp.from_scipy(m)
+    np.testing.assert_allclose(
+        np.asarray(A.to_dense()), m.toarray(), rtol=1e-6
+    )
+    back = dglsp.to_scipy(A)
+    np.testing.assert_allclose(back.toarray(), m.toarray(), rtol=1e-6)
+    bc = dglsp.to_bcoo(A)
+    np.testing.assert_allclose(np.asarray(bc.todense()), m.toarray(), rtol=1e-6)
+    A2 = dglsp.from_bcoo(bc)
+    np.testing.assert_allclose(
+        np.asarray(A2.to_dense()), m.toarray(), rtol=1e-6
+    )
