@@ -5,6 +5,7 @@ from . import sddmm as _sddmm
 from .edge_softmax import edge_softmax  # noqa: F401
 from .segment import segment_reduce, segment_softmax, segment_mm  # noqa: F401
 from .gather_mm import gather_mm  # noqa: F401
+from . import pallas_hub  # noqa: F401  (opt-in hub-cache SpMM)
 
 # re-export generated sddmm names (u_add_v, u_dot_v, ...) except ones that
 # clash with spmm exports
