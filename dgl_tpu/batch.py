@@ -17,7 +17,7 @@ from .base import DGLError
 from .graph import Graph, _asnumpy
 from .convert import heterograph
 
-__all__ = ["batch", "unbatch", "stack_graphs"]
+__all__ = ["batch", "unbatch", "stack_graphs", "pad_batch"]
 
 
 def batch(graphs: Sequence[Graph]) -> Graph:
@@ -79,6 +79,85 @@ def batch(graphs: Sequence[Graph]) -> Graph:
                     vals.append(jnp.asarray(g._edge_frames[cet][key])[: rel.num_edges])
                 bg._edge_frames.setdefault(cet, {})[key] = jnp.concatenate(vals, axis=0)
     return bg
+
+
+def pad_batch(graphs: Sequence[Graph], batch_size: int, num_nodes: int,
+              num_edges: int):
+    """Batch to a STATIC shape: exactly ``batch_size`` graphs, ``num_nodes``
+    total nodes and ``num_edges`` total edges, absorbing the slack into
+    ghost graphs so every minibatch shares one treedef (one jit compile).
+
+    Ghost nodes/edges belong to their own ghost segments, so readouts of
+    real graphs are untouched; mask the returned rows with ``gmask``.
+    Homogeneous graphs only (one ntype/etype). Returns ``(bg, gmask)`` with
+    ``gmask`` a (batch_size,) bool marking real graphs.
+
+    No reference analog: the reference relies on dynamic shapes per batch
+    (``python/dgl/batch.py:13``); on TPU static shapes are what keeps the
+    step in one compiled executable.
+    """
+    graphs = list(graphs)
+    B = len(graphs)
+    if B >= batch_size:
+        raise DGLError(
+            f"need batch_size > len(graphs) (got {batch_size} vs {B}); "
+            "at least one ghost graph absorbs the node/edge slack"
+        )
+    g0 = graphs[0]
+    if len(g0.ntypes) != 1 or len(g0.canonical_etypes) != 1:
+        raise DGLError("pad_batch supports homogeneous graphs only")
+    nt = g0.ntypes[0]
+    cet = g0.canonical_etypes[0]
+    total_n = sum(g.num_nodes() for g in graphs)
+    total_e = sum(g.num_edges() for g in graphs)
+    n_ghost = batch_size - B
+    spare_n = num_nodes - total_n
+    spare_e = num_edges - total_e
+    if spare_n < n_ghost:
+        raise DGLError(
+            f"num_nodes={num_nodes} too small: {total_n} real nodes + "
+            f"{n_ghost} ghost graphs (1 node min each)"
+        )
+    if spare_e < 0:
+        raise DGLError(f"num_edges={num_edges} too small for {total_e} edges")
+
+    node_schema = {
+        k: (v.shape[1:], v.dtype)
+        for k, v in g0._node_frames.get(nt, {}).items()
+    }
+    edge_schema = {
+        k: (v.shape[1:], v.dtype)
+        for k, v in g0._edge_frames.get(cet, {}).items()
+    }
+
+    def ghost(n, e):
+        src = np.zeros(e, np.int64)  # self-loops on the ghost's node 0
+        dst = np.zeros(e, np.int64)
+        g = heterograph({cet: (src, dst)}, {nt: n}, idtype=g0.idtype)
+        for k, (shape, dtype) in node_schema.items():
+            g._node_frames.setdefault(nt, {})[k] = jnp.zeros(
+                (n,) + shape, dtype
+            )
+        Ep = g._relations[cet].num_edges_padded
+        for k, (shape, dtype) in edge_schema.items():
+            g._edge_frames.setdefault(cet, {})[k] = jnp.zeros(
+                (Ep,) + shape, dtype
+            )
+        return g
+
+    # minimal ghosts first, last ghost takes the remaining slack
+    ghosts = [ghost(1, 0) for _ in range(n_ghost - 1)]
+    ghosts.append(ghost(spare_n - (n_ghost - 1), spare_e))
+    bg = batch(graphs + ghosts)
+    # degree bounds are static treedef fields and data-dependent; clamp to
+    # the worst case so every padded batch shares ONE treedef (UDF-reduce
+    # mailboxes become worst-case wide; builtin reducers are unaffected)
+    for r in bg._relations.values():
+        r.max_in_degree = r.num_edges_padded
+        r.max_out_degree = r.num_edges_padded
+    gmask = np.zeros(batch_size, bool)
+    gmask[:B] = True
+    return bg, jnp.asarray(gmask)
 
 
 def unbatch(bg: Graph) -> List[Graph]:

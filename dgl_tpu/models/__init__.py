@@ -8,6 +8,7 @@ from .gcn import GCN
 from .gat import GAT
 from .sage import GraphSAGE
 from .rgcn import RGCN
+from .gin import GIN
 from .graphormer import Graphormer, prepare_batch
 
-__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "Graphormer", "prepare_batch"]
+__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "GIN", "Graphormer", "prepare_batch"]
