@@ -238,7 +238,9 @@ def apply_edges_(g: Graph, func, edges=ALL, etype=None):
     if is_all(edges):
         frame.update(edata)
         return edata
-    eids = jnp.asarray(np.atleast_1d(np.asarray(edges)))
+    # jnp conversion keeps this traceable: a traced eids array works under
+    # jit (compute full-width, scatter the requested rows — static shapes)
+    eids = jnp.atleast_1d(jnp.asarray(edges))
     for k, val in edata.items():
         if k in frame and frame[k].shape == val.shape:
             frame[k] = frame[k].at[eids].set(val[eids])
@@ -264,7 +266,7 @@ def apply_nodes(g: Graph, func, v=ALL, ntype=None):
     if is_all(v):
         frame.update(ndata)
         return ndata
-    vids = jnp.asarray(np.atleast_1d(np.asarray(v)))
+    vids = jnp.atleast_1d(jnp.asarray(v))
     for k, val in ndata.items():
         if k in frame and frame[k].shape == val.shape:
             frame[k] = frame[k].at[vids].set(val[vids])

@@ -171,3 +171,36 @@ def test_softmax_and_broadcast_nodes():
     np.testing.assert_allclose(sm[2:], z, rtol=1e-5)
     b = dgl.broadcast_nodes(bg, jnp.array([[5.0], [7.0]]))
     np.testing.assert_allclose(np.asarray(b).ravel(), [5, 5, 7, 7])
+
+
+def test_apply_edges_subset_under_jit():
+    """Traced edge ids: subset apply_edges compiles (compute full-width,
+    scatter requested rows; ROADMAP round-1 nit)."""
+    import dgl_tpu.function as fn
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph(
+        (rng.integers(0, 30, 200), rng.integers(0, 30, 200)), num_nodes=30
+    )
+    h0 = jnp.asarray(rng.normal(size=(30, 4)), jnp.float32)
+
+    @jax.jit
+    def f(h, eids):
+        gl = g.local_var()
+        gl.ndata["h"] = h
+        gl.apply_edges(fn.u_add_v("h", "h", "e"), edges=eids)
+        return gl.edata["e"]
+
+    out = np.asarray(f(h0, jnp.asarray([3, 7, 11])))
+    rel = g._relation(None)
+    src, dst = np.asarray(rel.src), np.asarray(rel.dst)
+    h = np.asarray(h0)
+    for e in (3, 7, 11):
+        np.testing.assert_allclose(out[e], h[src[e]] + h[dst[e]], rtol=1e-5)
+    others = np.setdiff1d(np.arange(out.shape[0]), [3, 7, 11])
+    assert np.all(out[others] == 0)
+    # eager python-list path unchanged
+    gl = g.local_var()
+    gl.ndata["h"] = h0
+    gl.apply_edges(fn.u_add_v("h", "h", "e2"), edges=[1, 2])
+    assert "e2" in gl.edata
