@@ -17,11 +17,13 @@ from .neighbor_sampler import (
     LaborSampler,
 )
 from .dataloader import DataLoader, NodeDataLoader, EdgeDataLoader
+from .graph_loader import GraphDataLoader
 from .negative_sampler import Uniform, GlobalUniform, PerSourceUniform
 from .subgraph_samplers import ClusterGCNSampler, SAINTSampler, ShaDowKHopSampler
 from .hetero_sampler import HeteroFixedShapeNeighborSampler
 
 __all__ = [
+    "GraphDataLoader",
     "Sampler",
     "BlockSampler",
     "as_edge_prediction_sampler",

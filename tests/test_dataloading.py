@@ -186,3 +186,26 @@ def test_fixed_shape_exclusion(g):
     f2, t2 = jax.tree_util.tree_flatten(blocks2)
     assert str(t1) == str(t2)
     assert all(a.shape == b.shape for a, b in zip(f1, f2))
+
+
+def test_graph_dataloader_static_shapes():
+    """GraphDataLoader pads every batch to ONE treedef; labels masked."""
+    from dgl_tpu.data import MiniGCDataset
+    from dgl_tpu.dataloading import GraphDataLoader
+
+    ds = MiniGCDataset(20, 8, 14, seed=0)
+    loader = GraphDataLoader(ds, batch_size=4, shuffle=True, seed=1)
+    defs = set()
+    seen = 0
+    for bg, labels, gmask in loader:
+        flat, td = jax.tree_util.tree_flatten(bg)
+        defs.add((str(td), tuple(x.shape for x in flat)))
+        assert labels.shape[0] == 5  # batch_size + ghost slot
+        seen += int(np.asarray(gmask).sum())
+    assert seen == 20
+    assert len(defs) == 1, "all batches must share one static shape"
+    assert len(loader) == 5
+    # unpadded mode keeps plain dgl.batch semantics
+    loader2 = GraphDataLoader(ds, batch_size=4, pad=False)
+    bg, labels, gmask = next(iter(loader2))
+    assert bg.batch_size == 4
