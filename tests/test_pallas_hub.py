@@ -65,7 +65,7 @@ def test_hub_gather_zero_for_sentinel():
     H, F = 256, 128
     hub = jnp.asarray(np.random.default_rng(0).normal(size=(H, F)),
                       jnp.float32)
-    slots = np.full((512, 1), H, np.int32)
+    slots = np.full((2048, 1), H, np.int32)
     slots[0, 0] = 3
     out = hub_gather(hub, jnp.asarray(slots), interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(hub[3]),
