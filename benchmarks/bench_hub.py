@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--edges", type=int, default=1166243)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--precision", default="highest")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +56,8 @@ def main():
 
     def hub_step(x):
         hub_x = x[plan.hub_ids]
-        msgs = hub_gather(hub_x, plan.slots, interpret=interpret)
+        msgs = hub_gather(hub_x, plan.slots, interpret=interpret,
+                          precision=args.precision)
         out_hub = jax.ops.segment_sum(
             msgs[:Ep], rel.csc_dst, num_segments=rel.num_dst,
             indices_are_sorted=True,
@@ -104,7 +106,7 @@ def main():
         return ms
 
     ms_x = timed(xla_step, f"xla gather+segsum   (F={F} {args.dtype})")
-    ms_h = timed(hub_step, f"hub H={plan.num_hubs} pallas+cold (F={F} {args.dtype})")
+    ms_h = timed(hub_step, f"hub H={plan.num_hubs} pallas+cold (F={F} {args.dtype} {args.precision})")
     print(f"speedup: {ms_x / ms_h:.3f}x", flush=True)
 
 

@@ -90,28 +90,35 @@ class HubPlan:
         )
 
 
-def _hub_gather_kernel(slots_ref, hub_ref, out_ref):
-    s = slots_ref[...]                     # (B, 1) int32
-    B = out_ref.shape[0]
-    H, F = hub_ref.shape
-    acc = jnp.zeros((B, F), jnp.float32)
-    for base in range(0, H, _CHUNK):
-        ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, _CHUNK), 1)
-        onehot = (s == ids).astype(hub_ref.dtype)
-        acc = acc + jnp.dot(
-            onehot,
-            hub_ref[base : base + _CHUNK, :],
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[...] = acc.astype(out_ref.dtype)
+def _make_hub_gather_kernel(mxu_dtype):
+    def kernel(slots_ref, hub_ref, out_ref):
+        s = slots_ref[...]                 # (B, 1) int32
+        B = out_ref.shape[0]
+        H, F = hub_ref.shape
+        acc = jnp.zeros((B, F), jnp.float32)
+        for base in range(0, H, _CHUNK):
+            ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, _CHUNK), 1)
+            onehot = (s == ids).astype(mxu_dtype)
+            acc = acc + jnp.dot(
+                onehot,
+                hub_ref[base : base + _CHUNK, :].astype(mxu_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    return kernel
 
 
-def hub_gather(hub_x, slots, interpret: bool = False):
+def hub_gather(hub_x, slots, interpret: bool = False,
+               precision: str = "highest"):
     """``out[i] = hub_x[slots[i]]`` (0 when ``slots[i] == H``) via one-hot
     MXU matmuls against a VMEM-resident table.
 
     ``hub_x``: (H, F) with H % 256 == 0, F % 128 == 0 (TPU lane tiling).
     ``slots``: (E, 1) int32 with E % 2048 == 0.
+    ``precision``: "highest" keeps the table dtype in the dot (exact for
+    f32 but ~4x the MXU cost); "bf16" rounds table values to bfloat16
+    (f32 accumulate, ~1e-3 relative error — selection itself is exact).
     """
     from jax.experimental import pallas as pl
 
@@ -119,8 +126,9 @@ def hub_gather(hub_x, slots, interpret: bool = False):
     E = slots.shape[0]
     if H % _CHUNK or E % _BLOCK_E:
         raise ValueError("hub_gather: H % 256 == 0 and E % 2048 == 0 required")
+    mxu_dtype = jnp.bfloat16 if precision == "bf16" else hub_x.dtype
     return pl.pallas_call(
-        _hub_gather_kernel,
+        _make_hub_gather_kernel(mxu_dtype),
         grid=(E // _BLOCK_E,),
         in_specs=[
             pl.BlockSpec((_BLOCK_E, 1), lambda i: (i, 0)),
@@ -133,10 +141,11 @@ def hub_gather(hub_x, slots, interpret: bool = False):
 
 
 def hub_copy_u_sum(rel: Relation, x, plan: HubPlan = None,
-                   num_hubs: int = 2048, interpret: bool = False):
+                   num_hubs: int = 2048, interpret: bool = False,
+                   precision: str = "highest"):
     """``copy_u`` + ``sum`` with the hub-cache gather. Matches
-    ``ops.copy_u_sum(g, x)`` numerically; pass a prebuilt ``plan`` to
-    amortize the host split across steps."""
+    ``ops.copy_u_sum(g, x)`` numerically at the default precision; pass a
+    prebuilt ``plan`` to amortize the host split across steps."""
     if plan is None:
         plan = HubPlan.build(rel, num_hubs)
     F = x.shape[1]
@@ -144,7 +153,8 @@ def hub_copy_u_sum(rel: Relation, x, plan: HubPlan = None,
     hub_x = x[plan.hub_ids]
     if Fp != F:
         hub_x = jnp.pad(hub_x, ((0, 0), (0, Fp - F)))
-    msgs = hub_gather(hub_x, plan.slots, interpret=interpret)[
+    msgs = hub_gather(hub_x, plan.slots, interpret=interpret,
+                      precision=precision)[
         : plan.num_edges_padded, :F
     ]
     # no scatter-merge (measured 1.7x gather cost per row): hub and cold

@@ -86,3 +86,19 @@ def test_padded_graph_parity():
         np.asarray(got), np.asarray(ops.copy_u_sum(g, x)), rtol=2e-4,
         atol=2e-4,
     )
+
+
+def test_bf16_precision_mode():
+    """precision='bf16' rounds table values only; error stays ~1e-3."""
+    g = _powerlaw_graph(1000, 8000, seed=7)
+    rel = g._relation(None)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1000, 16)), jnp.float32
+    )
+    plan = HubPlan.build(rel, 512)
+    got = hub_copy_u_sum(rel, x, plan=plan, interpret=True, precision="bf16")
+    want = ops.copy_u_sum(g, x)
+    rel_err = float(
+        jnp.max(jnp.abs(got - want)) / jnp.maximum(jnp.max(jnp.abs(want)), 1e-9)
+    )
+    assert rel_err < 2e-2, rel_err
