@@ -25,7 +25,12 @@ from .impl.cache_policy import (
     SievePolicy,
     S3FifoPolicy,
 )
-from .neighbor_sampler_gb import NeighborSamplerStage, FeatureFetcher, CopyTo
+from .neighbor_sampler_gb import (
+    NeighborSamplerStage,
+    UniformNegativeSampler,
+    FeatureFetcher,
+    CopyTo,
+)
 from .dataloader import DataLoader
 from .ondisk_dataset import OnDiskDataset
 
@@ -46,6 +51,7 @@ __all__ = [
     "SievePolicy",
     "S3FifoPolicy",
     "NeighborSamplerStage",
+    "UniformNegativeSampler",
     "FeatureFetcher",
     "CopyTo",
     "DataLoader",

@@ -10,7 +10,12 @@ import numpy as np
 from ..base import NID
 from .minibatch import MiniBatch
 
-__all__ = ["NeighborSamplerStage", "FeatureFetcher", "CopyTo"]
+__all__ = [
+    "NeighborSamplerStage",
+    "UniformNegativeSampler",
+    "FeatureFetcher",
+    "CopyTo",
+]
 
 
 class _Stage:
@@ -51,6 +56,44 @@ class NeighborSamplerStage(_Stage):
         )
         mb.blocks = blocks
         mb.input_nodes = np.asarray(blocks[0].srcdata[NID])
+        return mb
+
+
+class UniformNegativeSampler(_Stage):
+    """Append uniform negatives to (src, dst) seed pairs (reference
+    ``python/dgl/graphbolt/negative_sampler.py:15`` +
+    ``impl/uniform_negative_sampler.py:64``): corrupt the dst of each
+    positive ``negative_ratio`` times, emit 1/0 labels and the
+    positive-pair index of every row. Static output shape:
+    ``num_seeds * (1 + negative_ratio)`` rows."""
+
+    def __init__(self, source, graph, negative_ratio: int = 1,
+                 seed: Optional[int] = None):
+        super().__init__(source)
+        self.num_nodes = graph.num_nodes()
+        self.negative_ratio = int(negative_ratio)
+        self._rng = np.random.default_rng(seed)
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        seeds = np.asarray(mb.seeds)
+        if seeds.ndim != 2 or seeds.shape[1] != 2:
+            raise ValueError(
+                f"negative sampling needs (N, 2) seed pairs, got {seeds.shape}"
+            )
+        pos = seeds.shape[0]
+        r = self.negative_ratio
+        neg_src = np.repeat(seeds[:, 0], r)
+        neg_dst = self._rng.integers(0, self.num_nodes, pos * r)
+        neg = np.stack([neg_src, neg_dst], axis=1)
+        mb.seeds = np.concatenate([seeds, neg], axis=0)
+        mb.negative_srcs = neg[:, 0]
+        mb.negative_dsts = neg[:, 1]
+        labels = np.zeros(pos * (1 + r), np.float32)
+        labels[:pos] = 1.0
+        mb.labels = labels
+        mb.indexes = np.concatenate(
+            [np.arange(pos), np.repeat(np.arange(pos), r)]
+        )
         return mb
 
 

@@ -108,3 +108,33 @@ def test_ondisk_dataset(tmp_path):
     # reload from disk
     ds2 = gb.OnDiskDataset(str(tmp_path / "ds"))
     assert ds2.graph.num_edges() == 400
+
+
+def test_uniform_negative_sampler_stage():
+    """Negative stage appends ratio negatives per positive with labels and
+    pair indexes (reference graphbolt negative_sampler semantics)."""
+    from dgl_tpu.graphbolt import (
+        ItemSet, ItemSampler, UniformNegativeSampler,
+    )
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 50, 200)
+    dst = rng.integers(0, 50, 200)
+    g = dgl.graph((src, dst), num_nodes=50)
+    pairs = np.stack([src[:40], dst[:40]], axis=1)
+    items = ItemSet(pairs, names="seeds")
+    sampler = ItemSampler(items, batch_size=8)
+    stage = UniformNegativeSampler(sampler, g, negative_ratio=3, seed=0)
+    n = 0
+    for mb in stage:
+        n += 1
+        assert mb.seeds.shape == (8 * 4, 2)
+        assert mb.labels.shape == (32,)
+        assert mb.labels[:8].sum() == 8 and mb.labels[8:].sum() == 0
+        # negatives keep the positive's src and a valid index map
+        np.testing.assert_array_equal(
+            mb.seeds[8:, 0], np.repeat(mb.seeds[:8, 0], 3)
+        )
+        assert mb.indexes.shape == (32,)
+        assert mb.indexes.max() == 7
+    assert n == 5
