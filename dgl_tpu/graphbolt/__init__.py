@@ -28,6 +28,7 @@ from .impl.cache_policy import (
 from .neighbor_sampler_gb import (
     NeighborSamplerStage,
     UniformNegativeSampler,
+    MiniBatchTransformer,
     FeatureFetcher,
     CopyTo,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "S3FifoPolicy",
     "NeighborSamplerStage",
     "UniformNegativeSampler",
+    "MiniBatchTransformer",
     "FeatureFetcher",
     "CopyTo",
     "DataLoader",

@@ -13,6 +13,7 @@ from .minibatch import MiniBatch
 __all__ = [
     "NeighborSamplerStage",
     "UniformNegativeSampler",
+    "MiniBatchTransformer",
     "FeatureFetcher",
     "CopyTo",
 ]
@@ -57,6 +58,21 @@ class NeighborSamplerStage(_Stage):
         mb.blocks = blocks
         mb.input_nodes = np.asarray(blocks[0].srcdata[NID])
         return mb
+
+
+class MiniBatchTransformer(_Stage):
+    """Apply an arbitrary per-minibatch function (reference
+    ``python/dgl/graphbolt/minibatch_transformer.py:15``)."""
+
+    def __init__(self, source, transformer=None):
+        super().__init__(source)
+        self.transformer = transformer or (lambda mb: mb)
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        out = self.transformer(mb)
+        if out is None:
+            raise ValueError("transformer must return the MiniBatch")
+        return out
 
 
 class UniformNegativeSampler(_Stage):

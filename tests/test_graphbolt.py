@@ -138,3 +138,20 @@ def test_uniform_negative_sampler_stage():
         assert mb.indexes.shape == (32,)
         assert mb.indexes.max() == 7
     assert n == 5
+
+
+def test_minibatch_transformer_stage():
+    from dgl_tpu.graphbolt import ItemSet, ItemSampler, MiniBatchTransformer
+
+    items = ItemSet(np.arange(20), names="seeds")
+    sampler = ItemSampler(items, batch_size=5)
+
+    def double(mb):
+        mb.seeds = np.asarray(mb.seeds) * 2
+        return mb
+
+    got = [np.asarray(mb.seeds) for mb in MiniBatchTransformer(sampler, double)]
+    np.testing.assert_array_equal(np.concatenate(got), np.arange(20) * 2)
+    with pytest.raises(ValueError):
+        next(iter(MiniBatchTransformer(ItemSampler(items, batch_size=5),
+                                       lambda mb: None)))
