@@ -29,6 +29,7 @@ from .neighbor_sampler_gb import (
     NeighborSamplerStage,
     UniformNegativeSampler,
     MiniBatchTransformer,
+    exclude_seed_edges,
     FeatureFetcher,
     CopyTo,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "NeighborSamplerStage",
     "UniformNegativeSampler",
     "MiniBatchTransformer",
+    "exclude_seed_edges",
     "FeatureFetcher",
     "CopyTo",
     "DataLoader",

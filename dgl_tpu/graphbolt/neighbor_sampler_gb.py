@@ -180,3 +180,39 @@ class CopyTo(_Stage):
                 mb.blocks,
             )
         return mb
+
+
+def exclude_seed_edges(mb: MiniBatch, include_reverse_edges: bool = False):
+    """Mask the minibatch's seed (src, dst) edges out of its sampled blocks
+    (reference ``python/dgl/graphbolt/external_utils.py:128``).
+
+    Fixed-shape friendly: edges stay in place, their ``_mask`` is cleared
+    (and endpoints rerouting is unnecessary because every masked consumer
+    multiplies by ``_mask``). Use inside a ``MiniBatchTransformer`` after
+    the sampler stage.
+    """
+    from ..base import NID
+
+    seeds = np.asarray(mb.seeds)
+    if seeds.ndim != 2 or seeds.shape[1] != 2:
+        raise ValueError("exclude_seed_edges needs (N, 2) seed pairs")
+    pairs = {(int(s), int(d)) for s, d in seeds}
+    if include_reverse_edges:
+        pairs |= {(d, s) for s, d in pairs}
+    for blk in mb.blocks or ():
+        rel = blk._relation(None)
+        src_nid = np.asarray(blk.srcdata[NID])
+        dst_nid = np.asarray(blk.dstdata[NID])
+        esrc = np.asarray(rel.src)
+        edst = np.asarray(rel.dst)
+        mask = np.asarray(blk.edata["_mask"]).copy()
+        for i in np.nonzero(mask)[0]:
+            if (int(src_nid[esrc[i]]), int(dst_nid[edst[i]])) in pairs:
+                mask[i] = False
+        import jax.numpy as jnp
+
+        blk.edata["_mask"] = jnp.asarray(mask)
+    return mb
+
+
+__all__.append("exclude_seed_edges")

@@ -155,3 +155,45 @@ def test_minibatch_transformer_stage():
     with pytest.raises(ValueError):
         next(iter(MiniBatchTransformer(ItemSampler(items, batch_size=5),
                                        lambda mb: None)))
+
+
+def test_exclude_seed_edges():
+    from dgl_tpu.graphbolt import (
+        ItemSet, ItemSampler, NeighborSamplerStage, MiniBatchTransformer,
+        exclude_seed_edges,
+    )
+    from dgl_tpu.base import NID
+
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    g = dgl.graph((src, dst), num_nodes=40)
+    pairs = np.stack([src[:16], dst[:16]], axis=1)
+    items = ItemSet(pairs, names="seeds")
+    sampler = ItemSampler(items, batch_size=16)
+
+    def seeds_to_nodes(mb):
+        # stash the pairs; sample on their unique endpoints
+        mb.pair_seeds = np.asarray(mb.seeds)
+        mb.seeds = np.unique(mb.pair_seeds.ravel())[:16]
+        return mb
+
+    pipe = MiniBatchTransformer(sampler, seeds_to_nodes)
+    pipe = NeighborSamplerStage(pipe, g, [5], batch_size=16, seed=0)
+
+    def excl(mb):
+        mb.seeds = mb.pair_seeds
+        return exclude_seed_edges(mb)
+
+    pipe = MiniBatchTransformer(pipe, excl)
+    for mb in pipe:
+        blk = mb.blocks[0]
+        rel = blk._relation(None)
+        src_nid = np.asarray(blk.srcdata[NID])
+        dst_nid = np.asarray(blk.dstdata[NID])
+        em = np.asarray(blk.edata["_mask"])
+        banned = {(int(s), int(d)) for s, d in mb.pair_seeds}
+        for i in np.nonzero(em)[0]:
+            e = (int(src_nid[np.asarray(rel.src)[i]]),
+                 int(dst_nid[np.asarray(rel.dst)[i]]))
+            assert e not in banned
