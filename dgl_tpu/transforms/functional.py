@@ -875,3 +875,216 @@ def svd_pe(g: Graph, k: int, padding: bool = False, random_flip: bool = True,
     if kk < k:
         pe = np.pad(pe, ((0, 0), (0, 2 * (k - kk))))
     return jnp.asarray(pe.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# tail of the reference functional surface (aliases + small constructors)
+# ---------------------------------------------------------------------------
+
+
+def remove_nodes(g: Graph, nids, ntype=None, store_ids: bool = False) -> Graph:
+    """New graph without nodes ``nids`` and their incident edges (reference
+    ``functional.py`` ``remove_nodes``)."""
+    from ..subgraph import node_subgraph
+
+    nt = ntype or (g.ntypes[0] if len(g.ntypes) == 1 else None)
+    if nt is None:
+        raise DGLError("ntype required for heterographs")
+    keep = np.setdiff1d(
+        np.arange(g.num_nodes(nt), dtype=np.int64),
+        np.atleast_1d(_np(nids)).astype(np.int64),
+    )
+    nodes = {nt2: (keep if nt2 == nt
+                   else np.arange(g.num_nodes(nt2), dtype=np.int64))
+             for nt2 in g.ntypes}
+    if len(g.ntypes) == 1:
+        nodes = keep
+    return node_subgraph(g, nodes, store_ids=store_ids)
+
+
+def radius_graph(x, r: float, dist: str = "euclidean",
+                 get_distances: bool = False):
+    """Graph connecting points within radius ``r`` (reference
+    ``functional.py`` ``radius_graph``): edge j->i when dist(i, j) <= r,
+    excluding self-loops."""
+    from .. import convert
+
+    x = np.asarray(x)
+    if dist == "cosine":
+        xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        d = 1.0 - xn @ xn.T
+    else:
+        sq = np.sum(x * x, axis=1)
+        d = np.sqrt(np.maximum(sq[:, None] - 2 * (x @ x.T) + sq[None, :], 0))
+    np.fill_diagonal(d, np.inf)
+    src, dst = np.nonzero(d <= r)
+    g = convert.graph((src, dst), num_nodes=x.shape[0])
+    if get_distances:
+        return g, jnp.asarray(d[src, dst])[:, None]
+    return g
+
+
+def segmented_knn_graph(x, k: int, segs, dist: str = "euclidean") -> Graph:
+    """kNN graphs built independently per point segment then batched in one
+    graph (reference ``functional.py`` ``segmented_knn_graph``)."""
+    from .. import convert
+
+    x = np.asarray(x)
+    offs = np.concatenate([[0], np.cumsum(np.asarray(segs))])
+    srcs, dsts = [], []
+    for lo, hi in zip(offs[:-1], offs[1:]):
+        sub = knn_graph(x[lo:hi], min(k, hi - lo), dist=dist)
+        rel = sub._relation(None)
+        srcs.append(_np(rel.src)[: rel.num_edges] + lo)
+        dsts.append(_np(rel.dst)[: rel.num_edges] + lo)
+    return convert.graph(
+        (np.concatenate(srcs), np.concatenate(dsts)), num_nodes=x.shape[0]
+    )
+
+
+def knn(x, k, algorithm="bruteforce", dist="euclidean"):
+    """Alias of ``knn_graph`` (reference keeps both spellings)."""
+    return knn_graph(x, k, algorithm=algorithm, dist=dist)
+
+
+def laplacian_pe(g: Graph, k: int, padding: bool = False,
+                 return_eigval: bool = False):
+    """Deprecated reference alias of ``lap_pe``."""
+    return lap_pe(g, k, padding=padding, return_eigval=return_eigval)
+
+
+def to_simple_graph(g: Graph) -> Graph:
+    """Deprecated reference alias of ``to_simple``."""
+    return to_simple(g)
+
+
+def norm_by_dst(g: Graph, etype=None):
+    """1 / in-degree(dst) per edge (reference ``functional.py``
+    ``norm_by_dst``)."""
+    cet = g.to_canonical_etype(etype)
+    rel = g._relations[cet]
+    deg = jnp.maximum(rel.in_degrees(), 1.0)
+    return (1.0 / deg)[rel.dst]
+
+
+def pairwise_squared_distance(x):
+    """(N, N) squared euclidean distances (reference helper)."""
+    x = jnp.asarray(x)
+    sq = jnp.sum(x * x, axis=1)
+    return sq[:, None] - 2 * (x @ x.T) + sq[None, :]
+
+
+def _cast_frames(g: Graph, float_dtype):
+    out = g.local_var()
+    for frames in (out._node_frames, out._edge_frames, out._dst_frames):
+        for frame in frames.values():
+            for key, val in list(frame.items()):
+                if hasattr(val, "dtype") and jnp.issubdtype(
+                    val.dtype, jnp.floating
+                ):
+                    frame[key] = val.astype(float_dtype)
+    return out
+
+
+def to_float(g: Graph) -> Graph:
+    """Cast float features to float32 (reference ``to_float``)."""
+    return _cast_frames(g, jnp.float32)
+
+
+def to_double(g: Graph) -> Graph:
+    """Cast float features to float64 (needs jax x64; reference
+    ``to_double``)."""
+    return _cast_frames(g, jnp.float64)
+
+
+def to_half(g: Graph) -> Graph:
+    """Cast float features to float16 (reference ``to_half``)."""
+    return _cast_frames(g, jnp.float16)
+
+
+def to_bfloat16(g: Graph) -> Graph:
+    """Cast float features to bfloat16 — the TPU MXU dtype (reference
+    ``to_bfloat16``)."""
+    return _cast_frames(g, jnp.bfloat16)
+
+
+def rcmk_perm(g: Graph):
+    """Reverse Cuthill-McKee node permutation (reference ``metis_perm`` /
+    ``rcmk_perm`` helpers behind ``reorder_graph``)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    rel = g._relation(None)
+    E = rel.num_edges
+    a = sp.coo_matrix(
+        (np.ones(E), (_np(rel.src)[:E], _np(rel.dst)[:E])),
+        shape=(g.num_nodes(), g.num_nodes()),
+    ).tocsr()
+    return np.asarray(reverse_cuthill_mckee(a + a.T))
+
+
+def metis_perm(g: Graph, k: int):
+    """Node permutation grouping the ``k`` partitions of the native
+    multilevel partitioner contiguously (reference ``metis_perm``)."""
+    from ..distributed.partition import metis_partition_assignment
+
+    parts = metis_partition_assignment(g, k)
+    return np.argsort(parts, kind="stable")
+
+
+def adj_product_graph(A: Graph, B: Graph, weight_name: str) -> Graph:
+    """SpGEMM on two graphs' weighted adjacencies (reference
+    ``functional.py`` ``adj_product_graph`` / C++ ``CSRMM``)."""
+    return _adj_combine(A, B, weight_name, "product")
+
+
+def adj_sum_graph(graphs, weight_name: str) -> Graph:
+    """Weighted adjacency sum of same-shape graphs (reference
+    ``adj_sum_graph`` / C++ ``CSRSum``)."""
+    out = graphs[0]
+    for g in graphs[1:]:
+        out = _adj_combine(out, g, weight_name, "sum")
+    return out
+
+
+def _adj_combine(A: Graph, B: Graph, weight_name: str, op: str) -> Graph:
+    import scipy.sparse as sp
+    from .. import convert
+
+    def mat(g):
+        rel = g._relation(None)
+        E = rel.num_edges
+        w = np.asarray(g.edata[weight_name])[:E]
+        return sp.coo_matrix(
+            (w, (_np(rel.src)[:E], _np(rel.dst)[:E])),
+            shape=(rel.num_src, rel.num_dst),
+        ).tocsr()
+
+    c = (mat(A) @ mat(B)) if op == "product" else (mat(A) + mat(B)).tocsr()
+    c.eliminate_zeros()
+    coo = c.tocoo()
+    g = convert.graph(
+        (coo.row, coo.col), num_nodes=max(c.shape[0], c.shape[1])
+    )
+    g.edata[weight_name] = jnp.asarray(coo.data.astype(np.float32))
+    return g
+
+
+__all__ += [
+    "remove_nodes",
+    "radius_graph",
+    "segmented_knn_graph",
+    "knn",
+    "laplacian_pe",
+    "to_simple_graph",
+    "norm_by_dst",
+    "pairwise_squared_distance",
+    "to_float",
+    "to_double",
+    "to_half",
+    "to_bfloat16",
+    "rcmk_perm",
+    "metis_perm",
+    "adj_product_graph",
+    "adj_sum_graph",
+]

@@ -176,3 +176,68 @@ def test_to_block():
     nid = np.asarray(blk.srcdata[dgl.NID])
     np.testing.assert_array_equal(nid[:2], [2, 3])
     assert set(nid[2:].tolist()) == {0, 1, 4}
+
+
+def test_functional_tail():
+    """remove_nodes / radius / segmented knn / casts / perms / adj algebra
+    (the last slice of the reference functional surface)."""
+    from dgl_tpu import transforms as T
+    F = T.functional
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph((rng.integers(0, 20, 80), rng.integers(0, 20, 80)),
+                  num_nodes=20)
+    g.ndata["h"] = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+
+    g2 = F.remove_nodes(g, [0, 5])
+    assert g2.num_nodes() == 18
+    rel = g._relation(None)
+    kept = sum(
+        1 for s, d in zip(np.asarray(rel.src)[:80], np.asarray(rel.dst)[:80])
+        if s not in (0, 5) and d not in (0, 5)
+    )
+    assert g2.num_edges() == kept
+
+    pts = rng.normal(size=(10, 2))
+    gr = F.radius_graph(pts, 0.8)
+    d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    assert gr.num_edges() == int((d <= 0.8).sum())
+
+    gs = F.segmented_knn_graph(rng.normal(size=(12, 2)), 3, [5, 7])
+    # no edge crosses the segment boundary
+    rel = gs._relation(None)
+    s, dd = np.asarray(rel.src), np.asarray(rel.dst)
+    assert not np.any((s < 5) != (dd < 5))
+
+    gb = F.to_bfloat16(g)
+    assert gb.ndata["h"].dtype == jnp.bfloat16
+    assert g.ndata["h"].dtype == jnp.float32  # original untouched
+
+    nrm = np.asarray(F.norm_by_dst(g))
+    deg = np.asarray(g.in_degrees())
+    np.testing.assert_allclose(
+        nrm, 1.0 / np.maximum(deg, 1)[np.asarray(g._relation(None).dst)],
+        rtol=1e-6,
+    )
+
+    perm = F.rcmk_perm(g)
+    assert sorted(perm) == list(range(20))
+
+    # adjacency algebra vs scipy
+    import scipy.sparse as sp
+    w = rng.random(80).astype(np.float32)
+    g.edata["w"] = jnp.asarray(w)
+    P = F.adj_product_graph(g, g, "w")
+    a = sp.coo_matrix(
+        (w, (np.asarray(g._relation(None).src)[:80],
+             np.asarray(g._relation(None).dst)[:80])), shape=(20, 20)
+    ).tocsr()
+    want = (a @ a).tocoo()
+    got = sp.coo_matrix(
+        (np.asarray(P.edata["w"]),
+         (np.asarray(P._relation(None).src)[: P.num_edges()],
+          np.asarray(P._relation(None).dst)[: P.num_edges()])),
+        shape=(20, 20),
+    )
+    np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-4)
