@@ -1088,3 +1088,62 @@ __all__ += [
     "adj_product_graph",
     "adj_sum_graph",
 ]
+
+
+def _sort_by_tag(g: Graph, tag, which: str, tag_offset_name: str):
+    rel = g._relation(None)
+    E = rel.num_edges
+    src = _np(rel.src)[:E]
+    dst = _np(rel.dst)[:E]
+    t = _np(tag).astype(np.int64)
+    num_tags = int(t.max()) + 1 if t.size else 1
+    if which == "csr":
+        row, nbr = src, dst
+        n_rows = rel.num_src
+    else:
+        row, nbr = dst, src
+        n_rows = rel.num_dst
+    key = t[nbr]
+    order = np.lexsort((key, row))
+    from .. import convert
+
+    out = convert.graph(
+        (src[order], dst[order]), num_nodes=g.num_nodes(), idtype=g.idtype
+    )
+    for k, v in g._node_frames.get(g.ntypes[0], {}).items():
+        out._node_frames.setdefault(g.ntypes[0], {})[k] = v
+    for k, v in g._edge_frames.get(g.canonical_etypes[0], {}).items():
+        out._edge_frames.setdefault(out.canonical_etypes[0], {})[k] = (
+            jnp.asarray(v)[order] if getattr(v, "shape", None) is not None
+            and v.shape[0] == E else v
+        )
+    out._edge_frames.setdefault(out.canonical_etypes[0], {})[EID] = (
+        jnp.asarray(order)
+    )
+    # per-row tag offsets: offsets[v, j] = start of tag-j block in row v
+    counts = np.zeros((n_rows, num_tags), np.int64)
+    np.add.at(counts, (row, key), 1)
+    offsets = np.zeros((n_rows, num_tags + 1), np.int64)
+    offsets[:, 1:] = np.cumsum(counts, axis=1)
+    out._node_frames.setdefault(out.ntypes[0], {})[tag_offset_name] = (
+        jnp.asarray(offsets)
+    )
+    return out
+
+
+def sort_csr_by_tag(g: Graph, tag, tag_offset_name: str = "_TAG_OFFSET"):
+    """Reorder each node's OUT-neighbors so same-tag neighbors are
+    contiguous; stores per-(node, tag) offsets in
+    ``ndata[tag_offset_name]`` (reference ``functional.py``
+    ``sort_csr_by_tag``, C++ ``CSRSortByTag`` — used for tiered/biased
+    sampling). The new graph's edges are emitted in the sorted order, so
+    the CSR rows (stable by construction) are tag-ordered."""
+    return _sort_by_tag(g, tag, "csr", tag_offset_name)
+
+
+def sort_csc_by_tag(g: Graph, tag, tag_offset_name: str = "_TAG_OFFSET"):
+    """Like ``sort_csr_by_tag`` for IN-neighbors (CSC rows)."""
+    return _sort_by_tag(g, tag, "csc", tag_offset_name)
+
+
+__all__ += ["sort_csr_by_tag", "sort_csc_by_tag"]

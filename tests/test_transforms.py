@@ -241,3 +241,34 @@ def test_functional_tail():
         shape=(20, 20),
     )
     np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-4)
+
+
+def test_sort_by_tag():
+    from dgl_tpu.transforms import functional as F
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 15, 60)
+    dst = rng.integers(0, 15, 60)
+    g = dgl.graph((src, dst), num_nodes=15)
+    tags = rng.integers(0, 3, 15)
+    g2 = F.sort_csr_by_tag(g, tags)
+    rel = g2._relation(None)
+    indptr = np.asarray(rel.csr_indptr)
+    cols = np.asarray(rel.csr_indices)
+    offs = np.asarray(g2.ndata["_TAG_OFFSET"])
+    for v in range(15):
+        row = cols[indptr[v]:indptr[v + 1]]
+        rt = tags[row]
+        assert np.all(np.diff(rt) >= 0), "row must be tag-sorted"
+        for tg in range(3):
+            blk = row[offs[v, tg]:offs[v, tg + 1]]
+            assert np.all(tags[blk] == tg)
+    # same edges survive
+    assert g2.num_edges() == 60
+    g3 = F.sort_csc_by_tag(g, tags)
+    relc = g3._relation(None)
+    iptr = np.asarray(relc.csc_indptr)
+    rows = np.asarray(relc.csc_indices)
+    for v in range(15):
+        rt = tags[rows[iptr[v]:iptr[v + 1]]]
+        assert np.all(np.diff(rt) >= 0)
