@@ -325,3 +325,145 @@ class SIGNDiffusion(BaseTransform):
             g, self.k, self.in_feat_name, self.out_feat_name,
             self.eweight_name, self.diffuse_op, self.alpha,
         )
+
+
+class LineGraph(BaseTransform):
+    """(reference ``module.py`` ``LineGraph``)."""
+
+    def __init__(self, backtracking: bool = True):
+        self.backtracking = backtracking
+
+    def __call__(self, g):
+        return F.line_graph(g, backtracking=self.backtracking)
+
+
+class AddMetaPaths(BaseTransform):
+    """Materialize metapath-reachable graphs as new etypes on a hetero
+    graph (reference ``module.py`` ``AddMetaPaths``)."""
+
+    def __init__(self, metapaths, keep_orig_edges: bool = True):
+        self.metapaths = metapaths
+        self.keep_orig_edges = keep_orig_edges
+
+    def __call__(self, g):
+        from .. import convert
+
+        data_dict = {}
+        num_nodes = {nt: g.num_nodes(nt) for nt in g.ntypes}
+        if self.keep_orig_edges:
+            for cet in g.canonical_etypes:
+                rel = g._relations[cet]
+                E = rel.num_edges
+                import numpy as np
+
+                data_dict[cet] = (
+                    np.asarray(rel.src)[:E], np.asarray(rel.dst)[:E]
+                )
+        for name, metapath in self.metapaths.items():
+            mg = F.metapath_reachable_graph(g, metapath)
+            rel = mg._relation(None)
+            E = rel.num_edges
+            import numpy as np
+
+            st = g.to_canonical_etype(metapath[0])[0]
+            dt = g.to_canonical_etype(metapath[-1])[2]
+            data_dict[(st, name, dt)] = (
+                np.asarray(rel.src)[:E], np.asarray(rel.dst)[:E]
+            )
+        return convert.heterograph(data_dict, num_nodes, idtype=g.idtype)
+
+
+class PPR(BaseTransform):
+    """(reference ``module.py:1411`` neighborhood; functional ``ppr``)."""
+
+    def __init__(self, alpha: float = 0.15, eweight_name=None, eps=None,
+                 avg_degree: int = 5):
+        self.kw = dict(alpha=alpha, eweight_name=eweight_name, eps=eps,
+                       avg_degree=avg_degree)
+
+    def __call__(self, g):
+        return F.ppr(g, **self.kw)
+
+
+class HeatKernel(BaseTransform):
+    def __init__(self, t: float = 5.0, eweight_name=None, eps=None,
+                 avg_degree: int = 5):
+        self.kw = dict(t=t, eweight_name=eweight_name, eps=eps,
+                       avg_degree=avg_degree)
+
+    def __call__(self, g):
+        return F.heat_kernel(g, **self.kw)
+
+
+class NodeShuffle(BaseTransform):
+    """Randomly permute node ids (reference ``module.py`` ``NodeShuffle``)."""
+
+    def __init__(self, seed=None):
+        import numpy as np
+
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, g):
+        import numpy as np
+
+        perm = self._rng.permutation(g.num_nodes())
+        return F.reorder_graph(
+            g, node_permute_algo="custom", permute_config={"nodes_perm": perm}
+        )
+
+
+class LaplacianPE(BaseTransform):
+    """Deprecated reference alias of ``LapPE``."""
+
+    def __init__(self, k: int, feat_name: str = "PE", padding: bool = False,
+                 eigval_name=None):
+        self.k = k
+        self.feat_name = feat_name
+        self.padding = padding
+        self.eigval_name = eigval_name
+
+    def __call__(self, g):
+        if self.eigval_name:
+            pe, ev = F.lap_pe(g, self.k, padding=self.padding,
+                              return_eigval=True)
+            g.ndata[self.eigval_name] = ev
+        else:
+            pe = F.lap_pe(g, self.k, padding=self.padding)
+        g.ndata[self.feat_name] = pe
+        return g
+
+
+class SVDPE(BaseTransform):
+    """(reference ``module.py`` ``SVDPE``; functional ``svd_pe``)."""
+
+    def __init__(self, k: int, feat_name: str = "svd_pe",
+                 padding: bool = False, random_flip: bool = True):
+        self.k = k
+        self.feat_name = feat_name
+        self.padding = padding
+        self.random_flip = random_flip
+
+    def __call__(self, g):
+        g.ndata[self.feat_name] = F.svd_pe(
+            g, self.k, padding=self.padding, random_flip=self.random_flip
+        )
+        return g
+
+
+class ToLevi(BaseTransform):
+    """(reference ``module.py`` ``ToLevi``; functional ``to_levi``)."""
+
+    def __call__(self, g):
+        return F.to_levi(g)
+
+
+__all__ += [
+    "LineGraph",
+    "AddMetaPaths",
+    "PPR",
+    "HeatKernel",
+    "NodeShuffle",
+    "LaplacianPE",
+    "SVDPE",
+    "ToLevi",
+]

@@ -272,3 +272,39 @@ def test_sort_by_tag():
     for v in range(15):
         rt = tags[rows[iptr[v]:iptr[v + 1]]]
         assert np.all(np.diff(rt) >= 0)
+
+
+def test_module_transform_wrappers():
+    from dgl_tpu import transforms as T
+
+    rng = np.random.default_rng(3)
+    g = dgl.graph((rng.integers(0, 12, 40), rng.integers(0, 12, 40)),
+                  num_nodes=12)
+    g.ndata["h"] = jnp.asarray(rng.normal(size=(12, 4)), jnp.float32)
+
+    lg = T.LineGraph()(g)
+    assert lg.num_nodes() == 40
+
+    g2 = T.NodeShuffle(seed=0)(g)
+    assert g2.num_nodes() == 12 and g2.num_edges() == 40
+
+    g3 = T.LaplacianPE(k=3, feat_name="PE", padding=True)(g.local_var())
+    assert g3.ndata["PE"].shape == (12, 3)
+
+    g4 = T.SVDPE(k=2, padding=True)(g.local_var())
+    assert g4.ndata["svd_pe"].shape == (12, 4)
+
+    levi = T.ToLevi()(g)
+    assert levi.num_nodes() >= 12 + 40 - 1  # nodes + edge-nodes
+
+    p = T.PPR(alpha=0.2)(g)
+    assert p.num_edges() > 0
+
+    # AddMetaPaths on a tiny heterograph
+    hg = dgl.heterograph({
+        ("a", "ab", "b"): ([0, 1, 2], [0, 0, 1]),
+        ("b", "ba", "a"): ([0, 1], [1, 2]),
+    })
+    out = T.AddMetaPaths({"aba": ["ab", "ba"]})(hg)
+    assert ("a", "aba", "a") in out.canonical_etypes
+    assert ("a", "ab", "b") in out.canonical_etypes
