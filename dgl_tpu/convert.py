@@ -277,3 +277,88 @@ def rand_bipartite(
         {utype: num_src, vtype: num_dst},
         idtype=idtype,
     )
+
+
+def to_networkx(g: Graph, node_attrs=None, edge_attrs=None):
+    """Module-level form of ``Graph.to_networkx`` (reference
+    ``convert.py`` ``to_networkx``)."""
+    return g.to_networkx(node_attrs=node_attrs, edge_attrs=edge_attrs)
+
+
+def bipartite_from_scipy(sp_mat, utype, etype, vtype, eweight_name=None,
+                         idtype=jnp.int32) -> Graph:
+    """Bipartite graph from a scipy sparse matrix (reference
+    ``convert.py`` ``bipartite_from_scipy``)."""
+    coo = sp_mat.tocoo()
+    g = heterograph(
+        {(utype, etype, vtype): (np.asarray(coo.row), np.asarray(coo.col))},
+        {utype: coo.shape[0], vtype: coo.shape[1]},
+        idtype=idtype,
+    )
+    if eweight_name is not None:
+        cet = (utype, etype, vtype)
+        E = g._relations[cet].num_edges_padded
+        w = np.zeros(E, coo.data.dtype)
+        w[: coo.data.shape[0]] = coo.data
+        g._edge_frames.setdefault(cet, {})[eweight_name] = jnp.asarray(w)
+    return g
+
+
+def bipartite_from_networkx(nx_graph, utype, etype, vtype,
+                            idtype=jnp.int32) -> Graph:
+    """Bipartite graph from a networkx bipartite graph (reference
+    ``convert.py`` ``bipartite_from_networkx``): nodes with
+    ``bipartite == 0`` become ``utype`` rows."""
+    top = sorted(
+        n for n, d in nx_graph.nodes(data=True) if d.get("bipartite") == 0
+    )
+    bottom = sorted(
+        n for n, d in nx_graph.nodes(data=True) if d.get("bipartite") == 1
+    )
+    uid = {n: i for i, n in enumerate(top)}
+    vid = {n: i for i, n in enumerate(bottom)}
+    src, dst = [], []
+    for a, b in nx_graph.edges():
+        if a in uid and b in vid:
+            src.append(uid[a]); dst.append(vid[b])
+        elif b in uid and a in vid:
+            src.append(uid[b]); dst.append(vid[a])
+    return heterograph(
+        {(utype, etype, vtype): (np.asarray(src, np.int64),
+                                 np.asarray(dst, np.int64))},
+        {utype: len(top), vtype: len(bottom)},
+        idtype=idtype,
+    )
+
+
+def block_to_graph(block: Graph) -> Graph:
+    """Turn an MFG block into a plain bipartite graph whose src/dst types
+    get ``_src``/``_dst`` suffixes (reference ``convert.py``
+    ``block_to_graph``)."""
+    data_dict = {}
+    nn = {}
+    for cet in block.canonical_etypes:
+        st, et, dt = cet
+        rel = block._relations[cet]
+        E = rel.num_edges
+        data_dict[(f"{st}_src", et, f"{dt}_dst")] = (
+            np.asarray(rel.src)[:E], np.asarray(rel.dst)[:E]
+        )
+        nn[f"{st}_src"] = rel.num_src
+        nn[f"{dt}_dst"] = rel.num_dst
+    g = heterograph(data_dict, nn, idtype=block.idtype)
+    for nt, frame in block._node_frames.items():
+        for k, v in frame.items():
+            g._node_frames.setdefault(f"{nt}_src", {})[k] = v
+    for nt, frame in block._dst_frames.items():
+        for k, v in frame.items():
+            g._node_frames.setdefault(f"{nt}_dst", {})[k] = v
+    return g
+
+
+__all__ += [
+    "to_networkx",
+    "bipartite_from_scipy",
+    "bipartite_from_networkx",
+    "block_to_graph",
+]

@@ -210,3 +210,38 @@ def test_pickle_roundtrip():
     np.testing.assert_allclose(
         np.asarray(g2._node_frames["user"]["x"]), [0, 1, 2]
     )
+
+
+def test_convert_bipartite_and_block_to_graph():
+    """bipartite_from_scipy/networkx, block_to_graph, module to_networkx."""
+    import scipy.sparse as sp
+    import networkx as nx
+    from dgl_tpu import convert, dataloading
+
+    m = sp.random(5, 7, density=0.4, random_state=0, format="coo")
+    g = convert.bipartite_from_scipy(m, "u", "e", "v", eweight_name="w")
+    assert g.num_nodes("u") == 5 and g.num_nodes("v") == 7
+    assert g.num_edges(("u", "e", "v")) == m.nnz
+    E = g._relations[("u", "e", "v")].num_edges
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g._edge_frames[("u", "e", "v")]["w"])[:E]),
+        np.sort(m.data), rtol=1e-6,
+    )
+
+    B = nx.Graph()
+    B.add_nodes_from([0, 1, 2], bipartite=0)
+    B.add_nodes_from(["a", "b"], bipartite=1)
+    B.add_edges_from([(0, "a"), (1, "b"), (2, "a")])
+    g2 = convert.bipartite_from_networkx(B, "u", "e", "v")
+    assert g2.num_edges(("u", "e", "v")) == 3
+
+    rng = np.random.default_rng(0)
+    gg = dgl.graph(
+        (rng.integers(0, 30, 100), rng.integers(0, 30, 100)), num_nodes=30
+    )
+    s = dataloading.NeighborSampler([3], seed=0)
+    _, _, blocks = s.sample_blocks(gg, [0, 1, 2])
+    bp = convert.block_to_graph(blocks[0])
+    assert any(nt.endswith("_src") for nt in bp.ntypes)
+    assert any(nt.endswith("_dst") for nt in bp.ntypes)
+    assert convert.to_networkx(gg).number_of_edges() == 100
