@@ -10,6 +10,8 @@ from .neighbor import (
     sample_neighbors_fixed,
     in_subgraph_sample,
     temporal_sample_neighbors,
+    select_topk,
+    sample_neighbors_biased,
 )
 from .randomwalks import random_walk, node2vec_random_walk, pack_traces
 from .negative import global_uniform_negative_sampling

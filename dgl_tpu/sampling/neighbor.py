@@ -281,3 +281,125 @@ def temporal_sample_neighbors(
         eid[i, :k] = row_eid[sel]
         mask[i, :k] = True
     return nbr, eid, mask
+
+
+def select_topk(g: Graph, k, weight: str, nodes=None, edge_dir: str = "in",
+                ascending: bool = False, copy_ndata: bool = True,
+                copy_edata: bool = True) -> Graph:
+    """Per-node top-k in/out-edges by edge weight (reference
+    ``sampling/neighbor.py:880``): deterministic pick of the k largest
+    (or smallest with ``ascending``) weighted edges per seed."""
+    from ..subgraph import edge_subgraph
+
+    if nodes is None:
+        nodes = {nt: np.arange(g.num_nodes(nt), dtype=np.int64)
+                 for nt in g.ntypes}
+    elif not isinstance(nodes, Mapping):
+        if len(g.ntypes) != 1:
+            raise DGLError("node dict required for heterographs")
+        nodes = {g.ntypes[0]: nodes}
+    nodes = {nt: np.atleast_1d(_np(v)).astype(np.int64)
+             for nt, v in nodes.items()}
+    edges = {}
+    for cet in g.canonical_etypes:
+        st, _, dt = cet
+        rel = g._relations[cet]
+        kk = k[cet] if isinstance(k, Mapping) else k
+        if edge_dir == "in":
+            seeds = nodes.get(dt, np.zeros(0, np.int64))
+            indptr, eids = _np(rel.csc_indptr), _np(rel.csc_eids)
+        elif edge_dir == "out":
+            seeds = nodes.get(st, np.zeros(0, np.int64))
+            indptr, eids = _np(rel.csr_indptr), _np(rel.csr_eids)
+        else:
+            raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
+        frame = g._edge_frames.get(cet, {})
+        if weight not in frame:
+            raise DGLError(f"edge weight {weight!r} not found for {cet}")
+        w = _np(frame[weight]).astype(np.float64)
+        out = []
+        for s in seeds:
+            row_eids = eids[indptr[s] : indptr[s + 1]]
+            if row_eids.size == 0:
+                continue
+            rw = w[row_eids]
+            order = np.argsort(rw if ascending else -rw, kind="stable")
+            out.append(row_eids[order[: min(int(kk), row_eids.size)]])
+        edges[cet] = (np.concatenate(out) if out
+                      else np.zeros(0, np.int64))
+    sub = edge_subgraph(g, edges, relabel_nodes=False, store_ids=True)
+    if not copy_ndata:
+        for nt in sub.ntypes:
+            sub._node_frames[nt] = {}
+    if not copy_edata:
+        for cet in sub.canonical_etypes:
+            sub._edge_frames[cet] = {EID: sub._edge_frames[cet][EID]}
+    return sub
+
+
+def sample_neighbors_biased(g: Graph, nodes, fanout, bias,
+                            edge_dir: str = "in",
+                            tag_offset_name: str = "_TAG_OFFSET",
+                            replace: bool = False, copy_ndata: bool = True,
+                            copy_edata: bool = True,
+                            seed: Optional[int] = None) -> Graph:
+    """Tag-biased neighbor sampling (reference
+    ``sampling/neighbor.py:690`` / C++ ``CSRRowWiseSamplingBiased``):
+    neighbors are grouped by node tag (see
+    ``transforms.sort_csc_by_tag``) and tag ``t`` is picked with
+    probability proportional to ``bias[t]`` times its block size."""
+    from ..subgraph import edge_subgraph
+
+    if len(g.ntypes) != 1:
+        raise DGLError("biased sampling supports homogeneous graphs")
+    nt = g.ntypes[0]
+    cet = g.canonical_etypes[0]
+    offs_frame = g._node_frames.get(nt, {})
+    if tag_offset_name not in offs_frame:
+        raise DGLError(
+            f"{tag_offset_name!r} missing: run sort_csc_by_tag (edge_dir="
+            "'in') or sort_csr_by_tag ('out') first"
+        )
+    offsets = _np(offs_frame[tag_offset_name])
+    bias = _np(bias).astype(np.float64)
+    rel = g._relations[cet]
+    if edge_dir == "in":
+        indptr, eids = _np(rel.csc_indptr), _np(rel.csc_eids)
+    elif edge_dir == "out":
+        indptr, eids = _np(rel.csr_indptr), _np(rel.csr_eids)
+    else:
+        raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
+    rng = np.random.default_rng(seed)
+    seeds = np.atleast_1d(_np(nodes)).astype(np.int64)
+    out = []
+    for s in seeds:
+        row_eids = eids[indptr[s] : indptr[s + 1]]
+        deg = row_eids.size
+        if deg == 0:
+            continue
+        block = np.diff(offsets[s])  # per-tag neighbor counts
+        p = np.repeat(bias, block.astype(np.int64))
+        if p.shape[0] != deg:
+            raise DGLError(
+                "tag offsets disagree with degree; re-run the tag sort"
+            )
+        tot = p.sum()
+        if tot <= 0:
+            continue
+        p = p / tot
+        take = int(fanout)
+        if not replace:
+            # zero-bias tags leave fewer eligible candidates than deg
+            take = min(take, int(np.count_nonzero(p)))
+        idx = rng.choice(deg, size=take, replace=replace, p=p)
+        out.append(row_eids[idx])
+    edges = {cet: np.concatenate(out) if out else np.zeros(0, np.int64)}
+    sub = edge_subgraph(g, edges, relabel_nodes=False, store_ids=True)
+    if not copy_ndata:
+        sub._node_frames[nt] = {}
+    if not copy_edata:
+        sub._edge_frames[cet] = {EID: sub._edge_frames[cet][EID]}
+    return sub
+
+
+__all__ += ["select_topk", "sample_neighbors_biased"]

@@ -1,5 +1,6 @@
 """Sampling tests (mirrors reference tests/python/common/sampling/)."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import dgl_tpu as dgl
@@ -181,3 +182,48 @@ def test_temporal_sampling():
     )
     valid = set(nbr[0][mask[0]].tolist())
     assert valid == {0, 1, 3}  # edge from 2 is too new
+
+
+def test_select_topk():
+    from dgl_tpu import sampling
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph((rng.integers(0, 20, 120), rng.integers(0, 20, 120)),
+                  num_nodes=20)
+    w = rng.random(g._relation(None).num_edges_padded).astype(np.float32)
+    g.edata["w"] = jnp.asarray(w)
+    sub = sampling.select_topk(g, 3, "w", nodes=np.arange(20))
+    rel = g._relation(None)
+    eid = np.asarray(sub.edata[dgl.base.EID] if hasattr(dgl, "base")
+                     else sub.edata["_ID"])
+    dst = np.asarray(rel.dst)
+    E = rel.num_edges
+    for v in range(20):
+        row = np.nonzero(dst[:E] == v)[0]
+        got = np.sort(eid[np.asarray(dst[eid]) == v])
+        want = row[np.argsort(-w[row], kind="stable")][: min(3, row.size)]
+        np.testing.assert_array_equal(got, np.sort(want))
+
+
+def test_sample_neighbors_biased():
+    from dgl_tpu import sampling, transforms
+
+    rng = np.random.default_rng(1)
+    g = dgl.graph((rng.integers(0, 25, 300), rng.integers(0, 25, 300)),
+                  num_nodes=25)
+    tags = rng.integers(0, 2, 25)
+    gs = transforms.sort_csc_by_tag(g, tags)
+    # bias tag 1 only: every sampled edge's src must have tag 1 when the
+    # seed has at least one tag-1 in-neighbor
+    sub = sampling.sample_neighbors_biased(
+        gs, np.arange(25), 4, bias=[0.0, 1.0], seed=0
+    )
+    rel = gs._relation(None)
+    E = rel.num_edges
+    src = np.asarray(rel.src)
+    eid = np.asarray(sub.edata["_ID"])
+    assert eid.size > 0
+    assert np.all(tags[src[eid]] == 1)
+    # missing tag offsets -> clear error
+    with pytest.raises(Exception):
+        sampling.sample_neighbors_biased(g, [0], 2, bias=[1.0, 1.0])
