@@ -22,7 +22,7 @@ from .convert import (
 from . import function
 from . import ops
 from .ops import edge_softmax
-from .batch import batch, unbatch, stack_graphs, pad_batch
+from .batch import batch, unbatch, stack_graphs, pad_batch, slice_batch
 from .readout import (
     readout_nodes,
     readout_edges,
@@ -145,7 +145,7 @@ __all__ = [
     # message passing
     "function", "fn", "ops", "edge_softmax", "apply_each",
     # batching / readout
-    "batch", "unbatch", "stack_graphs", "pad_batch", "readout_nodes", "readout_edges",
+    "batch", "unbatch", "stack_graphs", "pad_batch", "slice_batch", "readout_nodes", "readout_edges",
     "sum_nodes", "mean_nodes", "max_nodes", "softmax_nodes",
     "broadcast_nodes", "topk_nodes",
     # subgraphs / structure

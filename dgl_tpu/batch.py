@@ -211,3 +211,49 @@ def stack_graphs(graphs: Sequence[Graph]) -> Graph:
         for r in g._relations.values():
             r.max_in_degree, r.max_out_degree = mi, mo
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def slice_batch(bg: Graph, gid: int, store_ids: bool = False) -> Graph:
+    """Extract graph ``gid`` from a batch without unbatching the rest
+    (reference ``batch.py:446``)."""
+    B = bg.batch_size
+    if not 0 <= gid < B:
+        raise DGLError(f"gid {gid} out of range for batch of {B}")
+    from .base import EID, NID
+
+    cets = bg.canonical_etypes
+    ntypes = bg.ntypes
+    bnn = {nt: _asnumpy(bg.batch_num_nodes(nt)) for nt in ntypes}
+    bne = {cet: _asnumpy(bg.batch_num_edges(cet)) for cet in cets}
+    node_off = {nt: int(bnn[nt][:gid].sum()) for nt in ntypes}
+    edge_off = {cet: int(bne[cet][:gid].sum()) for cet in cets}
+    data_dict = {}
+    nn = {nt: int(bnn[nt][gid]) for nt in ntypes}
+    for cet in cets:
+        st, _, dt = cet
+        rel = bg._relations[cet]
+        lo = edge_off[cet]
+        hi = lo + int(bne[cet][gid])
+        data_dict[cet] = (
+            _asnumpy(rel.src)[lo:hi] - node_off[st],
+            _asnumpy(rel.dst)[lo:hi] - node_off[dt],
+        )
+    g = heterograph(data_dict, nn, idtype=bg.idtype)
+    for nt in ntypes:
+        lo = node_off[nt]
+        hi = lo + nn[nt]
+        for key, v in bg._node_frames.get(nt, {}).items():
+            g._node_frames.setdefault(nt, {})[key] = v[lo:hi]
+        if store_ids:
+            g._node_frames.setdefault(nt, {})[NID] = jnp.arange(lo, hi)
+    for cet in cets:
+        lo = edge_off[cet]
+        hi = lo + int(bne[cet][gid])
+        for key, v in bg._edge_frames.get(cet, {}).items():
+            g._edge_frames.setdefault(cet, {})[key] = v[lo:hi]
+        if store_ids:
+            g._edge_frames.setdefault(cet, {})[EID] = jnp.arange(lo, hi)
+    return g
+
+
+__all__.append("slice_batch")

@@ -25,3 +25,18 @@ def get_rng() -> np.random.Generator:
 def next_seed() -> int:
     """Draw a fresh sampler seed from the global stream."""
     return int(_rng.integers(2**63))
+
+
+def choice(a, size, replace=True, prob=None):
+    """``numpy.random.choice`` over the framework RNG (reference
+    ``python/dgl/random.py:21``)."""
+    p = None if prob is None else np.asarray(prob)
+    if p is not None:
+        s = p.sum()
+        if s <= 0:
+            raise ValueError("prob must have positive mass")
+        p = p / s
+    return get_rng().choice(a, size=size, replace=replace, p=p)
+
+
+__all__.append("choice")

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import dgl_tpu as dgl
 from dgl_tpu import function as fn
@@ -204,3 +205,27 @@ def test_apply_edges_subset_under_jit():
     gl.ndata["h"] = h0
     gl.apply_edges(fn.u_add_v("h", "h", "e2"), edges=[1, 2])
     assert "e2" in gl.edata
+
+
+def test_slice_batch_and_random_choice():
+    from dgl_tpu import random as dglrandom
+
+    g1 = dgl.graph(([0, 1], [1, 2]), num_nodes=3)
+    g1.ndata["h"] = jnp.arange(3.0)[:, None]
+    g2 = dgl.graph(([0], [1]), num_nodes=2)
+    g2.ndata["h"] = jnp.arange(10.0, 12.0)[:, None]
+    bg = dgl.batch([g1, g2])
+    s0 = dgl.slice_batch(bg, 0)
+    s1 = dgl.slice_batch(bg, 1, store_ids=True)
+    assert s0.num_nodes() == 3 and s0.num_edges() == 2
+    assert s1.num_nodes() == 2 and s1.num_edges() == 1
+    np.testing.assert_allclose(np.asarray(s1.ndata["h"]).ravel(), [10, 11])
+    np.testing.assert_array_equal(np.asarray(s1.ndata["_ID"]), [3, 4])
+    with pytest.raises(Exception):
+        dgl.slice_batch(bg, 2)
+
+    dglrandom.seed(0)
+    x = dglrandom.choice(10, 5, replace=False)
+    assert len(set(int(v) for v in x)) == 5
+    y = dglrandom.choice(3, 100, prob=[0.0, 1.0, 0.0])
+    assert np.all(np.asarray(y) == 1)
