@@ -1261,3 +1261,168 @@ def _graph_formats(self, formats=None):
 
 
 Graph.formats = _graph_formats
+
+
+# ---------------------------------------------------------------------------
+# Method-surface tail (reference ``heterograph.py`` methods): delegations to
+# the module functions plus small host queries.
+# ---------------------------------------------------------------------------
+
+
+def _g_subgraph(self, nodes, *, relabel_nodes=True, store_ids=True):
+    """(reference ``heterograph.py`` ``subgraph``)."""
+    from .subgraph import node_subgraph
+
+    return node_subgraph(
+        self, nodes, relabel_nodes=relabel_nodes, store_ids=store_ids
+    )
+
+
+def _g_edge_subgraph(self, edges, *, relabel_nodes=True, store_ids=True):
+    from .subgraph import edge_subgraph
+
+    return edge_subgraph(
+        self, edges, relabel_nodes=relabel_nodes, store_ids=store_ids
+    )
+
+
+def _g_node_type_subgraph(self, ntypes):
+    from .subgraph import node_type_subgraph
+
+    return node_type_subgraph(self, ntypes)
+
+
+def _g_edge_type_subgraph(self, etypes):
+    from .subgraph import edge_type_subgraph
+
+    return edge_type_subgraph(self, etypes)
+
+
+def _g_in_edges(self, v, form: str = "uv", etype=None):
+    """In-edges of nodes ``v`` (reference ``heterograph.py`` ``in_edges``)."""
+    rel = self._relation(etype)
+    v_np = np.atleast_1d(_asnumpy(v))
+    indptr = _asnumpy(rel.csc_indptr)
+    eids = np.concatenate(
+        [_asnumpy(rel.csc_eids)[indptr[i] : indptr[i + 1]] for i in v_np]
+    ) if v_np.size else np.zeros(0, np.int64)
+    src = _asnumpy(rel.src)[eids]
+    dst = _asnumpy(rel.dst)[eids]
+    if form == "eid":
+        return jnp.asarray(eids)
+    if form == "uv":
+        return jnp.asarray(src), jnp.asarray(dst)
+    if form == "all":
+        return jnp.asarray(src), jnp.asarray(dst), jnp.asarray(eids)
+    raise DGLError(f"Unknown form {form!r}")
+
+
+def _g_out_edges(self, u, form: str = "uv", etype=None):
+    rel = self._relation(etype)
+    u_np = np.atleast_1d(_asnumpy(u))
+    indptr = _asnumpy(rel.csr_indptr)
+    eids = np.concatenate(
+        [_asnumpy(rel.csr_eids)[indptr[i] : indptr[i + 1]] for i in u_np]
+    ) if u_np.size else np.zeros(0, np.int64)
+    src = _asnumpy(rel.src)[eids]
+    dst = _asnumpy(rel.dst)[eids]
+    if form == "eid":
+        return jnp.asarray(eids)
+    if form == "uv":
+        return jnp.asarray(src), jnp.asarray(dst)
+    if form == "all":
+        return jnp.asarray(src), jnp.asarray(dst), jnp.asarray(eids)
+    raise DGLError(f"Unknown form {form!r}")
+
+
+def _g_filter_nodes(self, predicate, ntype=None):
+    """Node ids where ``predicate(NodeBatch) -> bool mask`` holds
+    (reference ``heterograph.py`` ``filter_nodes``)."""
+    from .udf import NodeBatch
+
+    nt = ntype or (self.ntypes[0] if len(self.ntypes) == 1 else None)
+    if nt is None:
+        raise DGLError("ntype required")
+    mask = predicate(NodeBatch(dict(self._node_frames.get(nt, {}))))
+    return jnp.nonzero(jnp.asarray(mask))[0]
+
+
+def _g_filter_edges(self, predicate, etype=None):
+    from .udf import EdgeBatch
+
+    cet = self.to_canonical_etype(etype)
+    rel = self._relations[cet]
+    srcf = self._node_frames.get(cet[0], {})
+    dstframes = self._dst_frames if self.is_block else self._node_frames
+    dstf = dstframes.get(cet[2], {})
+    batch = EdgeBatch(
+        {k: v[rel.src] for k, v in srcf.items()},
+        dict(self._edge_frames.get(cet, {})),
+        {k: v[rel.dst] for k, v in dstf.items()},
+        edges=(rel.src, rel.dst),
+    )
+    mask = jnp.asarray(predicate(batch))
+    if rel.num_edges != rel.num_edges_padded:
+        mask = mask & rel.edge_mask()
+    return jnp.nonzero(mask)[0]
+
+
+def _g_has_nodes(self, vids, ntype=None):
+    nt = ntype or (self.ntypes[0] if len(self.ntypes) == 1 else None)
+    v = jnp.atleast_1d(jnp.asarray(vids))
+    out = (v >= 0) & (v < self.num_nodes(nt))
+    return out if np.ndim(vids) else out[0]
+
+
+def _g_clone(self):
+    """Shallow-copy frames over the shared immutable structure (reference
+    ``heterograph.py`` ``clone``; arrays are immutable in JAX, so sharing
+    them is safe)."""
+    return self.local_var()
+
+
+def _g_cpu(self):
+    """Move all feature arrays to host CPU (reference ``cpu``)."""
+    import jax
+
+    dev = jax.devices("cpu")[0]
+    return self.to(dev)
+
+
+def _g_is_multigraph(self):
+    rel = self._relation(None) if len(self.canonical_etypes) == 1 else None
+    rels = [rel] if rel is not None else list(self._relations.values())
+    for r in rels:
+        E = r.num_edges
+        pairs = np.stack(
+            [_asnumpy(r.src)[:E], _asnumpy(r.dst)[:E]], axis=1
+        )
+        if np.unique(pairs, axis=0).shape[0] < E:
+            return True
+    return False
+
+
+def _g_metagraph(self):
+    """networkx MultiDiGraph over node types (reference ``metagraph``)."""
+    import networkx as nx
+
+    mg = nx.MultiDiGraph()
+    mg.add_nodes_from(self.ntypes)
+    for st, et, dt in self.canonical_etypes:
+        mg.add_edge(st, dt, key=et)
+    return mg
+
+
+Graph.subgraph = _g_subgraph
+Graph.edge_subgraph = _g_edge_subgraph
+Graph.node_type_subgraph = _g_node_type_subgraph
+Graph.edge_type_subgraph = _g_edge_type_subgraph
+Graph.in_edges = _g_in_edges
+Graph.out_edges = _g_out_edges
+Graph.filter_nodes = _g_filter_nodes
+Graph.filter_edges = _g_filter_edges
+Graph.has_nodes = _g_has_nodes
+Graph.clone = _g_clone
+Graph.cpu = _g_cpu
+Graph.is_multigraph = property(_g_is_multigraph)
+Graph.metagraph = _g_metagraph

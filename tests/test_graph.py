@@ -245,3 +245,43 @@ def test_convert_bipartite_and_block_to_graph():
     assert any(nt.endswith("_src") for nt in bp.ntypes)
     assert any(nt.endswith("_dst") for nt in bp.ntypes)
     assert convert.to_networkx(gg).number_of_edges() == 100
+
+
+def test_graph_method_tail():
+    """subgraph/edge views, filters, in/out_edges, clone, multigraph,
+    metagraph (reference heterograph method surface)."""
+    rng = np.random.default_rng(4)
+    g = dgl.graph((rng.integers(0, 10, 40), rng.integers(0, 10, 40)),
+                  num_nodes=10)
+    g.ndata["h"] = jnp.asarray(rng.normal(size=(10, 2)), jnp.float32)
+
+    sub = g.subgraph([0, 1, 2])
+    assert sub.num_nodes() == 3
+    es = g.edge_subgraph([0, 1, 2, 3])
+    assert es.num_edges() == 4
+
+    u, v = g.in_edges(3)
+    rel = g._relation(None)
+    dst = np.asarray(rel.dst)
+    assert np.all(np.asarray(v) == 3)
+    assert len(np.asarray(u)) == int((dst[:40] == 3).sum())
+    eids = g.out_edges(2, form="eid")
+    src = np.asarray(rel.src)
+    assert np.all(src[np.asarray(eids)] == 2)
+
+    ids = g.filter_nodes(lambda nb: nb.data["h"][:, 0] > 0)
+    want = np.nonzero(np.asarray(g.ndata["h"])[:, 0] > 0)[0]
+    np.testing.assert_array_equal(np.asarray(ids), want)
+    eids2 = g.filter_edges(lambda eb: eb.src["h"][:, 0] > 0)
+    assert np.all(np.asarray(src)[np.asarray(eids2)] < 10)
+
+    assert bool(np.asarray(g.has_nodes([0, 9, 10]))[2]) is False
+    c = g.clone()
+    c.ndata["h2"] = jnp.zeros((10, 1))
+    assert "h2" not in g.ndata
+
+    gm = dgl.graph(([0, 0], [1, 1]))
+    assert gm.is_multigraph
+    gs = dgl.graph(([0], [1]))
+    assert not gs.is_multigraph
+    assert list(g.metagraph().nodes) == ["_N"]
