@@ -1426,3 +1426,58 @@ Graph.clone = _g_clone
 Graph.cpu = _g_cpu
 Graph.is_multigraph = property(_g_is_multigraph)
 Graph.metagraph = _g_metagraph
+
+
+def _delegate_transform(name, module_path):
+    def method(self, *args, **kwargs):
+        import importlib
+
+        mod = importlib.import_module(module_path, package=__package__)
+        return getattr(mod, name)(self, *args, **kwargs)
+
+    method.__name__ = name
+    method.__doc__ = f"Method form of ``{module_path}.{name}`` (reference ``heterograph.py``)."
+    return method
+
+
+for _name in ("add_edges", "remove_edges", "add_nodes", "remove_nodes",
+              "line_graph", "to_simple", "add_self_loop",
+              "remove_self_loop", "khop_graph"):
+    setattr(Graph, _name, _delegate_transform(_name, ".transforms.functional"))
+
+Graph.sample_neighbors = _delegate_transform("sample_neighbors",
+                                             ".sampling.neighbor")
+Graph.global_uniform_negative_sampling = _delegate_transform(
+    "global_uniform_negative_sampling", ".sampling.negative"
+)
+
+
+def _g_get_ntype_id(self, ntype):
+    if ntype is None:
+        if len(self.ntypes) != 1:
+            raise DGLError("ntype required")
+        return 0
+    try:
+        return self.ntypes.index(ntype)
+    except ValueError:
+        raise DGLError(f"Unknown node type {ntype!r}")
+
+
+def _g_get_etype_id(self, etype):
+    cet = self.to_canonical_etype(etype)
+    return self.canonical_etypes.index(cet)
+
+
+def _g_is_unibipartite(self):
+    """True when src and dst node types are disjoint (reference
+    ``is_unibipartite``)."""
+    srcs = {cet[0] for cet in self.canonical_etypes}
+    dsts = {cet[2] for cet in self.canonical_etypes}
+    return len(srcs & dsts) == 0
+
+
+Graph.get_ntype_id = _g_get_ntype_id
+Graph.get_etype_id = _g_get_etype_id
+Graph.number_of_src_nodes = lambda self, ntype=None: self.num_src_nodes(ntype)
+Graph.number_of_dst_nodes = lambda self, ntype=None: self.num_dst_nodes(ntype)
+Graph.is_unibipartite = property(_g_is_unibipartite)

@@ -285,3 +285,27 @@ def test_graph_method_tail():
     gs = dgl.graph(([0], [1]))
     assert not gs.is_multigraph
     assert list(g.metagraph().nodes) == ["_N"]
+
+
+def test_graph_method_delegations():
+    g = dgl.graph(([0, 1], [1, 2]))
+    assert g.add_self_loop().num_edges() == 5
+    assert g.remove_self_loop().num_edges() == 2
+    assert g.remove_nodes([0]).num_nodes() == 2
+    assert g.add_nodes(2).num_nodes() == 5
+    g4 = g.add_edges([2], [0])
+    assert g4.num_edges() == 3
+    assert g.to_simple().num_edges() == 2
+    assert g.khop_graph(2).num_edges() >= 1
+    sub = g.sample_neighbors([2], 1)
+    assert sub.num_edges() == 1
+    src, dst = g.global_uniform_negative_sampling(3)
+    assert len(src) == len(dst)
+    assert g.get_ntype_id(None) == 0
+    assert g.get_etype_id("_E") == 0
+    assert g.number_of_src_nodes() == 3
+    assert not g.is_unibipartite
+    hg = dgl.heterograph({("a", "e", "b"): ([0], [0])})
+    assert hg.is_unibipartite
+    with pytest.raises(Exception):
+        g.get_ntype_id("nope")
