@@ -1,6 +1,7 @@
 """Explainability (reference ``python/dgl/nn/pytorch/explain/``)."""
 from .gnnexplainer import GNNExplainer
+from .hetero_gnnexplainer import HeteroGNNExplainer
 from .pgexplainer import PGExplainer
 from .subgraphx import SubgraphX
 
-__all__ = ["GNNExplainer", "PGExplainer", "SubgraphX"]
+__all__ = ["GNNExplainer", "HeteroGNNExplainer", "PGExplainer", "SubgraphX"]

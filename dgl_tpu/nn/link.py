@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+__all__ = ["EdgePredictor", "TransE", "TransR"]
+
+
 class EdgePredictor(nn.Module):
     """Pairwise scorer for (src, dst) representation pairs (reference
     ``edgepred.py:10``): op in {dot, cos, ele, cat}."""

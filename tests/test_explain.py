@@ -1,0 +1,49 @@
+"""Explainer tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dgl_tpu as dgl
+def test_hetero_gnnexplainer():
+    """Hetero explainer learns per-type masks; works graph- and node-level."""
+    from dgl_tpu.nn import HeteroGraphConv
+    from dgl_tpu.nn.conv import GraphConv
+    from dgl_tpu.nn.explain import HeteroGNNExplainer
+    from flax import linen as nn
+
+    rng = np.random.default_rng(0)
+    hg = dgl.heterograph({
+        ("a", "ab", "b"): (rng.integers(0, 8, 30), rng.integers(0, 6, 30)),
+        ("b", "ba", "a"): (rng.integers(0, 6, 20), rng.integers(0, 8, 20)),
+    })
+    feat = {"a": jnp.asarray(rng.normal(size=(8, 5)), jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(6, 5)), jnp.float32)}
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, g, x, ew):
+            conv = HeteroGraphConv(
+                {"ab": GraphConv(5, 3, allow_zero_in_degree=True, name="c1"),
+                 "ba": GraphConv(5, 3, allow_zero_in_degree=True, name="c2")},
+                aggregate="sum")
+            h = conv(g, x, mod_kwargs={
+                "ab": {"edge_weight": ew[("a", "ab", "b")]},
+                "ba": {"edge_weight": ew[("b", "ba", "a")]},
+            })
+            return h["a"]
+
+    m = M()
+    ones = {cet: jnp.ones(hg._relations[cet].num_edges_padded)
+            for cet in hg.canonical_etypes}
+    params = m.init(jax.random.PRNGKey(0), hg, feat, ones)
+    model_fn = lambda g, x, ew: m.apply(params, g, x, ew)
+
+    ex = HeteroGNNExplainer(model_fn, num_hops=1, num_epochs=15)
+    fm, em = ex.explain_graph(hg, feat)
+    assert set(fm) == {"a", "b"}
+    assert set(em) == set(hg.canonical_etypes)
+    for v in list(fm.values()) + list(em.values()):
+        arr = np.asarray(v)
+        assert np.all((arr >= 0) & (arr <= 1))
+    nid, sg, fm2, em2 = ex.explain_node("a", 1, hg, feat)
+    assert "a" in fm2 and len(em2) >= 1
