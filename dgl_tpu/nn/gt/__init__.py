@@ -6,7 +6,7 @@ attention over all node pairs with structural biases, MXU-friendly.
 from .degree_encoder import DegreeEncoder
 from .lap_pos_encoder import LapPosEncoder
 from .path_encoder import PathEncoder
-from .spatial_encoder import SpatialEncoder
+from .spatial_encoder import SpatialEncoder, SpatialEncoder3d
 from .biased_mha import BiasedMHA
 from .graphormer import GraphormerLayer
 from .egt import EGTLayer
@@ -16,6 +16,7 @@ __all__ = [
     "LapPosEncoder",
     "PathEncoder",
     "SpatialEncoder",
+    "SpatialEncoder3d",
     "BiasedMHA",
     "GraphormerLayer",
     "EGTLayer",

@@ -39,3 +39,22 @@ def test_graphormer_trains():
         params, st, loss = step(params, st)
     assert float(loss) < 0.4
     assert np.isfinite(float(loss))
+
+
+def test_spatial_encoder_3d():
+    from dgl_tpu.nn.gt import SpatialEncoder3d
+
+    rng = np.random.default_rng(0)
+    coord = jnp.asarray(rng.normal(size=(2, 5, 3)), jnp.float32)
+    ntype = jnp.asarray(rng.integers(0, 4, (2, 5)))
+    enc = SpatialEncoder3d(num_kernels=4, num_heads=3, max_node_type=10)
+    params = enc.init(jax.random.PRNGKey(0), coord, ntype)
+    out = enc.apply(params, coord, ntype)
+    assert out.shape == (2, 5, 5, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert enc.apply(params, coord).shape == (2, 5, 5, 3)
+    # translation invariance: shifting all coordinates leaves the bias
+    out_shift = enc.apply(params, coord + 7.5, ntype)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_shift), rtol=1e-4, atol=1e-5
+    )
