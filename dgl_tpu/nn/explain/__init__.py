@@ -2,6 +2,13 @@
 from .gnnexplainer import GNNExplainer
 from .hetero_gnnexplainer import HeteroGNNExplainer
 from .pgexplainer import PGExplainer
+from .hetero_pgexplainer import HeteroPGExplainer
 from .subgraphx import SubgraphX
 
-__all__ = ["GNNExplainer", "HeteroGNNExplainer", "PGExplainer", "SubgraphX"]
+__all__ = [
+    "GNNExplainer",
+    "HeteroGNNExplainer",
+    "PGExplainer",
+    "HeteroPGExplainer",
+    "SubgraphX",
+]
