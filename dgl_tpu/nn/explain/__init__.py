@@ -4,6 +4,7 @@ from .hetero_gnnexplainer import HeteroGNNExplainer
 from .pgexplainer import PGExplainer
 from .hetero_pgexplainer import HeteroPGExplainer
 from .subgraphx import SubgraphX
+from .hetero_subgraphx import HeteroSubgraphX
 
 __all__ = [
     "GNNExplainer",
@@ -11,4 +12,5 @@ __all__ = [
     "PGExplainer",
     "HeteroPGExplainer",
     "SubgraphX",
+    "HeteroSubgraphX",
 ]

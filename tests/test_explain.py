@@ -91,3 +91,42 @@ def test_hetero_pgexplainer():
     for v in masks.values():
         arr = np.asarray(v)
         assert np.all((arr >= 0) & (arr <= 1))
+
+
+def test_hetero_subgraphx():
+    from dgl_tpu.nn import HeteroGraphConv
+    from dgl_tpu.nn.conv import GraphConv
+    from dgl_tpu.nn.explain import HeteroSubgraphX
+    from flax import linen as nn
+
+    rng = np.random.default_rng(2)
+    hg = dgl.heterograph({
+        ("a", "ab", "b"): (rng.integers(0, 6, 15), rng.integers(0, 5, 15)),
+        ("b", "ba", "a"): (rng.integers(0, 5, 10), rng.integers(0, 6, 10)),
+    })
+    feat = {"a": jnp.asarray(rng.normal(size=(6, 4)), jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(5, 4)), jnp.float32)}
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, g, x):
+            h = HeteroGraphConv(
+                {"ab": GraphConv(4, 4, allow_zero_in_degree=True, name="c1"),
+                 "ba": GraphConv(4, 4, allow_zero_in_degree=True, name="c2")},
+                aggregate="sum")(g, x)
+            pooled = jnp.concatenate(
+                [h["a"].mean(0), h["b"].mean(0)])
+            return nn.Dense(3)(pooled)
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), hg, feat)
+    model_fn = lambda g, x: m.apply(params, g, x)
+
+    ex = HeteroSubgraphX(model_fn, num_rollouts=4, shapley_steps=4,
+                         node_min=2)
+    result, score = ex.explain_graph(hg, feat, node_max=5)
+    total = sum(len(v) for v in result.values())
+    assert 2 <= total <= 11
+    for nt, ids in result.items():
+        assert np.all(ids < hg.num_nodes(nt)) and np.all(ids >= 0)
+    assert np.isfinite(score)
