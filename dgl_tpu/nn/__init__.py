@@ -12,8 +12,10 @@ from .utils_nn import (  # noqa: F401
     LabelPropagation,
 )
 from . import gt  # noqa: F401
+from .gt import *  # noqa: F401,F403
 from . import functional  # noqa: F401
 from . import explain  # noqa: F401
+from .explain import *  # noqa: F401,F403
 from .link import EdgePredictor, TransE, TransR  # noqa: F401
 from .factory import KNNGraph, SegmentedKNNGraph, RadiusGraph  # noqa: F401
 from .network_emb import DeepWalk, MetaPath2Vec  # noqa: F401
