@@ -16,3 +16,50 @@ __all__ = [
     "sparse_adam_init",
     "sparse_adam_update",
 ]
+
+
+class SparseAdagrad:
+    """Class form matching the reference trainer loop (reference
+    ``optim/pytorch/sparse_optim.py:509``): holds per-embedding Adagrad
+    state and applies row-sparse updates via ``step``."""
+
+    def __init__(self, params, lr: float = 0.01, eps: float = 1e-10):
+        self.params = list(params)
+        self.lr = lr
+        self.eps = eps
+        self._state = [sparse_adagrad_init(p.weight) for p in self.params]
+
+    def step(self, grads_per_emb):
+        """``grads_per_emb``: list of (ids, grads) per embedding (order of
+        construction); embeddings are updated in place."""
+        for i, (emb, (ids, grads)) in enumerate(
+            zip(self.params, grads_per_emb)
+        ):
+            emb.weight, self._state[i] = sparse_adagrad_update(
+                emb.weight, self._state[i], ids, grads, lr=self.lr,
+                eps=self.eps,
+            )
+
+
+class SparseAdam:
+    """(reference ``optim/pytorch/sparse_optim.py:647``)."""
+
+    def __init__(self, params, lr: float = 0.001, betas=(0.9, 0.999),
+                 eps: float = 1e-8):
+        self.params = list(params)
+        self.lr = lr
+        self.betas = betas
+        self.eps = eps
+        self._state = [sparse_adam_init(p.weight) for p in self.params]
+
+    def step(self, grads_per_emb):
+        for i, (emb, (ids, grads)) in enumerate(
+            zip(self.params, grads_per_emb)
+        ):
+            emb.weight, self._state[i] = sparse_adam_update(
+                emb.weight, self._state[i], ids, grads, lr=self.lr,
+                beta1=self.betas[0], beta2=self.betas[1], eps=self.eps,
+            )
+
+
+__all__ += ["SparseAdagrad", "SparseAdam"]

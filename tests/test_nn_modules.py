@@ -229,3 +229,28 @@ def test_subgraphx():
     nodes, score = sx.explain_graph(g, feat, node_max=3)
     assert 2 <= len(nodes) <= 3
     assert np.isfinite(score)
+
+
+def test_sparse_optimizer_classes():
+    """Reference-style SparseAdagrad/SparseAdam wrappers update only the
+    touched rows of NodeEmbedding tables."""
+    from dgl_tpu.nn import NodeEmbedding
+    from dgl_tpu.optim import SparseAdagrad, SparseAdam
+
+    emb = NodeEmbedding(10, 4, seed=0)
+    w0 = np.asarray(emb.weight).copy()
+    opt = SparseAdagrad([emb], lr=0.1)
+    ids = jnp.asarray([1, 3, 1])
+    grads = jnp.ones((3, 4))
+    opt.step([(ids, grads)])
+    w1 = np.asarray(emb.weight)
+    assert not np.allclose(w1[1], w0[1])
+    assert np.allclose(w1[0], w0[0]) and np.allclose(w1[5], w0[5])
+    # duplicate ids accumulate: row 1 moved farther than row 3
+    assert np.abs(w1[1] - w0[1]).sum() > np.abs(w1[3] - w0[3]).sum() - 1e-6
+
+    emb2 = NodeEmbedding(10, 4, seed=1)
+    v0 = np.asarray(emb2.weight).copy()
+    SparseAdam([emb2]).step([(ids, grads)])
+    v1 = np.asarray(emb2.weight)
+    assert not np.allclose(v1[3], v0[3]) and np.allclose(v1[2], v0[2])
