@@ -126,6 +126,33 @@ from .transforms.functional import (
     svd_pe,
 )
 
+from .transforms.functional import (
+    sort_csr_by_tag,
+    sort_csc_by_tag,
+    adj_product_graph,
+    adj_sum_graph,
+    radius_graph,
+    segmented_knn_graph,
+    laplacian_pe,
+    double_radius_node_labeling,
+    remove_nodes,
+    to_float,
+    to_half,
+    to_double,
+    to_bfloat16,
+    norm_by_dst,
+    to_simple_graph,
+    pairwise_squared_distance,
+    rcmk_perm,
+    metis_perm,
+)
+from .convert import (
+    to_networkx,
+    bipartite_from_scipy,
+    bipartite_from_networkx,
+    block_to_graph,
+)
+
 # convenience alias matching `import dgl.function as fn`
 fn = function
 
