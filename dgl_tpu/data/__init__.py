@@ -49,7 +49,68 @@ from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset, MiniG
 TUDataset = GraphClassificationDataset
 GINDataset = GraphClassificationDataset
 
+from .named_extra import (
+    FB15kDataset, FB15k237Dataset, WN18Dataset,
+    AIFBDataset, MUTAGDataset, BGSDataset, AMDataset,
+    QM7bDataset, QM9Dataset, QM9EdgeDataset, ZINCDataset,
+    MNISTSuperPixelDataset, CIFAR10SuperPixelDataset,
+    PATTERNDataset, CLUSTERDataset,
+    ICEWS18Dataset, GDELTDataset,
+    FraudYelpDataset, FraudAmazonDataset,
+    BitcoinOTCDataset, SSTDataset, MovieLensDataset,
+    FakeNewsDataset, LegacyTUDataset, LegacyPPIDataset,
+)
+from . import named_extra
+
+# short aliases the reference also exports (``data/__init__.py``)
+KarateClub = KarateClubDataset
+SBMMixture = SBMMixtureDataset
+QM7b = QM7bDataset
+QM9 = QM9Dataset
+QM9Edge = QM9EdgeDataset
+GDELT = GDELTDataset
+ICEWS18 = ICEWS18Dataset
+SST = SSTDataset
+BitcoinOTC = BitcoinOTCDataset
+DGLBuiltinDataset = DGLDataset
+
 __all__ = [
+    "FB15kDataset",
+    "FB15k237Dataset",
+    "WN18Dataset",
+    "AIFBDataset",
+    "MUTAGDataset",
+    "BGSDataset",
+    "AMDataset",
+    "QM7bDataset",
+    "QM9Dataset",
+    "QM9EdgeDataset",
+    "ZINCDataset",
+    "MNISTSuperPixelDataset",
+    "CIFAR10SuperPixelDataset",
+    "PATTERNDataset",
+    "CLUSTERDataset",
+    "ICEWS18Dataset",
+    "GDELTDataset",
+    "FraudYelpDataset",
+    "FraudAmazonDataset",
+    "BitcoinOTCDataset",
+    "SSTDataset",
+    "MovieLensDataset",
+    "FakeNewsDataset",
+    "LegacyTUDataset",
+    "LegacyPPIDataset",
+    "KarateClub",
+    "SBMMixture",
+    "QM7b",
+    "QM9",
+    "QM9Edge",
+    "GDELT",
+    "ICEWS18",
+    "SST",
+    "BitcoinOTC",
+    "DGLBuiltinDataset",
+
     "DGLDataset",
     "download",
     "extract_archive",

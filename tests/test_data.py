@@ -101,3 +101,49 @@ def test_ba_shape():
 def test_dataset_repr():
     ds = D.SyntheticDataset(num_nodes=10, num_edges=20, num_classes=2, feat_dim=4)
     assert "synthetic" in repr(ds)
+
+
+def test_named_extra_datasets():
+    """Every reference-named dataset family instantiates with correct task
+    structure."""
+    from dgl_tpu import data as D
+
+    kg = D.FB15k237Dataset()
+    g = kg[0]
+    assert kg.num_rels == 237
+    assert int(np.asarray(g.edata["etype"]).max()) < 237
+    assert kg.train.shape[1] == 3
+
+    rdf = D.AIFBDataset()
+    assert rdf.predict_category == "Personen"
+    assert rdf.num_classes == 4
+    assert rdf.predict_category in rdf[0].ntypes
+
+    qm = D.QM9EdgeDataset()
+    g0, y0 = qm[0]
+    assert y0.shape == (19,)
+    assert "R" in g0.ndata and g0.ndata["R"].shape[1] == 3
+    assert "edge_attr" in g0.edata
+
+    sst = D.SSTDataset()
+    t0 = sst[0]
+    # leaves have words, internal nodes are PAD
+    x = np.asarray(t0.ndata["x"])
+    assert (x == -1).any() and (x >= 0).any()
+    # tree: every non-root node has exactly one out-edge
+    deg = np.asarray(t0.out_degrees())
+    assert (deg <= 1).all() and (deg == 0).sum() == 1
+
+    btc = D.BitcoinOTCDataset()
+    assert len(btc) == 10 and btc.is_temporal
+    w = np.asarray(btc[0].edata["h"])
+    assert w.min() >= -10 and w.max() <= 10
+
+    ml = D.MovieLensDataset()[0]
+    assert ("user", "rates", "movie") in ml.canonical_etypes
+
+    pat = D.PATTERNDataset()
+    g = pat[3]
+    assert "label" in g.ndata and pat.num_classes == 2
+
+    assert D.QM9 is D.QM9Dataset and D.DGLBuiltinDataset is D.DGLDataset
