@@ -14,6 +14,8 @@ The reference's server/client RPC architecture collapses into:
 - gradient sync via XLA-inserted ``psum`` (replacing torch DDP).
 """
 from .graph_partition_book import RangePartitionBook
+GraphPartitionBook = RangePartitionBook  # reference class name
+from .dist_graph import DistGraph, node_split, edge_split, exit_client
 from .partition import (
     metis_partition_assignment,
     random_partition_assignment,
@@ -35,6 +37,11 @@ from .dist_context import initialize, get_rank, get_world_size
 
 __all__ = [
     "RangePartitionBook",
+    "GraphPartitionBook",
+    "DistGraph",
+    "node_split",
+    "edge_split",
+    "exit_client",
     "metis_partition_assignment",
     "random_partition_assignment",
     "partition_graph",

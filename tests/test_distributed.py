@@ -433,3 +433,33 @@ def test_hetero_delayed_halo(mesh):
         for nt in g.ntypes
     )
     assert diff > 0
+
+
+def test_dist_graph_facade(tmp_path):
+    """DistGraph bundles a local partition with the book; node_split gives
+    disjoint even shares (reference dist_graph.py API)."""
+    from dgl_tpu.distributed import (
+        DistGraph, node_split, edge_split, partition_graph,
+    )
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph((rng.integers(0, 60, 400), rng.integers(0, 60, 400)),
+                  num_nodes=60)
+    g.ndata["feat"] = jnp.asarray(rng.normal(size=(60, 4)), jnp.float32)
+    d = str(tmp_path)
+    partition_graph(g, "pg", 4, d)
+    dg = DistGraph(d, part_id=1)
+    assert dg.rank == 1
+    assert dg.num_nodes() == 60
+    assert dg.get_partition_book().num_partitions == 4
+    assert dg.local_partition.num_nodes() > 0
+
+    mask = np.zeros(60, bool)
+    mask[: 50] = True
+    shares = [node_split(mask, dg.get_partition_book(), rank=r)
+              for r in range(4)]
+    got = np.concatenate(shares)
+    np.testing.assert_array_equal(np.sort(got), np.arange(50))
+    assert max(len(s) for s in shares) - min(len(s) for s in shares) <= 1
+    e = edge_split(np.arange(17), dg.get_partition_book(), rank=0)
+    assert len(e) == 5  # 17 = 5+4+4+4
