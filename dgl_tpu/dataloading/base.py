@@ -52,7 +52,8 @@ def find_exclude_eids(g, seed_edges, exclude, reverse_eids=None,
     """Edge ids to exclude from sampled neighborhoods (reference
     ``dataloading/base.py:286``): None | 'self' | 'reverse_id' |
     'reverse_types'."""
-    seed_edges = np.asarray(seed_edges)
+    if not isinstance(seed_edges, dict):
+        seed_edges = np.asarray(seed_edges)
     if exclude is None:
         return None
     if exclude == "self":
@@ -64,9 +65,27 @@ def find_exclude_eids(g, seed_edges, exclude, reverse_eids=None,
             [seed_edges, np.asarray(reverse_eids)[seed_edges]]
         )
     if exclude == "reverse_types":
-        raise NotImplementedError(
-            "reverse_types exclusion requires hetero seed dict support"
-        )
+        # hetero: reverse edge i of etype A is edge i of reverse_etypes[A]
+        # (reference ``dataloading/base.py:286`` _find_exclude_eids_with_
+        # reverse_types)
+        if reverse_etypes is None:
+            raise DGLError(
+                "reverse_etypes required for exclude='reverse_types'"
+            )
+        if not isinstance(seed_edges, dict):
+            if len(g.canonical_etypes) != 1:
+                raise DGLError("hetero graphs need {etype: eids} seeds")
+            seed_edges = {g.canonical_etypes[0][1]: seed_edges}
+        out = {}
+        for et, eids in seed_edges.items():
+            cet = g.to_canonical_etype(et)
+            eids = np.asarray(eids)
+            out[cet] = np.concatenate([out.get(cet, eids[:0]), eids])
+            rev = reverse_etypes.get(et, reverse_etypes.get(cet))
+            if rev is not None:
+                rcet = g.to_canonical_etype(rev)
+                out[rcet] = np.concatenate([out.get(rcet, eids[:0]), eids])
+        return out
     if callable(exclude):
         return np.asarray(exclude(seed_edges))
     raise DGLError(f"Unknown exclude mode {exclude!r}")

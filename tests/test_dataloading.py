@@ -209,3 +209,22 @@ def test_graph_dataloader_static_shapes():
     loader2 = GraphDataLoader(ds, batch_size=4, pad=False)
     bg, labels, gmask = next(iter(loader2))
     assert bg.batch_size == 4
+
+
+def test_reverse_types_exclusion():
+    """exclude='reverse_types': seeds of etype A also exclude the same ids
+    in the mapped reverse etype."""
+    from dgl_tpu.dataloading.base import find_exclude_eids
+
+    hg = dgl.heterograph({
+        ("u", "follows", "v"): ([0, 1, 2], [1, 2, 0]),
+        ("v", "followed-by", "u"): ([1, 2, 0], [0, 1, 2]),
+    })
+    out = find_exclude_eids(
+        hg, {"follows": np.array([0, 2])}, "reverse_types",
+        reverse_etypes={"follows": "followed-by"},
+    )
+    np.testing.assert_array_equal(out[("u", "follows", "v")], [0, 2])
+    np.testing.assert_array_equal(out[("v", "followed-by", "u")], [0, 2])
+    with pytest.raises(Exception):
+        find_exclude_eids(hg, {"follows": [0]}, "reverse_types")
