@@ -368,9 +368,46 @@ def send_and_recv(g: Graph, edges, message_func, reduce_func, apply_node_func=No
     else:
         msgdata = invoke_edge_udf(g, cet, message_func)
     if not isinstance(reduce_func, ReduceFunction):
-        raise NotImplementedError(
-            "send_and_recv currently requires a builtin reduce function"
-        )
+        # UDF reduce over the edge subset: build a padded mailbox from the
+        # subset only (same design as invoke_udf_reduce, subset edges
+        # sorted by dst on the host so the scatter stays static-shape)
+        eids_np = np.atleast_1d(np.asarray(edges)).astype(np.int64)
+        dst_np = np.asarray(rel.dst)[eids_np]
+        order = np.argsort(dst_np, kind="stable")
+        eids_sorted = eids_np[order]
+        dst_sorted = dst_np[order]
+        n = rel.num_dst
+        deg = np.bincount(dst_sorted, minlength=n)
+        maxdeg = max(int(deg.max()) if deg.size else 0, 1)
+        cum = np.concatenate([[0], np.cumsum(deg)])
+        rank = np.arange(eids_np.shape[0]) - cum[dst_sorted]
+        slot = jnp.asarray(dst_sorted * maxdeg + rank)
+        mailbox = {}
+        for mk, v in msgdata.items():
+            vs = jnp.asarray(v)[jnp.asarray(eids_sorted)]
+            buf = jnp.zeros((n * maxdeg,) + vs.shape[1:], vs.dtype)
+            mailbox[mk] = buf.at[slot].set(
+                vs, indices_are_sorted=True
+            ).reshape((n, maxdeg) + vs.shape[1:])
+        mask = jnp.arange(maxdeg)[None, :] < jnp.asarray(deg)[:, None]
+        dstf = _dst_frame(g, cet)
+        upd = reduce_func(NodeBatch(dict(dstf), mailbox, mask))
+        if not isinstance(upd, dict):
+            raise DGLError("Reduce UDF must return a dict of node fields")
+        touched = jnp.asarray(np.unique(dst_sorted))
+        for kk, val in upd.items():
+            if kk in dstf and dstf[kk].shape == val.shape:
+                dstf[kk] = dstf[kk].at[touched].set(val[touched])
+            else:
+                dstf[kk] = val
+        if apply_node_func is not None:
+            upd2 = apply_node_func(NodeBatch(dict(dstf)))
+            for kk, val in upd2.items():
+                if kk in dstf and dstf[kk].shape == val.shape:
+                    dstf[kk] = dstf[kk].at[touched].set(val[touched])
+                else:
+                    dstf[kk] = val
+        return upd
     key = reduce_func.msg_field
     sub_msg = msgdata[key][eids]
     sub_dst = rel.dst[eids]

@@ -229,3 +229,28 @@ def test_slice_batch_and_random_choice():
     assert len(set(int(v) for v in x)) == 5
     y = dglrandom.choice(3, 100, prob=[0.0, 1.0, 0.0])
     assert np.all(np.asarray(y) == 1)
+
+
+def test_send_and_recv_udf_reduce():
+    """UDF reduce on an edge subset matches a manual computation."""
+    import dgl_tpu.function as fn
+
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 12, 60)
+    dst = rng.integers(0, 12, 60)
+    g = dgl.graph((src, dst), num_nodes=12)
+    g.ndata["h"] = jnp.asarray(rng.normal(size=(12, 3)), jnp.float32)
+    eids = np.array([0, 5, 9, 9, 20, 33])
+
+    def reducer(nodes):
+        m = nodes.mailbox["m"]
+        mask = nodes.mailbox_mask[..., None]
+        # second-largest-ish statistic: sum of squares of real messages
+        return {"out": (m * m * mask).sum(axis=1)}
+
+    out = g.send_and_recv(eids, fn.copy_u("h", "m"), reducer)["out"]
+    h = np.asarray(g.ndata["h"])
+    want = np.zeros((12, 3), np.float32)
+    for e in eids:
+        want[dst[e]] += h[src[e]] ** 2
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
