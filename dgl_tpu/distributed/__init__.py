@@ -16,6 +16,9 @@ The reference's server/client RPC architecture collapses into:
 from .graph_partition_book import RangePartitionBook
 GraphPartitionBook = RangePartitionBook  # reference class name
 from .dist_graph import DistGraph, node_split, edge_split, exit_client
+from ..dataloading import DataLoader as DistDataLoader  # reference name:
+# seed-sharded loading is the ddp_rank/ddp_world_size args of DataLoader
+# (reference dist_dataloader.py:23)
 from .partition import (
     metis_partition_assignment,
     random_partition_assignment,
@@ -42,6 +45,7 @@ __all__ = [
     "node_split",
     "edge_split",
     "exit_client",
+    "DistDataLoader",
     "metis_partition_assignment",
     "random_partition_assignment",
     "partition_graph",
