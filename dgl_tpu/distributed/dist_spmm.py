@@ -19,6 +19,7 @@ try:  # jax>=0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
+from ..base import DGLError
 from .shard import GraphShards
 
 __all__ = ["halo_exchange", "dist_copy_u_sum", "dist_spmm", "shard_arrays"]
@@ -44,13 +45,20 @@ def halo_exchange(x_local, send_idx, send_mask, axis: str = "gp"):
     return jax.lax.all_to_all(sb, axis, split_axis=0, concat_axis=0, tiled=False)
 
 
-def _local_spmm(x_local, recv, src_ext, dst_local, n_max, edge_vals=None):
+def _local_spmm(x_local, recv, src_ext, dst_local, n_max, edge_vals=None,
+                reduce_op="sum"):
     Pn, h_max, F = recv.shape
     ext = jnp.concatenate([x_local, recv.reshape(Pn * h_max, F)], axis=0)
     msgs = ext[src_ext]
     if edge_vals is not None:
         msgs = msgs * edge_vals[..., None]
-    # padding edges carry dst_local == n_max -> dropped by segment_sum
+    # padding edges carry dst_local == n_max -> dropped by segment ops
+    if reduce_op in ("max", "min"):
+        seg = jax.ops.segment_max if reduce_op == "max" else jax.ops.segment_min
+        out = seg(msgs, dst_local, num_segments=n_max,
+                  indices_are_sorted=True)
+        # zero-degree rows: match the single-device convention (0, not inf)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
     return jax.ops.segment_sum(
         msgs, dst_local, num_segments=n_max, indices_are_sorted=True
     )
@@ -95,8 +103,8 @@ def dist_spmm(mesh: Mesh, shards: GraphShards, x, edge_vals=None,
               tables=None, axis: str = "gp", reduce_op: str = "sum"):
     """General distributed g-SpMM: message = x[src] (* edge_vals), reduced
     by sum/mean. ``edge_vals``: (P, e_max) per-edge scalars (or None)."""
-    if reduce_op not in ("sum", "mean"):
-        raise NotImplementedError(reduce_op)
+    if reduce_op not in ("sum", "mean", "max", "min"):
+        raise DGLError(f"Unknown reduce op {reduce_op!r}")
     if tables is None:
         tables = shard_arrays(mesh, shards, axis)
     n_max = shards.n_max
@@ -115,6 +123,7 @@ def dist_spmm(mesh: Mesh, shards: GraphShards, x, edge_vals=None,
         out = _local_spmm(
             x0, recv, src_ext[0], dst_local[0], n_max,
             edge_vals=ev_blk[0] if has_ev else None,
+            reduce_op=reduce_op,
         )
         if reduce_op == "mean":
             out = out / jnp.maximum(in_deg[0], 1.0)[:, None]

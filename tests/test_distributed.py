@@ -463,3 +463,25 @@ def test_dist_graph_facade(tmp_path):
     assert max(len(s) for s in shares) - min(len(s) for s in shares) <= 1
     e = edge_split(np.arange(17), dg.get_partition_book(), rank=0)
     assert len(e) == 5  # 17 = 5+4+4+4
+
+
+def test_dist_spmm_max_reduce(mesh):
+    """Distributed copy_u + max matches the single-device reducer: halo
+    exchange ships rows, so segment_max over local+halo is exact."""
+    from dgl_tpu.distributed import build_shards, dist_spmm
+    from dgl_tpu.distributed.partition import metis_partition_assignment
+    from dgl_tpu import ops
+
+    rng = np.random.default_rng(3)
+    g = dgl.graph((rng.integers(0, 64, 500), rng.integers(0, 64, 500)),
+                  num_nodes=64)
+    assign = metis_partition_assignment(g, 8)
+    shards = build_shards(g, assign, 8)
+    x = rng.normal(size=(64, 6)).astype(np.float32)
+    want = np.asarray(ops.copy_u_max(g, jnp.asarray(x)))
+    got = shards.unshard(
+        dist_spmm(mesh, shards, shards.shard_features(x), reduce_op="max")
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    with pytest.raises(Exception):
+        dist_spmm(mesh, shards, shards.shard_features(x), reduce_op="prod")
