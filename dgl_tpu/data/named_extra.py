@@ -68,24 +68,26 @@ class _RDFDataset(DGLDataset):
         super().__init__(name=type(self).__name__, transform=transform)
 
     def process(self):
-        self._g = synthetic_hetero_graph(num_classes=self._num_classes)
-        # rename the labeled type to this RDF set's predict category
-        if self._cat != "paper":
-            g = self._g
-            mapping = {"paper": self._cat}
-            rels = {}
-            for (st, et, dt), rel in g._relations.items():
-                rels[(mapping.get(st, st), et, mapping.get(dt, dt))] = rel
-            g._relations = rels
-            g._node_frames = {
-                mapping.get(nt, nt): f for nt, f in g._node_frames.items()
-            }
-            g._num_src_nodes = {
-                mapping.get(nt, nt): v for nt, v in g._num_src_nodes.items()
-            }
-            g._num_dst_nodes = {
-                mapping.get(nt, nt): v for nt, v in g._num_dst_nodes.items()
-            }
+        from .. import convert
+
+        base = synthetic_hetero_graph(num_classes=self._num_classes)
+        # rebuild with the labeled type renamed to this RDF set's predict
+        # category (a shallow dict rename would leave the graph's cached
+        # etype structures stale)
+        mapping = {"paper": self._cat}
+        data_dict = {}
+        for (st, et, dt), rel in base._relations.items():
+            E = rel.num_edges
+            data_dict[(mapping.get(st, st), et, mapping.get(dt, dt))] = (
+                np.asarray(rel.src)[:E], np.asarray(rel.dst)[:E]
+            )
+        num_nodes = {
+            mapping.get(nt, nt): base.num_nodes(nt) for nt in base.ntypes
+        }
+        g = convert.heterograph(data_dict, num_nodes, idtype=base.idtype)
+        for nt, frame in base._node_frames.items():
+            g._node_frames.setdefault(mapping.get(nt, nt), {}).update(frame)
+        self._g = g
 
     @property
     def predict_category(self):

@@ -147,3 +147,26 @@ def test_named_extra_datasets():
     assert "label" in g.ndata and pat.num_classes == 2
 
     assert D.QM9 is D.QM9Dataset and D.DGLBuiltinDataset is D.DGLDataset
+
+
+def test_rdf_dataset_message_passing():
+    """Regression: the renamed predict-category graph must be fully
+    functional (stale-etype bug caught by probing update_all)."""
+    import dgl_tpu.function as fn
+    from dgl_tpu import data as D
+
+    ds = D.AIFBDataset()
+    g = ds[0]
+    assert not any("paper" in c for c in g.canonical_etypes)
+    gl = g.local_var()
+    for nt in gl.ntypes:
+        gl._node_frames.setdefault(nt, {})["h"] = jnp.ones(
+            (gl.num_nodes(nt), 4)
+        )
+    gl.multi_update_all(
+        {cet: (fn.copy_u("h", "m"), fn.sum("m", "agg"))
+         for cet in gl.canonical_etypes},
+        "sum",
+    )
+    agg = gl._node_frames[ds.predict_category]["agg"]
+    assert np.isfinite(np.asarray(agg)).all()
