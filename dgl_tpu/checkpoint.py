@@ -42,14 +42,19 @@ def save_checkpoint(path: str, state: Any, *, step: Optional[int] = None,
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8
     )
+    if step is not None:
+        arrays["__step__"] = np.asarray(int(step))
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
     return path
 
 
-def load_checkpoint(path: str, target: Any = None, *, use_orbax: bool = False):
+def load_checkpoint(path: str, target: Any = None, *, use_orbax: bool = False,
+                    return_step: bool = False):
     """Load a checkpoint; ``target`` (an example pytree) restores structure
-    for the npz format and dtypes/shardings for orbax."""
+    for the npz format and dtypes/shardings for orbax. With
+    ``return_step=True`` returns ``(state, step)`` (step is None when the
+    checkpoint was saved without one)."""
     ocp = _try_orbax() if (use_orbax or os.path.isdir(path)) else None
     if ocp is not None and os.path.isdir(path):
         ckpt = ocp.PyTreeCheckpointer()
@@ -58,12 +63,15 @@ def load_checkpoint(path: str, target: Any = None, *, use_orbax: bool = False):
         return ckpt.restore(os.path.abspath(path))
     f = path if path.endswith(".npz") else path + ".npz"
     with np.load(f) as z:
-        leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
+        n_leaves = sum(1 for k in z.files if k.startswith("leaf_"))
+        leaves = [z[f"leaf_{i}"] for i in range(n_leaves)]
+        step = int(z["__step__"]) if "__step__" in z.files else None
     if target is None:
         raise ValueError("npz checkpoint restore requires a target pytree")
     treedef = jax.tree_util.tree_structure(target)
     import jax.numpy as jnp
 
-    return jax.tree_util.tree_unflatten(
+    state = jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(x) for x in leaves]
     )
+    return (state, step) if return_step else state
