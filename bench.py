@@ -79,22 +79,23 @@ def main():
         _run(False)
         return
     if not fallback and _preflight():
+        print("preflight ok; supervising TPU child", file=sys.stderr)
         # A SIGALRM watchdog cannot interrupt a hung C call into the remote
         # runtime, so the TPU attempt runs in a SUBPROCESS the parent can
-        # kill; budget keeps worst case (wedge mid-run -> CPU fallback)
-        # under ~9 minutes total.
+        # kill. 420s fits a healthy cached run (~4-5 min incl. remote init
+        # and transfers) while still bounding a mid-run wedge.
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, "DGL_TPU_BENCH_TPU_CHILD": "1"},
-                timeout=240, capture_output=True,
+                timeout=420, capture_output=True,
             )
             out = r.stdout.decode()
             if r.returncode == 0 and '"metric"' in out:
                 sys.stdout.write(out[out.index('{"metric"'):])
                 return
         except subprocess.TimeoutExpired:
-            pass
+            print("TPU child exceeded 420s; killed", file=sys.stderr)
     # TPU unreachable or the attempt stalled: report from host CPU
     import jax
 
