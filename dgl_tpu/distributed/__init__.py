@@ -37,6 +37,14 @@ from .hetero_shard import (
 )
 from .dist_tensor import DistTensor, DistEmbedding
 from .dist_context import initialize, get_rank, get_world_size
+from .cooperative import sparse_all_to_all_pull, sparse_all_to_all_push
+from .dist_minibatch import (
+    PartitionedGraphCSC,
+    DistNeighborSampler,
+    DistNodeDataLoader,
+    pull_rows_in_shard_map,
+    stack_blocks,
+)
 
 __all__ = [
     "RangePartitionBook",
@@ -66,4 +74,11 @@ __all__ = [
     "initialize",
     "get_rank",
     "get_world_size",
+    "sparse_all_to_all_pull",
+    "sparse_all_to_all_push",
+    "PartitionedGraphCSC",
+    "DistNeighborSampler",
+    "DistNodeDataLoader",
+    "pull_rows_in_shard_map",
+    "stack_blocks",
 ]

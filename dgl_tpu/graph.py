@@ -74,6 +74,10 @@ class Relation:
         "csc_dst",
     )
 
+    # optional dense-hub SpMM plan (ops/hub_spmm.py); class-level default so
+    # Relations built via __new__ (astype, tree_unflatten) stay consistent
+    hub_plan = None
+
     def __init__(
         self,
         src,
@@ -92,6 +96,7 @@ class Relation:
         num_edges: int,
         max_in_degree: int = -1,
         max_out_degree: int = -1,
+        hub_plan=None,
     ):
         self.src = src
         self.dst = dst
@@ -109,6 +114,7 @@ class Relation:
         # static max degrees (for padded-mailbox UDF reduce); -1 = unknown
         self.max_in_degree = int(max_in_degree)
         self.max_out_degree = int(max_out_degree)
+        self.hub_plan = hub_plan
 
     # -- construction -------------------------------------------------------
 
@@ -227,12 +233,15 @@ class Relation:
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in Relation.ARRAY_FIELDS)
+        if self.hub_plan is not None:
+            children = children + (self.hub_plan,)
         aux = (
             self.num_src,
             self.num_dst,
             self.num_edges,
             self.max_in_degree,
             self.max_out_degree,
+            self.hub_plan is not None,
         )
         return children, aux
 
@@ -247,8 +256,24 @@ class Relation:
             obj.num_edges,
             obj.max_in_degree,
             obj.max_out_degree,
+            has_plan,
         ) = aux
+        obj.hub_plan = children[len(cls.ARRAY_FIELDS)] if has_plan else None
         return obj
+
+    def with_hub_plan(self, plan) -> "Relation":
+        """Return a copy carrying a dense-hub SpMM plan (ops/hub_spmm.py);
+        ``gspmm`` auto-dispatches supported ops through it."""
+        new = Relation.__new__(Relation)
+        for f in Relation.ARRAY_FIELDS:
+            setattr(new, f, getattr(self, f))
+        new.num_src = self.num_src
+        new.num_dst = self.num_dst
+        new.num_edges = self.num_edges
+        new.max_in_degree = self.max_in_degree
+        new.max_out_degree = self.max_out_degree
+        new.hub_plan = plan
+        return new
 
     # -- queries -------------------------------------------------------------
 
@@ -949,6 +974,21 @@ class Graph:
     def to(self, device) -> "Graph":
         """Move all arrays to a device (reference ``heterograph.py:5658``)."""
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), self)
+
+    def with_spmm_plans(self, num_hubs: int = 2048,
+                        precision: str = "bf16") -> "Graph":
+        """Return a copy whose relations carry dense-hub SpMM plans
+        (:mod:`dgl_tpu.ops.hub_spmm`): supported g-SpMM calls then aggregate
+        hub edges as one MXU matmul instead of a per-edge HBM gather. Build
+        once per graph (host pass + one device scatter per relation)."""
+        from .ops.hub_spmm import build_hub_plan
+
+        g = self.structural_clone()
+        g._relations = {
+            k: r.with_hub_plan(build_hub_plan(r, num_hubs, precision))
+            for k, r in self._relations.items()
+        }
+        return g
 
     # -- pytree ---------------------------------------------------------------
 

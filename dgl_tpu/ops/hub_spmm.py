@@ -1,0 +1,256 @@
+"""Dense-hub g-SpMM: MXU-matmul aggregation for high-degree sources.
+
+TPU-first redesign of the fused SpMM kernels at reference
+``src/array/cpu/spmm.h:47`` / ``src/array/cuda/spmm.cuh:30``. On TPU the
+bottleneck of ``copy_u_sum`` is the per-edge HBM gather ``x[csc_indices]``
+(~15 ns/row, issue-rate bound and insensitive to index locality — measured on
+v5e, see ROADMAP.md). Rather than fight the gather, this module removes it for
+the edges that dominate power-law graphs:
+
+  Split sources into *hubs* (top-H by out-degree) and the cold tail. Hub edges
+  are aggregated as ONE dense matmul on the MXU::
+
+      out_hub = A_hub @ x[hub_ids]          # (N_dst, H) @ (H, F)
+
+  where ``A_hub[d, h]`` counts edges ``hub_ids[h] -> d``. Density of a graph's
+  hub columns is what makes this pay: streaming the (N_dst, H) bf16 count
+  matrix costs ``N_dst*H*2`` bytes regardless of how many edges it encodes,
+  so for sources with out-degree >> H*2/F/4 the matmul is strictly cheaper
+  than gathering their edges row-by-row. Cold edges keep the sorted-segment
+  path of :mod:`dgl_tpu.ops.spmm`.
+
+The backward pass is the same decomposition transposed (``A_hub.T @ dz`` plus
+the reverse cold segment-sum), mirroring the hand-derived rules of the
+reference's ``GSpMM`` autograd (``python/dgl/backend/pytorch/sparse.py:162``).
+
+Precision: ``"bf16"`` stores ``A_hub`` in bfloat16 and rounds hub features to
+bfloat16 for the MXU (counts are small integers, exactly representable; the
+feature rounding gives ~1e-3 relative error). ``"f32"`` keeps everything
+float32 (exact, ~2-3x the matmul cost).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import DGLError
+
+__all__ = ["HubSpMMPlan", "build_hub_plan", "hub_copy_u_sum"]
+
+_LANE = 128  # MXU lane width: pad H to a multiple
+
+
+def _rup(x: int, m: int) -> int:
+    return max(int(-(-x // m) * m), m)
+
+
+class HubSpMMPlan:
+    """Precomputed hub/cold split for one relation (pytree).
+
+    Children: ``hub_ids (H,)``, ``a_hub (N_dst, H)``, cold edges in CSC order
+    (``cold_src``, ``cold_dst`` — dst-sorted, padded with ``num_dst``) and in
+    CSR order for the backward pass (``rev_src`` sorted, ``rev_dst``, padded
+    with ``num_src``). Static aux: sizes, coverage, precision.
+    """
+
+    ARRAY_FIELDS = (
+        "hub_ids",
+        "a_hub",
+        "cold_src",
+        "cold_dst",
+        "rev_src",
+        "rev_dst",
+    )
+
+    def __init__(
+        self,
+        hub_ids,
+        a_hub,
+        cold_src,
+        cold_dst,
+        rev_src,
+        rev_dst,
+        *,
+        num_src: int,
+        num_dst: int,
+        num_hubs: int,
+        coverage: float,
+        precision: str,
+    ):
+        self.hub_ids = hub_ids
+        self.a_hub = a_hub
+        self.cold_src = cold_src
+        self.cold_dst = cold_dst
+        self.rev_src = rev_src
+        self.rev_dst = rev_dst
+        self.num_src = int(num_src)
+        self.num_dst = int(num_dst)
+        self.num_hubs = int(num_hubs)
+        self.coverage = float(coverage)
+        self.precision = str(precision)
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self.ARRAY_FIELDS)
+        aux = (
+            self.num_src,
+            self.num_dst,
+            self.num_hubs,
+            self.coverage,
+            self.precision,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        for f, c in zip(cls.ARRAY_FIELDS, children):
+            setattr(obj, f, c)
+        (
+            obj.num_src,
+            obj.num_dst,
+            obj.num_hubs,
+            obj.coverage,
+            obj.precision,
+        ) = aux
+        return obj
+
+    def __repr__(self):
+        return (
+            f"HubSpMMPlan(H={self.num_hubs}, coverage={self.coverage:.3f}, "
+            f"precision={self.precision})"
+        )
+
+
+jax.tree_util.register_pytree_node(
+    HubSpMMPlan,
+    lambda p: p.tree_flatten(),
+    HubSpMMPlan.tree_unflatten,
+)
+
+
+def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16"):
+    """Build a :class:`HubSpMMPlan` for a relation (host-side, once per graph).
+
+    ``A_hub`` is constructed ON DEVICE with a scalar scatter-add from small
+    index transfers — the dense (N_dst, H) matrix never crosses the host link
+    (single transfers over ~200 MB can wedge the remote runtime).
+    """
+    if precision not in ("bf16", "f32"):
+        raise DGLError(f"hub plan precision must be bf16|f32, got {precision}")
+    src_csc = np.asarray(rel.csc_indices)
+    dst_csc = np.asarray(rel.csc_dst)
+    n_src, n_dst = rel.num_src, rel.num_dst
+    real = (dst_csc < n_dst) & (src_csc < n_src)
+    deg = np.bincount(src_csc[real], minlength=n_src)
+    H = _rup(min(num_hubs, n_src), _LANE)
+    n_top = min(num_hubs, n_src)
+    top = np.argsort(-deg, kind="stable")[:n_top]
+    hub_ids = np.zeros(H, np.int32)
+    hub_ids[:n_top] = top
+    # +1 slot: padding edges carry src == n_src
+    slot_of = np.full(n_src + 1, -1, np.int32)
+    slot_of[top] = np.arange(n_top, dtype=np.int32)
+    slots = np.where(real, slot_of[np.minimum(src_csc, n_src)], np.int32(-1))
+
+    is_hub = slots >= 0
+    hub_pos = np.nonzero(is_hub)[0]
+    cold = real & ~is_hub
+    cold_idx = np.nonzero(cold)[0]
+    Ec = _rup(cold_idx.shape[0], 8) if cold_idx.size else 8
+    cold_src = np.zeros(Ec, np.int32)
+    cold_dst = np.full(Ec, n_dst, np.int32)
+    cold_src[: cold_idx.shape[0]] = src_csc[cold_idx]
+    cold_dst[: cold_idx.shape[0]] = dst_csc[cold_idx]
+    # backward: the same cold edges grouped by source (sorted -> sorted
+    # segment sum over num_src in the VJP)
+    order = np.argsort(cold_src[: cold_idx.shape[0]], kind="stable")
+    rev_src = np.full(Ec, n_src, np.int32)
+    rev_dst = np.zeros(Ec, np.int32)
+    rev_src[: cold_idx.shape[0]] = cold_src[order]
+    rev_dst[: cold_idx.shape[0]] = cold_dst[order]
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    dst_h = jnp.asarray(dst_csc[hub_pos].astype(np.int32))
+    slot_h = jnp.asarray(slots[hub_pos])
+    a_hub = (
+        jnp.zeros((n_dst, H), dtype).at[dst_h, slot_h].add(jnp.asarray(1, dtype))
+    )
+    n_real = max(int(real.sum()), 1)
+    return HubSpMMPlan(
+        hub_ids=jnp.asarray(hub_ids),
+        a_hub=a_hub,
+        cold_src=jnp.asarray(cold_src),
+        cold_dst=jnp.asarray(cold_dst),
+        rev_src=jnp.asarray(rev_src),
+        rev_dst=jnp.asarray(rev_dst),
+        num_src=n_src,
+        num_dst=n_dst,
+        num_hubs=H,
+        coverage=float(is_hub.sum() / n_real),
+        precision=precision,
+    )
+
+
+def _mm(a, b, precision):
+    if precision == "bf16":
+        return jnp.dot(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.custom_vjp
+def _hub_copy_u_sum2d(plan: HubSpMMPlan, x):
+    """copy_u + sum for 2-D x via the dense-hub decomposition."""
+    out_hub = _mm(plan.a_hub, x[plan.hub_ids], plan.precision)
+    out_cold = jax.ops.segment_sum(
+        x[plan.cold_src],
+        plan.cold_dst,
+        num_segments=plan.num_dst,
+        indices_are_sorted=True,
+    )
+    return (out_hub + out_cold).astype(x.dtype)
+
+
+def _fwd(plan, x):
+    return _hub_copy_u_sum2d(plan, x), plan
+
+
+def _bwd(plan, dz):
+    # hub rows: dX[hub] = A_hub^T @ dz (dense, MXU); cold rows via the
+    # reverse sorted segment sum. Hub and cold sources are disjoint by
+    # construction, so scatter-add composes exactly.
+    d_hub = _mm(plan.a_hub.T, dz, plan.precision)
+    dx = jax.ops.segment_sum(
+        dz[plan.rev_dst],
+        plan.rev_src,
+        num_segments=plan.num_src,
+        indices_are_sorted=True,
+    )
+    dx = dx.at[plan.hub_ids].add(d_hub)
+    return (None, dx.astype(dz.dtype))
+
+
+_hub_copy_u_sum2d.defvjp(_fwd, _bwd)
+
+
+def hub_copy_u_sum(plan: HubSpMMPlan, x):
+    """``out[d] = sum_{(s->d) in E} x[s]`` using the plan's hub/cold split.
+
+    Matches ``ops.copy_u_sum`` (exactly for ``precision='f32'``; to ~1e-3
+    relative for ``'bf16'``). Accepts any feature rank >= 1 (flattened for
+    the matmul).
+    """
+    shape = x.shape
+    if x.ndim == 1:
+        x2 = x[:, None]
+    elif x.ndim == 2:
+        x2 = x
+    else:
+        x2 = x.reshape(shape[0], -1)
+    out = _hub_copy_u_sum2d(plan, x2)
+    return out.reshape((plan.num_dst,) + shape[1:])

@@ -192,6 +192,21 @@ def gspmm(g, op, reduce_op, lhs_data, rhs_data, etype=None):
         nd = max(u.ndim, e.ndim)
         u, e = _expand(u, nd), _expand(e, nd)
 
+    # dense-hub fast path (ops/hub_spmm.py): MXU matmul for hub edges,
+    # sorted-segment for the cold tail; attached via Graph.with_spmm_plans
+    if (
+        rel.hub_plan is not None
+        and op == "copy_lhs"
+        and reduce_op in ("sum", "mean")
+    ):
+        from .hub_spmm import hub_copy_u_sum
+
+        out = hub_copy_u_sum(rel.hub_plan, u)
+        if reduce_op == "mean":
+            deg = jnp.maximum(rel.in_degrees(), 1).astype(out.dtype)
+            out = out / _expand(deg, out.ndim)
+        return out
+
     if reduce_op in ("sum", "mean"):
         out = _gspmm_sum(op, rel, u, e)
         if reduce_op == "mean":

@@ -1,0 +1,113 @@
+"""Dense-hub SpMM (ops/hub_spmm.py) vs the reference segment path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu
+from dgl_tpu import ops
+from dgl_tpu.ops.hub_spmm import HubSpMMPlan, build_hub_plan, hub_copy_u_sum
+
+
+def _powerlaw_graph(n=500, e=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n + 1)
+    src = rng.choice(n, e, p=w / w.sum())
+    dst = rng.integers(0, n, e)
+    return dgl_tpu.graph((src, dst), num_nodes=n)
+
+
+@pytest.mark.parametrize("precision,tol", [("f32", 1e-5), ("bf16", 5e-2)])
+def test_forward_matches_segment_path(precision, tol):
+    g = _powerlaw_graph()
+    rel = g._relation(None)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(500, 64)),
+                    jnp.float32)
+    ref = ops.copy_u_sum(g, x)
+    plan = build_hub_plan(rel, num_hubs=64, precision=precision)
+    out = hub_copy_u_sum(plan, x)
+    assert 0.0 < plan.coverage < 1.0
+    # bf16 feature rounding gives ~1e-3 relative error per element; near-zero
+    # sums need the absolute term
+    np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
+
+
+def test_all_hub_and_feature_ranks():
+    # num_hubs >= num_src: every edge served by the dense matmul
+    g = _powerlaw_graph(n=100, e=900)
+    rel = g._relation(None)
+    plan = build_hub_plan(rel, num_hubs=100, precision="f32")
+    assert plan.coverage == 1.0
+    for shape in [(100,), (100, 16), (100, 4, 8)]:
+        x = jnp.asarray(np.random.default_rng(2).normal(size=shape),
+                        jnp.float32)
+        ref = ops.copy_u_sum(g, x)
+        np.testing.assert_allclose(hub_copy_u_sum(plan, x), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_padded_graph():
+    # padding edges (src == num_src / dst == num_dst) must be excluded
+    src = np.array([0, 1, 1, 2, 5, 5])
+    dst = np.array([1, 2, 0, 0, 5, 5])
+    g = dgl_tpu.graph((src, dst), num_nodes=5, num_edges=4)
+    rel = g._relation(None)
+    x = jnp.arange(15, dtype=jnp.float32).reshape(5, 3)
+    ref = ops.copy_u_sum(g, x)
+    plan = build_hub_plan(rel, num_hubs=2, precision="f32")
+    np.testing.assert_allclose(hub_copy_u_sum(plan, x), ref, rtol=1e-6)
+
+
+def test_gradients_match():
+    g = _powerlaw_graph(n=300, e=2500)
+    rel = g._relation(None)
+    plan = build_hub_plan(rel, num_hubs=64, precision="f32")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(300, 32)),
+                    jnp.float32)
+    w = jnp.asarray(np.random.default_rng(4).normal(size=(300, 32)),
+                    jnp.float32)
+
+    def loss_ref(x):
+        return jnp.sum(ops.copy_u_sum(g, x) * w[: g.num_dst_nodes()])
+
+    def loss_hub(x):
+        return jnp.sum(hub_copy_u_sum(plan, x) * w[: g.num_dst_nodes()])
+
+    np.testing.assert_allclose(jax.grad(loss_hub)(x), jax.grad(loss_ref)(x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_graph_level_dispatch_under_jit():
+    g = _powerlaw_graph(n=200, e=1500)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(200, 24)),
+                    jnp.float32)
+    ref_sum = ops.copy_u_sum(g, x)
+    ref_mean = ops.copy_u_mean(g, x)
+    gp = g.with_spmm_plans(num_hubs=128, precision="f32")
+    assert gp._relation(None).hub_plan is not None
+
+    @jax.jit
+    def f(g, x):
+        return ops.copy_u_sum(g, x), ops.copy_u_mean(g, x)
+
+    out_sum, out_mean = f(gp, x)
+    np.testing.assert_allclose(out_sum, ref_sum, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_mean, ref_mean, rtol=1e-5, atol=1e-5)
+    # plan survives the pytree round-trip
+    leaves, treedef = jax.tree_util.tree_flatten(gp)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(g2._relation(None).hub_plan, HubSpMMPlan)
+
+
+def test_unsupported_ops_fall_back():
+    g = _powerlaw_graph(n=120, e=800).with_spmm_plans(num_hubs=64,
+                                                      precision="f32")
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(120, 8)),
+                    jnp.float32)
+    e = jnp.asarray(np.random.default_rng(7).normal(
+        size=(g.num_edges(),)), jnp.float32)
+    g0 = _powerlaw_graph(n=120, e=800)
+    np.testing.assert_allclose(
+        ops.u_mul_e_sum(g, x, e), ops.u_mul_e_sum(g0, x, e), rtol=1e-5)
+    np.testing.assert_allclose(
+        ops.copy_u_max(g, x), ops.copy_u_max(g0, x), rtol=1e-5)

@@ -28,8 +28,9 @@ WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.timeout(180)
 def test_two_process_launch(tmp_path):
+    # hang protection comes from the subprocess timeout below (pytest-timeout
+    # is not installed, so a mark.timeout would silently not apply)
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     env = dict(os.environ)
