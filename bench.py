@@ -1,8 +1,19 @@
-"""Headline benchmark: g-SpMM copy_u/sum throughput vs HBM roofline.
+"""Headline benchmark: g-SpMM throughput + GraphSAGE minibatch edges/s.
 
 Mirrors the reference's kernel tracker
 (``benchmarks/benchmarks/kernel/bench_gspmm_copy_u.py:10-29``: edges x feat /
-time on an arxiv-scale graph) measured as effective HBM GB/s on one chip.
+time on an arxiv-scale graph) measured as effective HBM GB/s on one chip,
+plus the BASELINE.json north-star model metric (GraphSAGE neighbor-sampled
+minibatch training, edges/s/chip — reference
+``benchmarks/benchmarks/model_speed/bench_sage_ns.py``).
+
+The graph matches ogbn-arxiv's scale AND its power-law degree skew (the
+reference tracker runs on real ogbn-arxiv; a uniform-random graph would
+misrepresent it). The SpMM runs the framework's default fast path on such
+graphs: the dense-hub plan (``ops/hub_spmm.py``) attached via
+``Graph.with_spmm_plans`` — hub edges aggregated as one MXU matmul, cold
+tail via sorted segments.
+
 ``vs_baseline`` = fraction of the chip's HBM roofline (the BASELINE.json
 "SpMM GB/s vs roofline" target; >= 1.0 would be speed-of-light).
 
@@ -17,7 +28,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
-import jax.numpy as jnp
 
 # per-chip HBM bandwidth roofline (GB/s)
 _ROOFLINES = {
@@ -60,14 +70,6 @@ def _preflight(timeout_s: int = 90) -> bool:
     return False
 
 
-class _BenchTimeout(Exception):
-    pass
-
-
-def _watchdog(signum, frame):
-    raise _BenchTimeout()
-
-
 def main():
     import subprocess
     import sys
@@ -82,25 +84,45 @@ def main():
         print("preflight ok; supervising TPU child", file=sys.stderr)
         # A SIGALRM watchdog cannot interrupt a hung C call into the remote
         # runtime, so the TPU attempt runs in a SUBPROCESS the parent can
-        # kill. 420s fits a healthy cached run (~4-5 min incl. remote init
-        # and transfers) while still bounding a mid-run wedge.
+        # kill. 540s fits a healthy cached run (SpMM + SAGE programs) while
+        # still bounding a mid-run wedge.
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, "DGL_TPU_BENCH_TPU_CHILD": "1"},
-                timeout=420, capture_output=True,
+                timeout=540, capture_output=True,
             )
             out = r.stdout.decode()
             if r.returncode == 0 and '"metric"' in out:
                 sys.stdout.write(out[out.index('{"metric"'):])
                 return
         except subprocess.TimeoutExpired:
-            print("TPU child exceeded 420s; killed", file=sys.stderr)
+            print("TPU child exceeded 540s; killed", file=sys.stderr)
     # TPU unreachable or the attempt stalled: report from host CPU
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     _run(True)
+
+
+def _chain_timer(fn, args, iters=20, reps=2):
+    """Time one op by chaining `iters` applications inside a single jit
+    (dynamic trip count -> one compile) and differencing k vs 1: the fixed
+    dispatch/tunnel overhead cancels. block_until_ready is unreliable on
+    the remote axon platform, so a scalar fetch forces completion."""
+    import jax.numpy as jnp
+
+    def t(k):
+        kk = jnp.int32(k)
+        float(fn(*args, kk))  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(*args, kk))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(1 + iters) - t(1)) / iters
 
 
 def _run(fallback: bool):
@@ -110,53 +132,47 @@ def _run(fallback: bool):
     import dgl_tpu
     from dgl_tpu import ops
 
-    # ogbn-arxiv scale: 169k nodes, 1.17M edges, feat 256 (reference tracker's
-    # largest feat size)
+    # ogbn-arxiv scale AND skew: 169k nodes, 1.17M edges, power-law
+    # out-degrees (zipf s=1.0 ~ citation skew), feat 256 (reference
+    # tracker's largest feat size)
     N, E, F = 169_343, 1_166_243, 256
     rng = np.random.default_rng(0)
-    src = rng.integers(0, N, E)
+    w = 1.0 / np.arange(1, N + 1)
+    src = rng.choice(N, E, p=w / w.sum())
     dst = rng.integers(0, N, E)
     g = dgl_tpu.graph((src, dst), num_nodes=N)
     # host transfer (not jax.random on device): the transfer path needs no
     # fresh XLA program, so a warm compile cache keeps the TPU benchmark
-    # alive even when the remote compile service is wedged; the watchdog in
-    # main() covers the remaining hang modes
+    # alive even when the remote compile service is wedged
     x = jnp.asarray(rng.normal(size=(N, F)), dtype=jnp.float32)
 
-    # Chain iterations (output feeds the next input) inside one jit and
-    # return a scalar, then time k=1 vs k=1+iters and difference: the fixed
-    # dispatch/tunnel overhead cancels. (block_until_ready is unreliable on
-    # the remote axon platform, so we force a scalar fetch instead.)
-    from functools import partial
-
-    iters = 20
+    # the framework's fast path on power-law graphs: dense-hub plan. On the
+    # CPU fallback the dense matmul is the wrong path (no MXU) — keep the
+    # segment path there and shorten the chain.
+    if fallback:
+        gp, path, iters = g, "xla gather+segsum (cpu)", 5
+    else:
+        gp = g.with_spmm_plans(num_hubs=2048, precision="bf16")
+        plan = gp._relation(None).hub_plan
+        path = (f"dense-hub H=2048 bf16 (coverage {plan.coverage:.2f})"
+                " + cold segsum")
+        iters = 20
 
     @jax.jit
-    def chained(g, x, k):
+    def spmm_chain(g, x, k):
         def body(_, h):
             return ops.copy_u_sum(g, h) * 1e-3  # rescale to avoid overflow
-        # dynamic trip count -> ONE compile serves both timing points
         return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
-    float(chained(g, x, 1))  # compile once
-
-    def timed(k, reps=2):
-        k = jnp.int32(k)
-        float(chained(g, x, k))  # warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(chained(g, x, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt = (timed(1 + iters) - timed(1)) / iters
-
+    dt = _chain_timer(spmm_chain, (gp, x), iters=iters)
     # effective bytes: read E gathered rows + write N rows (the roofline
     # accounting used for SpMM: gather-dominated traffic)
     bytes_moved = (E + N) * F * 4
     gbps = bytes_moved / dt / 1e9
     roof = _roofline(jax.devices()[0])
+
+    sage = _sage_minibatch(g, rng, iters=2 if fallback else 10)
+
     print(
         json.dumps(
             {
@@ -165,18 +181,122 @@ def _run(fallback: bool):
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / roof, 4),
                 "detail": {
-                    "graph": "arxiv-scale-random",
+                    "graph": "arxiv-scale-powerlaw(zipf-s1.0)",
                     "N": N,
                     "E": E,
                     "feat": F,
+                    "spmm_path": path,
                     "ms_per_iter": round(dt * 1e3, 3),
                     "edges_per_s": round(E / dt),
-                    "device": str(jax.devices()[0].device_kind) + (" (tpu-unreachable fallback)" if fallback else ""),
+                    "sage_minibatch": sage,
+                    "device": str(jax.devices()[0].device_kind)
+                    + (" (tpu-unreachable fallback)" if fallback else ""),
                     "roofline_gbps": roof,
                 },
             }
         )
     )
+
+
+def _sage_minibatch(g, rng, iters=10):
+    """BASELINE north-star model metric: 2-layer GraphSAGE neighbor-sampled
+    minibatch training throughput (edges/s/chip). Fixed-shape MFGs sampled
+    on host (4 batches, reused), full train step (device feature gather +
+    fwd + bwd + sgd) chained on device."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dgl_tpu import dataloading
+    from dgl_tpu.base import NID
+    from dgl_tpu.distributed.dist_minibatch import stack_blocks
+    from dgl_tpu.models import GraphSAGE
+
+    N = g.num_nodes()
+    FEAT, HID, C, B = 100, 256, 47, 512  # ogbn-products-like config
+    fanouts = [10, 10]
+    feats = jnp.asarray(rng.normal(size=(N, FEAT)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, N), jnp.int32)
+
+    sampler = dataloading.FixedShapeNeighborSampler(
+        fanouts, batch_size=B, seed=0
+    )
+    S = 4
+    seeds = rng.permutation(N)[: S * B].reshape(S, B)
+    real_edges = 0
+    per_batch = []
+    for s in range(S):
+        _, _, blocks = sampler.sample_blocks(g, seeds[s])
+        real_edges += sum(
+            int(np.asarray(b._edge_frames[b.canonical_etypes[0]]["_mask"])
+                .sum()) for b in blocks
+        )
+        per_batch.append(blocks)
+    stacked = [
+        stack_blocks([per_batch[s][l] for s in range(S)])
+        for l in range(len(fanouts))
+    ]
+    in_ids = jnp.stack([
+        jnp.asarray(np.asarray(per_batch[s][0].srcdata[NID])) for s in range(S)
+    ])
+    in_mask = jnp.stack([
+        jnp.asarray(np.asarray(per_batch[s][0].srcdata["_mask"]))
+        for s in range(S)
+    ])
+    out_ids = jnp.stack([
+        jnp.asarray(np.asarray(per_batch[s][-1].dstdata[NID]))
+        for s in range(S)
+    ])
+    out_mask = jnp.stack([
+        jnp.asarray(np.asarray(per_batch[s][-1].dstdata["_mask"]))
+        for s in range(S)
+    ])
+
+    model = GraphSAGE(FEAT, HID, C, num_layers=2)
+    blk0 = jax.tree_util.tree_map(lambda a: a[0], stacked)
+    params = model.init(
+        jax.random.PRNGKey(0), blk0, feats[in_ids[0]]
+    )
+    tx = optax.sgd(1e-3)
+    opt0 = tx.init(params)
+
+    @jax.jit
+    def epochs(params, opt_state, k):
+        def batch_step(carry, s):
+            params, opt_state = carry
+            blk = jax.tree_util.tree_map(lambda a: a[s], stacked)
+            x = feats[in_ids[s]] * in_mask[s][:, None]
+            y = labels[out_ids[s]]
+            m = out_mask[s].astype(jnp.float32)
+
+            def loss_fn(p):
+                logits = model.apply(p, blk, x)
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    logits[: y.shape[0]], y
+                )
+                return (ls * m).sum() / jnp.maximum(m.sum(), 1)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        def epoch(_, carry):
+            carry, losses = jax.lax.scan(
+                batch_step, carry, jnp.arange(S)
+            )
+            return carry
+
+        params, opt_state = jax.lax.fori_loop(0, k, epoch,
+                                              (params, opt_state))
+        return jnp.sum(params["params"]["sage0"]["bias"])
+
+    dt_epoch = _chain_timer(epochs, (params, opt0), iters=iters)
+    step_ms = dt_epoch / S * 1e3
+    return {
+        "config": f"B={B} fanouts={fanouts} feat={FEAT} hid={HID}",
+        "ms_per_step": round(step_ms, 3),
+        "edges_per_s": round(real_edges / dt_epoch),
+    }
 
 
 if __name__ == "__main__":

@@ -5,6 +5,8 @@ bench_edge_softmax). Prints one JSON line per config.
 Timing uses chained iterations + scalar fetch (remote-device safe; see
 bench.py at the repo root).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -1,6 +1,8 @@
 """Model accuracy benchmarks (reference ``benchmarks/benchmarks/model_acc/``):
 GCN / GAT / SAGE test accuracy on the citation-shaped datasets. One JSON
 line per (model, dataset)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -1,5 +1,7 @@
 """Model speed benchmarks (reference ``benchmarks/benchmarks/model_speed/``):
 per-epoch full-graph training time for GCN/GAT/SAGE. One JSON line each."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time

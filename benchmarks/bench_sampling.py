@@ -1,6 +1,10 @@
 """Sampling throughput benchmark (reference ``benchmarks/benchmarks/api/``
 + GraphBolt sampling benchmarks): seeds/s for the native fixed-shape
 sampler and the full padded-MFG block build."""
+import jax
+jax.config.update("jax_platforms", "cpu")  # host-side sampling benchmark
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time
@@ -69,6 +73,45 @@ def main():
                 "batch_size": args.batch_size,
                 "batches_per_s": round(batches / dt, 2),
                 "seeds_per_s": round(batches * args.batch_size / dt),
+            }
+        ),
+        flush=True,
+    )
+
+    # weighted (prob) sampling: native OpenMP E-S reservoir vs the numpy
+    # per-row loop (the pre-round-2 fallback path)
+    g.edata["p"] = rng.random(E).astype(np.float32)
+    prob_seeds = seeds[: args.batch_size * 4]
+    t0 = time.perf_counter()
+    for lo in range(0, prob_seeds.shape[0], args.batch_size):
+        sample_neighbors_fixed(
+            g, prob_seeds[lo : lo + args.batch_size], args.fanouts[0],
+            prob="p", seed=lo,
+        )
+    dt_native = time.perf_counter() - t0
+    import os
+
+    os.environ["DGL_TPU_NO_NATIVE"] = "1"
+    import dgl_tpu._native as nat
+
+    nat._LIB, nat._TRIED = None, True  # force the numpy fallback
+    t0 = time.perf_counter()
+    for lo in range(0, prob_seeds.shape[0], args.batch_size):
+        sample_neighbors_fixed(
+            g, prob_seeds[lo : lo + args.batch_size], args.fanouts[0],
+            prob="p", seed=lo,
+        )
+    dt_numpy = time.perf_counter() - t0
+    nat._TRIED = False
+    os.environ.pop("DGL_TPU_NO_NATIVE")
+    print(
+        json.dumps(
+            {
+                "bench": "sample_neighbors_prob",
+                "fanout": args.fanouts[0],
+                "seeds_per_s_native": round(prob_seeds.shape[0] / dt_native),
+                "seeds_per_s_numpy": round(prob_seeds.shape[0] / dt_numpy),
+                "speedup": round(dt_numpy / dt_native, 1),
             }
         ),
         flush=True,

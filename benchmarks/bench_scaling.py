@@ -6,6 +6,8 @@ mesh. On real multi-chip hardware this measures ICI overlap quality; on the
 virtual CPU mesh it validates the harness itself. One JSON line per mesh
 size.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -92,6 +92,128 @@ void sample_neighbors_fixed(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Weighted rowwise pick (reference GetSamplingNumPicksFn / GetSamplingPickFn,
+// src/array/cpu/rowwise_sampling.cc:33-73): only positive-weight edges are
+// candidates; !replace picks min(fanout, #positive) distinct edges with
+// probability proportional to weight (Efraimidis-Spirakis reservoir keys
+// u^(1/w)); replace draws fanout times via inverse-CDF on a per-row prefix
+// sum. `prob` is indexed by EDGE ID (prob[eids[lo+j]]).
+void sample_neighbors_prob(const int64_t* indptr, const int64_t* indices,
+                           const int64_t* eids, const double* prob,
+                           const int64_t* seeds, int64_t num_seeds,
+                           int64_t fanout, int replace, uint64_t seed,
+                           int64_t* out_nbr, int64_t* out_eid,
+                           uint8_t* out_mask) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t s = seeds[i];
+    const int64_t lo = indptr[s], hi = indptr[s + 1];
+    const int64_t deg = hi - lo;
+    int64_t* nbr = out_nbr + i * fanout;
+    int64_t* eid = out_eid + i * fanout;
+    uint8_t* msk = out_mask + i * fanout;
+    std::fill(nbr, nbr + fanout, 0);
+    std::fill(eid, eid + fanout, 0);
+    std::fill(msk, msk + fanout, 0);
+    if (deg == 0) continue;
+    std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(s + 1)));
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    // positive-weight candidates
+    std::vector<int64_t> cand;
+    cand.reserve(deg);
+    double total = 0.0;
+    for (int64_t j = 0; j < deg; ++j) {
+      const double w = prob[eids[lo + j]];
+      if (w > 0) {
+        cand.push_back(j);
+        total += w;
+      }
+    }
+    if (cand.empty()) continue;
+    if (replace) {
+      // inverse-CDF over the positive weights
+      std::vector<double> cdf(cand.size());
+      double acc = 0.0;
+      for (size_t c = 0; c < cand.size(); ++c) {
+        acc += prob[eids[lo + cand[c]]];
+        cdf[c] = acc;
+      }
+      for (int64_t j = 0; j < fanout; ++j) {
+        const double r = uni(rng) * total;
+        const size_t c =
+            std::lower_bound(cdf.begin(), cdf.end(), r) - cdf.begin();
+        const int64_t p = cand[std::min(c, cand.size() - 1)];
+        nbr[j] = indices[lo + p];
+        eid[j] = eids[lo + p];
+        msk[j] = 1;
+      }
+    } else {
+      const int64_t take = std::min<int64_t>(fanout, (int64_t)cand.size());
+      if ((int64_t)cand.size() == take) {
+        for (int64_t j = 0; j < take; ++j) {
+          nbr[j] = indices[lo + cand[j]];
+          eid[j] = eids[lo + cand[j]];
+          msk[j] = 1;
+        }
+      } else {
+        // Efraimidis-Spirakis: top-`take` by key u^(1/w) (log-space)
+        std::vector<std::pair<double, int64_t>> keys(cand.size());
+        for (size_t c = 0; c < cand.size(); ++c) {
+          const double w = prob[eids[lo + cand[c]]];
+          keys[c] = {std::log(uni(rng) + 1e-300) / w, cand[c]};
+        }
+        std::nth_element(
+            keys.begin(), keys.begin() + take - 1, keys.end(),
+            [](const auto& a, const auto& b) { return a.first > b.first; });
+        for (int64_t j = 0; j < take; ++j) {
+          const int64_t p = keys[j].second;
+          nbr[j] = indices[lo + p];
+          eid[j] = eids[lo + p];
+          msk[j] = 1;
+        }
+      }
+    }
+  }
+}
+
+// Rowwise top-k by edge weight (reference SelectTopK,
+// src/graph/sampling/neighbor/neighbor.cc `_CAPI_DGLSampleNeighborsTopk`):
+// per seed the k largest (descending=1) or smallest weights; ties broken by
+// edge position for determinism. `weight` indexed by EDGE ID.
+void select_topk_rows(const int64_t* indptr, const int64_t* indices,
+                      const int64_t* eids, const double* weight,
+                      const int64_t* seeds, int64_t num_seeds, int64_t k,
+                      int descending, int64_t* out_nbr, int64_t* out_eid,
+                      uint8_t* out_mask) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t s = seeds[i];
+    const int64_t lo = indptr[s], hi = indptr[s + 1];
+    const int64_t deg = hi - lo;
+    int64_t* nbr = out_nbr + i * k;
+    int64_t* eid = out_eid + i * k;
+    uint8_t* msk = out_mask + i * k;
+    std::fill(nbr, nbr + k, 0);
+    std::fill(eid, eid + k, 0);
+    std::fill(msk, msk + k, 0);
+    if (deg == 0) continue;
+    const int64_t take = std::min<int64_t>(k, deg);
+    std::vector<int64_t> idx(deg);
+    for (int64_t j = 0; j < deg; ++j) idx[j] = j;
+    auto cmp = [&](int64_t a, int64_t b) {
+      const double wa = weight[eids[lo + a]], wb = weight[eids[lo + b]];
+      if (wa != wb) return descending ? (wa > wb) : (wa < wb);
+      return a < b;
+    };
+    std::partial_sort(idx.begin(), idx.begin() + take, idx.end(), cmp);
+    for (int64_t j = 0; j < take; ++j) {
+      nbr[j] = indices[lo + idx[j]];
+      eid[j] = eids[lo + idx[j]];
+      msk[j] = 1;
+    }
+  }
+}
+
 // unique + relabel: ids (n,) -> out_unique gets unique ids in order of first
 // appearance (seeds first if they prefix the array); out_relabel (n,) maps
 // each input to its position in out_unique. Returns unique count.

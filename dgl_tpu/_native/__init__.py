@@ -57,6 +57,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_uint64, i64p, i64p, u8p,
     ]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.sample_neighbors_prob.argtypes = [
+        i64p, i64p, i64p, f64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_uint64, i64p, i64p, u8p,
+    ]
+    lib.select_topk_rows.argtypes = [
+        i64p, i64p, i64p, f64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, i64p, i64p, u8p,
+    ]
     lib.unique_and_compact.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
     lib.unique_and_compact.restype = ctypes.c_int64
     lib.random_walk_uniform.argtypes = [
@@ -106,6 +115,50 @@ def sample_neighbors_fixed(indptr, indices, eids, seeds, fanout, replace, seed):
         indptr, indices, eids, seeds, n, fanout, int(replace),
         np.uint64(seed).item(), nbr.reshape(-1), eid.reshape(-1),
         mask.reshape(-1),
+    )
+    return nbr, eid, mask.astype(bool)
+
+
+def sample_neighbors_prob(indptr, indices, eids, prob, seeds, fanout,
+                          replace, seed):
+    """Weighted rowwise pick (prob indexed by edge id); None if no native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    eids = np.ascontiguousarray(eids, np.int64)
+    prob = np.ascontiguousarray(prob, np.float64)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    n = seeds.shape[0]
+    nbr = np.empty((n, fanout), np.int64)
+    eid = np.empty((n, fanout), np.int64)
+    mask = np.empty((n, fanout), np.uint8)
+    lib.sample_neighbors_prob(
+        indptr, indices, eids, prob, seeds, n, fanout, int(replace),
+        np.uint64(seed).item(), nbr.reshape(-1), eid.reshape(-1),
+        mask.reshape(-1),
+    )
+    return nbr, eid, mask.astype(bool)
+
+
+def select_topk_rows(indptr, indices, eids, weight, seeds, k, descending):
+    """Rowwise top-k by edge weight; None if no native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    eids = np.ascontiguousarray(eids, np.int64)
+    weight = np.ascontiguousarray(weight, np.float64)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    n = seeds.shape[0]
+    nbr = np.empty((n, k), np.int64)
+    eid = np.empty((n, k), np.int64)
+    mask = np.empty((n, k), np.uint8)
+    lib.select_topk_rows(
+        indptr, indices, eids, weight, seeds, n, k, int(descending),
+        nbr.reshape(-1), eid.reshape(-1), mask.reshape(-1),
     )
     return nbr, eid, mask.astype(bool)
 

@@ -140,9 +140,9 @@ def _build_padded_block(
         from .. import _native
 
         res = _native.build_padded_block(
-            np.asarray(g._relation(None).csc_indptr),
-            np.asarray(g._relation(None).csc_indices),
-            np.asarray(g._relation(None).csc_eids),
+            *g._relation(None).host_arrays(
+                "csc_indptr", "csc_indices", "csc_eids"
+            ),
             seed_ids, fanout, replace, int(rng.integers(2**63)),
         )
         if res is not None:

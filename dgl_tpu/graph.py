@@ -287,6 +287,27 @@ class Relation:
             return jnp.ones((self.num_edges_padded,), dtype=bool)
         return jnp.arange(self.num_edges_padded) < self.num_edges
 
+    def host_arrays(self, *fields) -> tuple:
+        """Cached numpy copies of index arrays for host-side samplers.
+
+        Device->host transfers (expensive over the remote-TPU tunnel) happen
+        once per Relation instance; Relations are immutable so the cache
+        never invalidates. Integer arrays are stored as C-contiguous int64
+        so the native (ctypes) samplers take them zero-copy. Usage:
+        ``indptr, indices, eids =
+        rel.host_arrays("csc_indptr", "csc_indices", "csc_eids")``.
+        """
+        cache = self.__dict__.setdefault("_host_cache", {})
+        out = []
+        for f in fields:
+            if f not in cache:
+                a = np.asarray(getattr(self, f))
+                if np.issubdtype(a.dtype, np.integer):
+                    a = np.ascontiguousarray(a, dtype=np.int64)
+                cache[f] = a
+            out.append(cache[f])
+        return tuple(out)
+
     def in_degrees(self):
         return self.csc_indptr[1:] - self.csc_indptr[:-1]
 

@@ -27,6 +27,21 @@ def _np(x):
     return np.asarray(x)
 
 
+def _host_prob(g: Graph, cet, name: str) -> Optional[np.ndarray]:
+    """Edge-weight array as host float64, converted once per underlying
+    array (keyed by id) — per-call conversion of an E-sized frame entry
+    would dominate sampling time on large graphs."""
+    frame = g._edge_frames.get(cet, {})
+    if name not in frame:
+        return None
+    arr = frame[name]
+    cache = g.__dict__.setdefault("_host_prob_cache", {})
+    key = (cet, name, id(arr))
+    if key not in cache:
+        cache[key] = np.ascontiguousarray(_np(arr), dtype=np.float64)
+    return cache[key]
+
+
 def _pick(
     rng: np.random.Generator,
     indptr: np.ndarray,
@@ -38,9 +53,29 @@ def _pick(
 ):
     """Per-seed neighbor pick; returns flat edge-id array (ragged).
 
-    Mirrors the reference PickFn semantics (``rowwise_pick.h:27-50``):
-    fanout -1 = all neighbors; degree <= fanout & !replace = all neighbors.
+    Mirrors the reference PickFn semantics (``rowwise_pick.h:27-50``,
+    ``rowwise_sampling.cc:33-73``): fanout -1 = all neighbors; with a prob
+    array only positive-weight edges are candidates and !replace picks
+    ``min(fanout, #positive)``. Weighted picks run in native OpenMP code
+    (``csrc/host_ops.cpp sample_neighbors_prob``) when available.
     """
+    if fanout >= 0 and seeds.size:
+        from .. import _native
+
+        indices_dummy = eids  # only eids are consumed downstream
+        if prob is not None:
+            res = _native.sample_neighbors_prob(
+                indptr, indices_dummy, eids, prob, seeds, int(fanout),
+                replace, int(rng.integers(2**63)),
+            )
+        else:
+            res = _native.sample_neighbors_fixed(
+                indptr, indices_dummy, eids, seeds, int(fanout),
+                replace, int(rng.integers(2**63)),
+            )
+        if res is not None:
+            _, eid, mask = res
+            return eid[mask]
     out = []
     for s in seeds:
         lo, hi = int(indptr[s]), int(indptr[s + 1])
@@ -48,16 +83,20 @@ def _pick(
         if deg == 0:
             continue
         row_eids = eids[lo:hi]
-        if fanout < 0 or (deg <= fanout and not replace):
-            out.append(row_eids)
-            continue
         if prob is not None:
             p = prob[row_eids].astype(np.float64)
-            tot = p.sum()
-            if tot <= 0:
+            pos = np.nonzero(p > 0)[0]
+            if pos.size == 0:
                 continue
-            p = p / tot
-            idx = rng.choice(deg, size=fanout, replace=replace, p=p)
+            if fanout < 0 or (pos.size <= fanout and not replace):
+                out.append(row_eids[pos])
+                continue
+            pp = p[pos] / p[pos].sum()
+            idx = pos[rng.choice(pos.size, size=fanout, replace=replace,
+                                 p=pp)]
+        elif fanout < 0 or (deg <= fanout and not replace):
+            out.append(row_eids)
+            continue
         else:
             idx = (
                 rng.integers(0, deg, fanout)
@@ -111,17 +150,13 @@ def sample_neighbors(
             f = fanout.get(cet, fanout.get(cet[1], 0))
         if edge_dir == "in":
             seeds = nodes.get(dt, np.zeros(0, np.int64))
-            indptr, eids = _np(rel.csc_indptr), _np(rel.csc_eids)
+            indptr, eids = rel.host_arrays("csc_indptr", "csc_eids")
         elif edge_dir == "out":
             seeds = nodes.get(st, np.zeros(0, np.int64))
-            indptr, eids = _np(rel.csr_indptr), _np(rel.csr_eids)
+            indptr, eids = rel.host_arrays("csr_indptr", "csr_eids")
         else:
             raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
-        p = None
-        if prob is not None:
-            frame = g._edge_frames.get(cet, {})
-            if prob in frame:
-                p = _np(frame[prob]).astype(np.float64)
+        p = _host_prob(g, cet, prob) if prob is not None else None
         picked = _pick(rng, indptr, eids, seeds, int(f), replace, p)
         if cet in excl and picked.size:
             picked = np.setdiff1d(picked, excl[cet])
@@ -158,49 +193,60 @@ def sample_neighbors_fixed(
     rel = g._relations[cet]
     seeds = np.atleast_1d(_np(seeds)).astype(np.int64)
     if edge_dir == "in":
-        indptr, indices, eids = (
-            _np(rel.csc_indptr), _np(rel.csc_indices), _np(rel.csc_eids)
+        indptr, indices, eids = rel.host_arrays(
+            "csc_indptr", "csc_indices", "csc_eids"
         )
     else:
-        indptr, indices, eids = (
-            _np(rel.csr_indptr), _np(rel.csr_indices), _np(rel.csr_eids)
+        indptr, indices, eids = rel.host_arrays(
+            "csr_indptr", "csr_indices", "csr_eids"
         )
+    from .. import _native
+
     if prob is None:
         # native OpenMP rowwise pick (csrc/host_ops.cpp); numpy fallback below
-        from .. import _native
-
         res = _native.sample_neighbors_fixed(
             indptr, indices, eids, seeds, fanout, replace,
             rng.integers(2**63),
         )
         if res is not None:
             return res
+    else:
+        p_host = _host_prob(g, cet, prob)
+        if p_host is not None:
+            res = _native.sample_neighbors_prob(
+                indptr, indices, eids, p_host, seeds, fanout,
+                replace, rng.integers(2**63),
+            )
+            if res is not None:
+                return res
     n = seeds.shape[0]
     nbr = np.zeros((n, fanout), dtype=np.int64)
     eid = np.zeros((n, fanout), dtype=np.int64)
     mask = np.zeros((n, fanout), dtype=bool)
-    p_all = None
-    if prob is not None:
-        frame = g._edge_frames.get(cet, {})
-        if prob in frame:
-            p_all = _np(frame[prob]).astype(np.float64)
+    p_all = _host_prob(g, cet, prob) if prob is not None else None
     for i, s in enumerate(seeds):
         lo, hi = int(indptr[s]), int(indptr[s + 1])
         deg = hi - lo
         if deg == 0:
             continue
-        if deg <= fanout and not replace:
+        if p_all is not None:
+            # reference semantics: only positive-weight edges are candidates
+            p = p_all[eids[lo:hi]].astype(np.float64)
+            pos = np.nonzero(p > 0)[0]
+            if pos.size == 0:
+                continue
+            if pos.size <= fanout and not replace:
+                k, sel = pos.size, pos
+            else:
+                k = fanout
+                sel = pos[rng.choice(pos.size, size=k, replace=replace,
+                                     p=p[pos] / p[pos].sum())]
+        elif deg <= fanout and not replace:
             k = deg
             sel = np.arange(deg)
         else:
             k = fanout
-            if p_all is not None:
-                p = p_all[eids[lo:hi]]
-                tot = p.sum()
-                if tot <= 0:
-                    continue
-                sel = rng.choice(deg, size=k, replace=replace, p=p / tot)
-            elif replace:
+            if replace:
                 sel = rng.integers(0, deg, k)
             else:
                 sel = rng.choice(deg, size=k, replace=False)
@@ -241,9 +287,9 @@ def temporal_sample_neighbors(
     cet = g.to_canonical_etype(etype)
     rel = g._relations[cet]
     seeds = np.atleast_1d(_np(nodes)).astype(np.int64)
-    indptr = _np(rel.csc_indptr)
-    indices = _np(rel.csc_indices)
-    eids = _np(rel.csc_eids)
+    indptr, indices, eids = rel.host_arrays(
+        "csc_indptr", "csc_indices", "csc_eids"
+    )
     if seed_timestamps is not None:
         seed_ts = np.atleast_1d(_np(seed_timestamps))
     else:
@@ -307,16 +353,29 @@ def select_topk(g: Graph, k, weight: str, nodes=None, edge_dir: str = "in",
         kk = k[cet] if isinstance(k, Mapping) else k
         if edge_dir == "in":
             seeds = nodes.get(dt, np.zeros(0, np.int64))
-            indptr, eids = _np(rel.csc_indptr), _np(rel.csc_eids)
+            indptr, eids = rel.host_arrays("csc_indptr", "csc_eids")
         elif edge_dir == "out":
             seeds = nodes.get(st, np.zeros(0, np.int64))
-            indptr, eids = _np(rel.csr_indptr), _np(rel.csr_eids)
+            indptr, eids = rel.host_arrays("csr_indptr", "csr_eids")
         else:
             raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
         frame = g._edge_frames.get(cet, {})
         if weight not in frame:
             raise DGLError(f"edge weight {weight!r} not found for {cet}")
         w = _np(frame[weight]).astype(np.float64)
+        # native OpenMP rowwise top-k (csrc/host_ops.cpp select_topk_rows)
+        from .. import _native
+
+        res = (
+            _native.select_topk_rows(
+                indptr, eids, eids, w, seeds, int(kk), not ascending
+            )
+            if seeds.size and int(kk) > 0 else None
+        )
+        if res is not None:
+            _, eid_pick, mask = res
+            edges[cet] = eid_pick[mask]
+            continue
         out = []
         for s in seeds:
             row_eids = eids[indptr[s] : indptr[s + 1]]
@@ -364,13 +423,40 @@ def sample_neighbors_biased(g: Graph, nodes, fanout, bias,
     bias = _np(bias).astype(np.float64)
     rel = g._relations[cet]
     if edge_dir == "in":
-        indptr, eids = _np(rel.csc_indptr), _np(rel.csc_eids)
+        indptr, eids = rel.host_arrays("csc_indptr", "csc_eids")
     elif edge_dir == "out":
-        indptr, eids = _np(rel.csr_indptr), _np(rel.csr_eids)
+        indptr, eids = rel.host_arrays("csr_indptr", "csr_eids")
     else:
         raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
     rng = np.random.default_rng(seed)
     seeds = np.atleast_1d(_np(nodes)).astype(np.int64)
+    # native path: expand the tag bias to a per-edge weight once (vectorized
+    # over the whole graph) and run the weighted OpenMP pick
+    from .. import _native
+
+    if seeds.size and _native.available():
+        blocks = np.diff(offsets, axis=1).astype(np.int64)      # (N, T)
+        n_rows = offsets.shape[0]
+        prob_pos = np.repeat(np.tile(bias, n_rows), blocks.ravel())
+        if eids.size and prob_pos.shape[0] == indptr[n_rows]:
+            prob_eid = np.zeros(eids.max() + 1, np.float64)
+            prob_eid[eids[: indptr[n_rows]]] = prob_pos
+            res = _native.sample_neighbors_prob(
+                indptr, eids, eids, prob_eid, seeds, int(fanout),
+                replace, int(rng.integers(2**63)),
+            )
+            if res is not None:
+                _, eid_pick, mask = res
+                edges = {cet: eid_pick[mask]}
+                sub = edge_subgraph(g, edges, relabel_nodes=False,
+                                    store_ids=True)
+                if not copy_ndata:
+                    sub._node_frames[nt] = {}
+                if not copy_edata:
+                    sub._edge_frames[cet] = {
+                        EID: sub._edge_frames[cet][EID]
+                    }
+                return sub
     out = []
     for s in seeds:
         row_eids = eids[indptr[s] : indptr[s + 1]]

@@ -53,7 +53,7 @@ def random_walk(
 
         rel = g._relation(None)
         res = _native.random_walk_uniform(
-            _np(rel.csr_indptr), _np(rel.csr_indices), nodes, length,
+            *rel.host_arrays("csr_indptr", "csr_indices"), nodes, length,
             np.random.default_rng(seed).integers(2**63),
         )
         if res is not None:
@@ -85,7 +85,7 @@ def random_walk(
     for cet in set(cets):
         rel = g._relations[cet]
         csr[cet] = (
-            _np(rel.csr_indptr), _np(rel.csr_indices), _np(rel.csr_eids)
+            rel.host_arrays("csr_indptr", "csr_indices", "csr_eids")
         )
     probs = {}
     if prob is not None:
@@ -128,7 +128,7 @@ def node2vec_random_walk(
     rng = np.random.default_rng(seed)
     nodes = np.atleast_1d(_np(nodes)).astype(np.int64)
     rel = g._relation(None)
-    indptr, indices = _np(rel.csr_indptr), _np(rel.csr_indices)
+    indptr, indices = rel.host_arrays("csr_indptr", "csr_indices")
     n = nodes.shape[0]
     traces = np.full((n, walk_length + 1), -1, dtype=np.int64)
     traces[:, 0] = nodes

@@ -149,6 +149,80 @@ def test_labor(g):
     assert (indeg[fulldeg <= 5] == fulldeg[fulldeg <= 5]).all()
 
 
+def test_labor_importance_sampling(g):
+    # LABOR-i: importances are per-row mean-preserving (labor_pick.h:271)
+    sg, imps = sampling.sample_labors(
+        g, np.arange(50), 5, importance_sampling=2, random_seed=0
+    )
+    imp = imps[0]
+    assert imp.shape[0] == sg.num_edges()
+    E = sg.num_edges()
+    dst = np.asarray(sg._relation(None).dst)[:E]
+    for d in np.unique(dst):
+        row = imp[dst == d]
+        np.testing.assert_allclose(row.mean(), 1.0, rtol=1e-6)
+    # convergence mode terminates and matches expected sample size
+    sg2, _ = sampling.sample_labors(
+        g, np.arange(50), 5, importance_sampling=-1, random_seed=0
+    )
+    fulldeg = np.asarray(g.in_degrees())[:50]
+    want = np.minimum(fulldeg, 5).sum()
+    got = np.asarray(sg2.in_degrees())[:50].sum()
+    assert 0.5 * want <= got <= 1.6 * want
+
+
+def test_labor_expected_sample_size(g):
+    # E[#picked per seed] ~= min(fanout, deg) for LABOR-0 and LABOR-i
+    fulldeg = np.asarray(g.in_degrees())[:50]
+    want = np.minimum(fulldeg, 5).sum()
+    for isamp in (0, 2):
+        tot = 0
+        trials = 30
+        for t in range(trials):
+            sg, _ = sampling.sample_labors(
+                g, np.arange(50), 5, importance_sampling=isamp,
+                random_seed=t,
+            )
+            tot += np.asarray(sg.in_degrees())[:50].sum()
+        avg = tot / trials
+        assert abs(avg - want) / want < 0.15, (isamp, avg, want)
+
+
+def test_labor_weighted(g):
+    rng = np.random.default_rng(0)
+    w = rng.random(g.num_edges()).astype(np.float32)
+    w[rng.random(g.num_edges()) < 0.2] = 0.0
+    g.edata["p"] = w
+    sg, imps = sampling.sample_labors(
+        g, np.arange(50), 5, prob="p", importance_sampling=1, random_seed=0
+    )
+    eids = np.asarray(sg.edata["_ID"])
+    assert (w[eids] > 0).all()  # zero-weight edges never picked
+    assert imps[0].shape[0] == sg.num_edges()
+
+
+def test_labor_frontier_smaller_than_uniform():
+    # the point of LABOR: shared per-source randomness dedups the frontier
+    rng = np.random.default_rng(1)
+    n, e = 300, 6000
+    gg = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                   num_nodes=n)
+    seeds = np.arange(100)
+    fr_labor, fr_unif = 0, 0
+    for t in range(10):
+        sg, _ = sampling.sample_labors(gg, seeds, 5, random_seed=t)
+        E = sg.num_edges()
+        fr_labor += len(np.unique(
+            np.asarray(sg._relation(None).src)[:E]
+        ))
+        su = sampling.sample_neighbors(gg, seeds, 5, seed=t)
+        Eu = su.num_edges()
+        fr_unif += len(np.unique(
+            np.asarray(su._relation(None).src)[:Eu]
+        ))
+    assert fr_labor < fr_unif
+
+
 def test_pinsage():
     # bipartite item-user graph
     rng = np.random.default_rng(0)
