@@ -44,9 +44,8 @@ from .synthetic import (
 )
 from .generators import BAShapeDataset, TreeCycleDataset, TreeGridDataset, MiniGCDataset, KarateClubDataset, SBMMixtureDataset
 
-# graph-classification aliases (reference data/tu.py, data/gindt.py):
-# deterministic synthetic stand-ins with planted structure
-TUDataset = GraphClassificationDataset
+# GIN alias (reference data/gindt.py): synthetic stand-in with planted
+# structure; TUDataset is the real-format parser in named_extra
 GINDataset = GraphClassificationDataset
 
 from .named_extra import (
@@ -58,7 +57,7 @@ from .named_extra import (
     ICEWS18Dataset, GDELTDataset,
     FraudYelpDataset, FraudAmazonDataset,
     BitcoinOTCDataset, SSTDataset, MovieLensDataset,
-    FakeNewsDataset, LegacyTUDataset, LegacyPPIDataset,
+    FakeNewsDataset, TUDataset, LegacyTUDataset, LegacyPPIDataset,
 )
 from . import named_extra
 

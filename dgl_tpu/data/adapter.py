@@ -152,36 +152,57 @@ class AsGraphPredDataset(DGLDataset):
         return len(self._source)
 
 
-def from_ogb(name: str, root: Optional[str] = None):
-    """OGB bridge (reference ``data/adapter.py`` DglNodePropPredDataset use):
-    requires the ``ogb`` package and downloaded data; raises a clear error
-    otherwise (air-gapped environments use the synthetic datasets)."""
-    try:
-        from ogb.nodeproppred import NodePropPredDataset  # type: ignore
-    except ImportError as e:
-        raise DGLError(
-            "the `ogb` package is not installed in this environment; use "
-            "dgl_tpu.data synthetic datasets (e.g. SyntheticDataset, "
-            "SyntheticHeteroDataset) or pre-convert OGB data to the "
-            "OnDiskDataset/CSVDataset formats"
-        ) from e
-    ds = NodePropPredDataset(name, root=root)
-    graph_obj, labels = ds[0]
+def _build_ogb_graph(edge_index, num_nodes, node_feat, labels, split):
     from .. import convert
 
-    src, dst = graph_obj["edge_index"]
-    g = convert.graph((src, dst), num_nodes=graph_obj["num_nodes"])
-    if graph_obj.get("node_feat") is not None:
-        g.ndata["feat"] = jnp.asarray(graph_obj["node_feat"])
-    g.ndata["label"] = jnp.asarray(labels.squeeze())
-    split = ds.get_idx_split()
+    src, dst = edge_index
+    g = convert.graph((src, dst), num_nodes=num_nodes)
+    if node_feat is not None:
+        g.ndata["feat"] = jnp.asarray(node_feat)
+    if labels is not None:
+        g.ndata["label"] = jnp.asarray(np.asarray(labels).squeeze())
     n = g.num_nodes()
-    for key, ids in (
-        ("train_mask", split["train"]),
-        ("val_mask", split["valid"]),
-        ("test_mask", split["test"]),
+    for key, split_key in (
+        ("train_mask", "train"), ("val_mask", "valid"), ("test_mask", "test")
     ):
+        if split_key not in split:
+            continue
         m = np.zeros(n, bool)
-        m[np.asarray(ids)] = True
+        m[np.asarray(split[split_key])] = True
         g.ndata[key] = jnp.asarray(m)
     return g
+
+
+def from_ogb(name: str, root: Optional[str] = None):
+    """OGB bridge (reference ``data/adapter.py`` DglNodePropPredDataset
+    use). Two routes:
+
+    1. the ``ogb`` package, when importable (handles downloads);
+    2. a zero-egress parser over OGB's on-disk raw layout
+       (``raw/edge.csv.gz`` etc.) via :func:`parsers.parse_ogb_nodeprop`
+       for pre-populated data directories.
+    """
+    try:
+        from ogb.nodeproppred import NodePropPredDataset  # type: ignore
+    except ImportError:
+        NodePropPredDataset = None
+    if NodePropPredDataset is not None:
+        ds = NodePropPredDataset(name, root=root)
+        graph_obj, labels = ds[0]
+        return _build_ogb_graph(
+            graph_obj["edge_index"], graph_obj["num_nodes"],
+            graph_obj.get("node_feat"), labels, ds.get_idx_split(),
+        )
+    from .parsers import has_ogb_raw, parse_ogb_nodeprop
+
+    if root is not None and has_ogb_raw(root, name):
+        d = parse_ogb_nodeprop(root, name)
+        return _build_ogb_graph(
+            d["edge_index"], d["num_nodes"], d["node_feat"], d["label"],
+            d["split"],
+        )
+    raise DGLError(
+        "the `ogb` package is not installed and no OGB raw layout was "
+        f"found under root={root!r}; either pre-populate the raw csv.gz "
+        "layout or use the dgl_tpu.data synthetic datasets"
+    )

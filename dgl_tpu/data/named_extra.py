@@ -28,7 +28,7 @@ __all__ = [
     "ICEWS18Dataset", "GDELTDataset",
     "FraudYelpDataset", "FraudAmazonDataset",
     "BitcoinOTCDataset", "SSTDataset", "MovieLensDataset",
-    "FakeNewsDataset", "LegacyTUDataset", "LegacyPPIDataset",
+    "FakeNewsDataset", "TUDataset", "LegacyTUDataset", "LegacyPPIDataset",
 ]
 
 
@@ -57,17 +57,96 @@ WN18Dataset = _kg("WN18Dataset", 40943, 18, 80000)
 
 
 class _RDFDataset(DGLDataset):
-    """Hetero entity-classification set with a ``predict_category``."""
+    """Hetero entity-classification set with a ``predict_category``.
+
+    When ``raw_dir`` holds real RDF exports — ``*.nt`` N-Triples plus
+    ``trainingSet.tsv``/``testSet.tsv`` (the reference's extracted
+    aifb-hetero layout, ``data/rdf.py:143-380``) — the real files are
+    parsed into a heterograph whose node/edge types derive from the
+    entity/predicate URIs; otherwise a synthetic hetero stand-in is
+    generated."""
 
     CFG = ()  # (predict_category, num_classes)
+    ENTITY_PREFIX = ""  # URI prefix for typed entities (reference rdf.py:607)
 
-    def __init__(self, transform=None, **kwargs):
+    def __init__(self, raw_dir=None, insert_reverse=True, transform=None,
+                 **kwargs):
         cat, c = self.CFG
         self._cat = cat
         self._num_classes = c
-        super().__init__(name=type(self).__name__, transform=transform)
+        self._insert_reverse = insert_reverse
+        super().__init__(name=type(self).__name__, raw_dir=raw_dir,
+                         transform=transform)
 
     def process(self):
+        from .parsers import has_rdf_raw
+
+        for cand in (self.raw_dir, self._raw_dir):
+            if has_rdf_raw(cand):
+                self._process_raw(cand)
+                return
+        self._process_synthetic()
+
+    def _process_raw(self, raw_dir):
+        from .. import convert
+        from .parsers import parse_rdf_dir
+
+        triples, train_rows, test_rows = parse_rdf_dir(
+            raw_dir, entity_prefix=self.ENTITY_PREFIX
+        )
+        # assign per-type dense ids (reference rdf.py:176-260
+        # process_raw_tuples builds the same ent2id maps via rdflib)
+        ent2id, counts = {}, {}
+        def eid(ent):
+            if ent not in ent2id:
+                ent2id[ent] = counts[ent[0]] = counts.get(ent[0], 0)
+                counts[ent[0]] += 1
+            return ent2id[ent]
+
+        data_dict = {}
+        for s, rel, o in triples:
+            sid, oid = eid(s), eid(o)
+            data_dict.setdefault((s[0], rel, o[0]), ([], []))
+            data_dict[(s[0], rel, o[0])][0].append(sid)
+            data_dict[(s[0], rel, o[0])][1].append(oid)
+            if self._insert_reverse:
+                rev = (o[0], "rev-" + rel, s[0])
+                data_dict.setdefault(rev, ([], []))
+                data_dict[rev][0].append(oid)
+                data_dict[rev][1].append(sid)
+        data_dict = {
+            cet: (np.asarray(u, np.int64), np.asarray(v, np.int64))
+            for cet, (u, v) in data_dict.items()
+        }
+        g = convert.heterograph(data_dict, dict(counts))
+        # labels/masks on the predict category from the split TSVs
+        # (reference rdf.py:355-380 load_data)
+        label2id = {}
+        n_cat = g.num_nodes(self._cat)
+        labels = np.full(n_cat, -1, np.int64)
+        train_mask = np.zeros(n_cat, bool)
+        test_mask = np.zeros(n_cat, bool)
+        from .parsers import _uri_entity
+
+        for rows, mask in ((train_rows, train_mask), (test_rows, test_mask)):
+            for uri, label in rows:
+                ent = _uri_entity(uri, self.ENTITY_PREFIX)
+                if ent is None or ent not in ent2id or ent[0] != self._cat:
+                    continue
+                if label not in label2id:
+                    label2id[label] = len(label2id)
+                idx = ent2id[ent]
+                labels[idx] = label2id[label]
+                mask[idx] = True
+        frame = g._node_frames.setdefault(self._cat, {})
+        frame["label"] = jnp.asarray(labels)
+        frame["train_mask"] = jnp.asarray(train_mask)
+        frame["test_mask"] = jnp.asarray(test_mask)
+        if label2id:
+            self._num_classes = len(label2id)
+        self._g = g
+
+    def _process_synthetic(self):
         from .. import convert
 
         base = synthetic_hetero_graph(num_classes=self._num_classes)
@@ -109,6 +188,7 @@ class AIFBDataset(_RDFDataset):
     """(reference ``data/rdf.py`` AIFB: 4-class person affiliation)."""
 
     CFG = ("Personen", 4)
+    ENTITY_PREFIX = "http://www.aifb.uni-karlsruhe.de/"
 
 
 class MUTAGDataset(_RDFDataset):
@@ -139,10 +219,11 @@ class MoleculeRegressionDataset(DGLDataset):
     feature statistics so models can fit."""
 
     def __init__(self, name, num_graphs, num_targets, with_coords=True,
-                 edge_feat_dim=0, seed=0, transform=None, **kwargs):
+                 edge_feat_dim=0, seed=0, raw_dir=None, transform=None,
+                 **kwargs):
         self._cfg = (num_graphs, num_targets, with_coords, edge_feat_dim,
                      seed)
-        super().__init__(name=name, transform=transform)
+        super().__init__(name=name, raw_dir=raw_dir, transform=transform)
 
     def process(self):
         from .. import convert
@@ -188,9 +269,49 @@ class QM7bDataset(MoleculeRegressionDataset):
 
 
 class QM9Dataset(MoleculeRegressionDataset):
-    def __init__(self, label_keys=None, num_graphs=400, transform=None,
-                 **kwargs):
-        super().__init__("QM9Dataset", num_graphs, 12, transform=transform)
+    """12-target molecular regression; parses a real ``qm9_eV.npz``
+    dropped into ``raw_dir`` (reference ``data/qm9.py:131-143``),
+    building distance-cutoff bidirected graphs exactly like the
+    reference's ``__getitem__`` (``qm9.py:200-208``); synthetic
+    molecule-shaped fallback otherwise."""
+
+    def __init__(self, label_keys=None, cutoff=5.0, num_graphs=400,
+                 raw_dir=None, transform=None, **kwargs):
+        self._label_keys = label_keys
+        self.cutoff = cutoff
+        super().__init__("QM9Dataset", num_graphs, 12, raw_dir=raw_dir,
+                         transform=transform)
+
+    def process(self):
+        from .parsers import has_qm9_raw
+
+        for cand in (self.raw_dir, self._raw_dir):
+            if has_qm9_raw(cand):
+                self._process_raw(cand)
+                return
+        super().process()
+
+    def _process_raw(self, raw_dir):
+        from .. import convert
+        from .parsers import parse_qm9_npz, qm9_molecule_edges
+
+        N, R, Z, labels = parse_qm9_npz(raw_dir, self._label_keys)
+        cumsum = np.concatenate([[0], np.cumsum(N)])
+        self._graphs = []
+        for i in range(len(N)):
+            r = R[cumsum[i]: cumsum[i + 1]]
+            z = Z[cumsum[i]: cumsum[i + 1]]
+            u, v = qm9_molecule_edges(r, self.cutoff)
+            g = convert.graph((u, v), num_nodes=int(N[i]))
+            g.ndata["R"] = jnp.asarray(r)
+            g.ndata["Z"] = jnp.asarray(z.astype(np.int32))
+            g.ndata["node_type"] = g.ndata["Z"]
+            self._graphs.append(g)
+        self.label = jnp.asarray(labels)
+
+    @property
+    def num_tasks(self):
+        return int(self.label.shape[1])
 
 
 class QM9EdgeDataset(MoleculeRegressionDataset):
@@ -437,12 +558,46 @@ class MovieLensDataset(DGLDataset):
 
     def __init__(self, name="ml-100k", num_users=300, num_movies=500,
                  num_ratings=5000, valid_ratio=0.1, test_ratio=0.1, seed=0,
-                 transform=None, **kwargs):
+                 raw_dir=None, transform=None, **kwargs):
         self._cfg = (num_users, num_movies, num_ratings, seed)
-        super().__init__(name=f"MovieLensDataset_{name}",
+        self._which = name
+        super().__init__(name=f"MovieLensDataset_{name}", raw_dir=raw_dir,
                          transform=transform)
 
     def process(self):
+        from .parsers import has_movielens_raw
+
+        for cand in (self.raw_dir, self._raw_dir):
+            if has_movielens_raw(cand, self._which):
+                self._process_raw(cand)
+                return
+        self._process_synthetic()
+
+    def _process_raw(self, raw_dir):
+        """Real ``u.data``/``ratings.dat`` files (reference
+        ``movielens.py:257`` process)."""
+        from .. import convert
+        from .parsers import parse_movielens
+
+        u, m, rating, ts, uids, iids = parse_movielens(raw_dir, self._which)
+        g = convert.heterograph(
+            {("user", "rates", "movie"): (u, m),
+             ("movie", "rated-by", "user"): (m, u)},
+            {"user": len(uids), "movie": len(iids)},
+        )
+        nr = rating.shape[0]
+        for cet in g.canonical_etypes:
+            E = g._relations[cet].num_edges_padded
+            r = np.zeros(E, np.float32)
+            r[:nr] = rating
+            t = np.zeros(E, np.int64)
+            t[:nr] = ts
+            frame = g._edge_frames.setdefault(cet, {})
+            frame["rating"] = jnp.asarray(r)
+            frame["timestamp"] = jnp.asarray(t.astype(np.int32))
+        self._g = g
+
+    def _process_synthetic(self):
         from .. import convert
 
         nu, nm, nr, s = self._cfg
@@ -479,12 +634,93 @@ class FakeNewsDataset(GraphClassificationDataset):
                          num_classes=2, feat_dim=10, transform=transform)
 
 
-class LegacyTUDataset(GraphClassificationDataset):
-    """(reference ``data/tu.py`` LegacyTUDataset)."""
+class TUDataset(GraphClassificationDataset):
+    """TU graph-kernel datasets (reference ``data/tu.py``): parses the
+    real ``{name}_A.txt`` text-file family when present under
+    ``raw_dir`` — edge list, graph indicator, graph labels, optional
+    node/edge labels and attributes — falling back to the synthetic
+    motif generator otherwise.
 
-    def __init__(self, name="ENZYMES", transform=None, **kwargs):
-        super().__init__(name=f"LegacyTUDataset_{name}", num_graphs=120,
-                         num_classes=6, feat_dim=18, transform=transform)
+    Node features follow the reference's priority (``tu.py:156-200``):
+    real-valued ``node_attributes`` if present, else one-hot
+    ``node_labels``, else a constant vector of ``hidden_size``."""
+
+    def __init__(self, name="ENZYMES", hidden_size=10, raw_dir=None,
+                 num_graphs=120, num_classes=6, feat_dim=18,
+                 transform=None, **kwargs):
+        self._tu_name = name
+        self.hidden_size = hidden_size
+        super().__init__(name=f"TUDataset_{name}", num_graphs=num_graphs,
+                         num_classes=num_classes, feat_dim=feat_dim,
+                         raw_dir=raw_dir, transform=transform)
+
+    def process(self):
+        from .parsers import has_tu_raw
+
+        for cand in (self._raw_dir, self.raw_dir):
+            if has_tu_raw(cand, self._tu_name):
+                self._process_raw(cand)
+                return
+        super().process()
+
+    def _process_raw(self, raw_dir):
+        from .. import convert
+        from .parsers import parse_tu_raw
+
+        raw = parse_tu_raw(raw_dir, self._tu_name)
+        indicator = raw["graph_indicator"]
+        edges = raw["edges"]
+        num_graphs = int(indicator.max()) + 1
+        # per-graph node id windows (indicator is sorted by graph)
+        starts = np.searchsorted(indicator, np.arange(num_graphs))
+        ends = np.searchsorted(indicator, np.arange(num_graphs), "right")
+        edge_graph = indicator[edges[:, 0]]
+
+        if "node_attributes" in raw:
+            feat = raw["node_attributes"]
+        elif "node_labels" in raw:
+            nl = raw["node_labels"]
+            feat = np.eye(int(nl.max()) + 1, dtype=np.float32)[nl]
+        else:
+            feat = np.ones((indicator.shape[0], self.hidden_size),
+                           np.float32)
+
+        self._graphs, self._labels = [], []
+        for gi in range(num_graphs):
+            lo, hi = int(starts[gi]), int(ends[gi])
+            e = edges[edge_graph == gi] - lo
+            g = convert.graph((e[:, 0], e[:, 1]), num_nodes=hi - lo)
+            g.ndata["feat"] = jnp.asarray(feat[lo:hi])
+            if "node_labels" in raw:
+                g.ndata["node_labels"] = jnp.asarray(
+                    raw["node_labels"][lo:hi].astype(np.int32)
+                )
+            if "edge_attributes" in raw:
+                E = g._relation(None).num_edges_padded
+                ea = np.zeros((E, raw["edge_attributes"].shape[1]),
+                              np.float32)
+                ea[: e.shape[0]] = raw["edge_attributes"][edge_graph == gi]
+                g.edata["edge_attr"] = jnp.asarray(ea)
+            self._graphs.append(g)
+        if "graph_labels" in raw:
+            self._labels = [int(x) for x in raw["graph_labels"]]
+            self._num_classes = int(raw["graph_labels"].max()) + 1
+        else:
+            self._labels = [float(x) for x in raw["graph_attributes"]]
+            self._num_classes = None
+        self.graph_labels = np.asarray(self._labels)
+        self.labels = jnp.asarray(self.graph_labels)
+        self.graph_lists = self._graphs
+        self.max_num_node = int((ends - starts).max())
+
+    @property
+    def num_labels(self):
+        return self._num_classes
+
+
+class LegacyTUDataset(TUDataset):
+    """(reference ``data/tu.py`` LegacyTUDataset): same raw format and
+    feature priority as :class:`TUDataset`."""
 
 
 class LegacyPPIDataset(DGLDataset):

@@ -1,0 +1,458 @@
+"""Real-format raw-file parsers for the data zoo.
+
+Zero-egress environments cannot download, but they CAN parse: every
+function here operates on a pre-populated ``raw_dir`` laid out exactly
+like the reference's extracted archives, so a user who copies their
+existing DGL data directory over gets real data, and tests exercise the
+real parse paths on tiny checked-in fixture files.
+
+Formats covered (reference files cited per function):
+
+- TU graph-kernel datasets   (reference ``python/dgl/data/tu.py:110-210``)
+- QM9 ``qm9_eV.npz``         (reference ``python/dgl/data/qm9.py:131-143``)
+- KG triple dirs             (reference ``python/dgl/data/knowledge_graph.py:86-275``)
+- RDF N-Triples + split TSVs (reference ``python/dgl/data/rdf.py:143-380,670-700``)
+- MovieLens ml-100k          (reference ``python/dgl/data/movielens.py:257``)
+- OGB node-prop raw layout   (reference adapter usage of
+  ``ogb.nodeproppred.NodePropPredDataset``; the on-disk csv.gz layout)
+
+All functions are pure numpy — graph construction happens in the dataset
+classes so these stay import-light and unit-testable.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "has_tu_raw", "parse_tu_raw",
+    "has_qm9_raw", "parse_qm9_npz",
+    "has_kg_raw", "parse_kg_dir",
+    "has_rdf_raw", "parse_ntriples", "parse_rdf_dir",
+    "has_movielens_raw", "parse_movielens",
+    "has_ogb_raw", "parse_ogb_nodeprop",
+]
+
+
+# ---------------------------------------------------------------------------
+# TU graph-kernel format (``{name}_A.txt`` family)
+# ---------------------------------------------------------------------------
+
+
+def _tu_file(raw_dir: str, name: str, category: str) -> str:
+    # reference tu.py:274 _file_path: <raw>/<name>/<name>_<category>.txt
+    for base in (os.path.join(raw_dir, name), raw_dir):
+        p = os.path.join(base, f"{name}_{category}.txt")
+        if os.path.exists(p):
+            return p
+    return os.path.join(raw_dir, name, f"{name}_{category}.txt")
+
+
+def has_tu_raw(raw_dir: Optional[str], name: str) -> bool:
+    if not raw_dir:
+        return False
+    return os.path.exists(_tu_file(raw_dir, name, "A")) and os.path.exists(
+        _tu_file(raw_dir, name, "graph_indicator")
+    )
+
+
+def parse_tu_raw(raw_dir: str, name: str) -> Dict[str, np.ndarray]:
+    """Parse the TU dataset text format into 0-based numpy arrays.
+
+    Returns a dict with keys ``edges`` (E,2), ``graph_indicator`` (N,),
+    and whichever of ``graph_labels``/``graph_attributes``/
+    ``node_labels``/``node_attributes``/``edge_labels``/
+    ``edge_attributes`` exist on disk. Ids are converted from the
+    format's 1-based convention to 0-based; labels are densified to
+    ``0..C-1`` (the raw files may use arbitrary label values).
+    """
+    edges = np.loadtxt(_tu_file(raw_dir, name, "A"), delimiter=",",
+                       dtype=np.int64, ndmin=2) - 1
+    indicator = np.loadtxt(_tu_file(raw_dir, name, "graph_indicator"),
+                           dtype=np.int64, ndmin=1) - 1
+    out: Dict[str, np.ndarray] = {"edges": edges,
+                                  "graph_indicator": indicator}
+
+    def _opt(category, **kw):
+        p = _tu_file(raw_dir, name, category)
+        if os.path.exists(p):
+            out[category] = np.loadtxt(p, delimiter=",", ndmin=1, **kw)
+
+    _opt("graph_labels", dtype=np.int64)
+    _opt("graph_attributes", dtype=np.float64)
+    _opt("node_labels", dtype=np.int64)
+    _opt("edge_labels", dtype=np.int64)
+    p = _tu_file(raw_dir, name, "node_attributes")
+    if os.path.exists(p):
+        out["node_attributes"] = np.loadtxt(p, delimiter=",", ndmin=2,
+                                            dtype=np.float32)
+    p = _tu_file(raw_dir, name, "edge_attributes")
+    if os.path.exists(p):
+        out["edge_attributes"] = np.loadtxt(p, delimiter=",", ndmin=2,
+                                            dtype=np.float32)
+    # densify labels: raw TU files use arbitrary ranges (e.g. {-1, 1}
+    # or 1-based); map them onto 0..C-1 preserving sorted order
+    for key in ("graph_labels", "node_labels", "edge_labels"):
+        if key in out:
+            uniq, inv = np.unique(out[key], return_inverse=True)
+            out[key] = inv.astype(np.int64)
+            out[key + "_values"] = uniq
+    return out
+
+
+# ---------------------------------------------------------------------------
+# QM9 npz (keys: N, R, Z, + one array per target property)
+# ---------------------------------------------------------------------------
+
+QM9_LABEL_KEYS = [
+    "mu", "alpha", "homo", "lumo", "gap", "r2", "zpve", "U0", "U",
+    "H", "G", "Cv",
+]
+
+
+def has_qm9_raw(raw_dir: Optional[str]) -> bool:
+    return bool(raw_dir) and os.path.exists(
+        os.path.join(raw_dir, "qm9_eV.npz")
+    )
+
+
+def parse_qm9_npz(raw_dir: str, label_keys: Optional[Sequence[str]] = None):
+    """Parse ``qm9_eV.npz`` (reference ``qm9.py:131``): concatenated
+    per-atom charges ``Z`` and coordinates ``R`` with per-molecule atom
+    counts ``N``, plus one target array per label key.
+
+    Returns ``(N, R, Z, labels)`` where ``labels`` is (B, len(keys)).
+    """
+    data = np.load(os.path.join(raw_dir, "qm9_eV.npz"), allow_pickle=True)
+    keys = list(label_keys or QM9_LABEL_KEYS)
+    N = np.asarray(data["N"], dtype=np.int64)
+    R = np.asarray(data["R"], dtype=np.float32)
+    Z = np.asarray(data["Z"], dtype=np.int64)
+    labels = np.stack([np.asarray(data[k], dtype=np.float32) for k in keys],
+                      axis=1)
+    return N, R, Z, labels
+
+
+def qm9_molecule_edges(R: np.ndarray, cutoff: float = 5.0):
+    """Distance-cutoff bidirected molecular edges (reference
+    ``qm9.py:200-208``): all atom pairs within ``cutoff`` excluding
+    self-loops."""
+    dist = np.linalg.norm(R[:, None, :] - R[None, :, :], axis=-1)
+    adj = (dist <= cutoff)
+    np.fill_diagonal(adj, False)
+    u, v = np.nonzero(adj)
+    return u.astype(np.int64), v.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Knowledge-graph triple directories (FB15k / FB15k-237 / WN18)
+# ---------------------------------------------------------------------------
+
+
+def _kg_root(raw_dir: str) -> Optional[str]:
+    for base in (raw_dir, *(os.path.join(raw_dir, d)
+                            for d in sorted(os.listdir(raw_dir))
+                            if os.path.isdir(os.path.join(raw_dir, d)))):
+        if os.path.exists(os.path.join(base, "train.txt")):
+            return base
+    return None
+
+
+def has_kg_raw(raw_dir: Optional[str]) -> bool:
+    return bool(raw_dir) and os.path.isdir(raw_dir) and (
+        _kg_root(raw_dir) is not None
+    )
+
+
+def _read_dict_file(path: str) -> Dict[str, int]:
+    # reference knowledge_graph.py:250 _read_dictionary: "<id>\t<name>"
+    d: Dict[str, int] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            if len(parts) >= 2:
+                d[parts[1]] = int(parts[0])
+    return d
+
+
+def parse_kg_dir(raw_dir: str):
+    """Parse an RGCN-style KG directory (reference
+    ``knowledge_graph.py:86-118``): ``entities.dict``,
+    ``relations.dict`` plus ``train/valid/test.txt`` of
+    tab-separated ``head rel tail`` string triples.
+
+    Missing dict files are rebuilt from the triples (sorted-name order).
+    Returns ``(num_entities, num_rels, train, valid, test)`` with each
+    split an (n, 3) int64 array of ``[head, rel, tail]`` rows.
+    """
+    root = _kg_root(raw_dir)
+    if root is None:
+        raise FileNotFoundError(f"no train.txt under {raw_dir}")
+
+    def read_triples(split):
+        p = os.path.join(root, f"{split}.txt")
+        if not os.path.exists(p):
+            return []
+        rows = []
+        with open(p) as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if len(parts) == 3:
+                    rows.append(parts)
+        return rows
+
+    raw = {s: read_triples(s) for s in ("train", "valid", "test")}
+    ent_path = os.path.join(root, "entities.dict")
+    rel_path = os.path.join(root, "relations.dict")
+    if os.path.exists(ent_path):
+        ent2id = _read_dict_file(ent_path)
+    else:
+        names = sorted({t[i] for rows in raw.values() for t in rows
+                        for i in (0, 2)})
+        ent2id = {n: i for i, n in enumerate(names)}
+    if os.path.exists(rel_path):
+        rel2id = _read_dict_file(rel_path)
+    else:
+        names = sorted({t[1] for rows in raw.values() for t in rows})
+        rel2id = {n: i for i, n in enumerate(names)}
+
+    def to_ids(rows):
+        if not rows:
+            return np.zeros((0, 3), np.int64)
+        return np.array(
+            [[ent2id[h], rel2id[r], ent2id[t]] for h, r, t in rows],
+            dtype=np.int64,
+        )
+
+    return (len(ent2id), len(rel2id), to_ids(raw["train"]),
+            to_ids(raw["valid"]), to_ids(raw["test"]))
+
+
+# ---------------------------------------------------------------------------
+# RDF entity-classification dirs (AIFB-style)
+# ---------------------------------------------------------------------------
+
+_NT_LINE = re.compile(
+    r"^<([^>]*)>\s+<([^>]*)>\s+(<[^>]*>|\"(?:[^\"\\]|\\.)*\"(?:\^\^<[^>]*>|@\S+)?)\s*\.\s*$"
+)
+
+
+def has_rdf_raw(raw_dir: Optional[str]) -> bool:
+    if not raw_dir or not os.path.isdir(raw_dir):
+        return False
+    has_nt = any(f.endswith(".nt") for f in os.listdir(raw_dir))
+    return has_nt and os.path.exists(
+        os.path.join(raw_dir, "trainingSet.tsv")
+    )
+
+
+def parse_ntriples(path: str) -> List[Tuple[str, str, str]]:
+    """Line-based N-Triples parser (the reference uses rdflib over .n3;
+    we support the equivalent .nt serialization without a dependency —
+    reference ``rdf.py:159-174`` ``load_raw_tuples``). Literal objects
+    are returned with their quotes stripped."""
+    triples = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            m = _NT_LINE.match(line)
+            if not m:
+                continue
+            s, p, o = m.group(1), m.group(2), m.group(3)
+            if o.startswith("<"):
+                o = o[1:-1]
+            else:  # literal: strip quotes and any datatype/lang suffix
+                o = o[1:o.rindex('"')]
+                o = f"_literal:{o}"
+            triples.append((s, p, o))
+    return triples
+
+
+def _uri_entity(uri: str, entity_prefix: str):
+    """Split an entity URI into (type, instance) the way the reference's
+    per-dataset ``parse_entity`` does (``rdf.py:672-684``: AIFB type is
+    path segment 3, id is segment 5)."""
+    if uri.startswith("_literal:"):
+        return "_Literal", uri[len("_literal:"):]
+    if entity_prefix and not uri.startswith(entity_prefix):
+        return None
+    tail = uri[len(entity_prefix):] if entity_prefix else uri
+    parts = [p for p in re.split(r"[/#]", tail) if p]
+    if not parts:
+        return None
+    cls = parts[0] if len(parts) > 1 else "_Entity"
+    inst = parts[-1]
+    return cls, inst
+
+
+def _uri_relation(uri: str) -> str:
+    parts = [p for p in re.split(r"[/#]", uri) if p]
+    return parts[-1] if parts else uri
+
+
+def parse_rdf_dir(raw_dir: str, entity_prefix: str = "",
+                  label_col: int = -1, entity_col: int = 0):
+    """Parse an RDF entity-classification dir: all ``*.nt`` files plus
+    ``trainingSet.tsv``/``testSet.tsv`` (reference ``rdf.py:355-380``).
+
+    Returns ``(triples, train_rows, test_rows)`` where triples are
+    ((src_type, src_id), rel, (dst_type, dst_id)) with URI-derived
+    types, and each split row is ``(entity_uri, label_str)``.
+    """
+    triples = []
+    for fn in sorted(os.listdir(raw_dir)):
+        if fn.endswith(".nt"):
+            for s, p, o in parse_ntriples(os.path.join(raw_dir, fn)):
+                se = _uri_entity(s, entity_prefix)
+                oe = _uri_entity(o, entity_prefix)
+                if se is None or oe is None:
+                    continue
+                triples.append((se, _uri_relation(p), oe))
+
+    def read_split(fn):
+        p = os.path.join(raw_dir, fn)
+        rows = []
+        if not os.path.exists(p):
+            return rows
+        with open(p) as f:
+            header = True
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if header:  # reference split files carry a header row
+                    header = False
+                    continue
+                if len(parts) >= 2:
+                    rows.append((parts[entity_col], parts[label_col]))
+        return rows
+
+    return triples, read_split("trainingSet.tsv"), read_split("testSet.tsv")
+
+
+# ---------------------------------------------------------------------------
+# MovieLens ml-100k
+# ---------------------------------------------------------------------------
+
+
+def _ml_root(raw_dir: str, name: str) -> Optional[str]:
+    for base in (raw_dir, os.path.join(raw_dir, name)):
+        if os.path.exists(os.path.join(base, "u.data")):
+            return base
+        if os.path.exists(os.path.join(base, "ratings.dat")):
+            return base
+    return None
+
+
+def has_movielens_raw(raw_dir: Optional[str], name: str = "ml-100k") -> bool:
+    return bool(raw_dir) and os.path.isdir(raw_dir) and (
+        _ml_root(raw_dir, name) is not None
+    )
+
+
+def parse_movielens(raw_dir: str, name: str = "ml-100k"):
+    """Parse MovieLens raw files (reference ``movielens.py:257`` process):
+    ml-100k's tab-separated ``u.data`` (user, item, rating, timestamp)
+    or ml-1m/10m's ``ratings.dat`` (``user::item::rating::ts``).
+
+    Returns ``(user_ids, item_ids, ratings, timestamps)`` with ids
+    remapped to dense 0-based ranges, plus the id maps.
+    """
+    root = _ml_root(raw_dir, name)
+    if root is None:
+        raise FileNotFoundError(f"no u.data/ratings.dat under {raw_dir}")
+    p = os.path.join(root, "u.data")
+    if os.path.exists(p):
+        arr = np.loadtxt(p, dtype=np.int64, ndmin=2)
+    else:
+        rows = []
+        with open(os.path.join(root, "ratings.dat")) as f:
+            for line in f:
+                parts = line.strip().split("::")
+                if len(parts) == 4:
+                    rows.append([int(float(x)) for x in parts])
+        arr = np.asarray(rows, dtype=np.int64).reshape(-1, 4)
+    users, items = arr[:, 0], arr[:, 1]
+    uuniq, uidx = np.unique(users, return_inverse=True)
+    iuniq, iidx = np.unique(items, return_inverse=True)
+    return (uidx.astype(np.int64), iidx.astype(np.int64),
+            arr[:, 2].astype(np.float32), arr[:, 3].astype(np.int64),
+            uuniq, iuniq)
+
+
+# ---------------------------------------------------------------------------
+# OGB node-property raw layout (ogbn-*)
+# ---------------------------------------------------------------------------
+
+
+def _ogb_root(root: str, name: str) -> Optional[str]:
+    dirname = name.replace("-", "_")
+    for base in (os.path.join(root, dirname), root):
+        if os.path.isdir(os.path.join(base, "raw")):
+            return base
+    return None
+
+
+def has_ogb_raw(root: Optional[str], name: str) -> bool:
+    if not root or not os.path.isdir(root):
+        return False
+    base = _ogb_root(root, name)
+    return base is not None and _ogb_csv(base, "raw", "edge") is not None
+
+
+def _ogb_csv(base: str, sub: str, stem: str) -> Optional[str]:
+    for ext in (".csv.gz", ".csv"):
+        p = os.path.join(base, sub, stem + ext)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _load_csv(path: str, dtype):
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+
+
+def parse_ogb_nodeprop(root: str, name: str):
+    """Parse the OGB node-property on-disk layout without the ``ogb``
+    package: ``raw/edge.csv.gz`` (src,dst rows), ``raw/node-feat.csv.gz``,
+    ``raw/node-label.csv.gz``, ``raw/num-node-list.csv.gz`` and the
+    ``split/<type>/{train,valid,test}.csv.gz`` index files — the exact
+    files ``ogb.nodeproppred.NodePropPredDataset`` reads.
+
+    Returns a dict with ``edge_index`` (2, E), ``num_nodes``,
+    ``node_feat`` (or None), ``label`` and a ``split`` dict.
+    """
+    base = _ogb_root(root, name)
+    if base is None:
+        raise FileNotFoundError(f"no OGB raw layout for {name} under {root}")
+    edges = _load_csv(_ogb_csv(base, "raw", "edge"), np.int64)
+    out = {"edge_index": edges.T}
+    p = _ogb_csv(base, "raw", "num-node-list")
+    if p is not None:
+        out["num_nodes"] = int(_load_csv(p, np.int64).ravel()[0])
+    else:
+        out["num_nodes"] = int(edges.max()) + 1
+    p = _ogb_csv(base, "raw", "node-feat")
+    out["node_feat"] = _load_csv(p, np.float32) if p else None
+    p = _ogb_csv(base, "raw", "node-label")
+    out["label"] = _load_csv(p, np.int64).ravel() if p else None
+    split = {}
+    split_root = os.path.join(base, "split")
+    if os.path.isdir(split_root):
+        types = sorted(
+            d for d in os.listdir(split_root)
+            if os.path.isdir(os.path.join(split_root, d))
+        )
+        if types:
+            for key in ("train", "valid", "test"):
+                p = _ogb_csv(base, os.path.join("split", types[0]), key)
+                if p is not None:
+                    split[key] = _load_csv(p, np.int64).ravel()
+    out["split"] = split
+    return out

@@ -307,11 +307,36 @@ class KnowledgeGraphDataset(DGLDataset):
     fallback plants relation-consistent clusters so TransE/R can learn."""
 
     def __init__(self, name="kg_synthetic", num_entities=500, num_rels=12,
-                 num_triples=6000, seed=0, transform=None, **kwargs):
+                 num_triples=6000, seed=0, raw_dir=None, transform=None,
+                 **kwargs):
         self._cfg = (num_entities, num_rels, num_triples, seed)
-        super().__init__(name=name, transform=transform)
+        super().__init__(name=name, raw_dir=raw_dir, transform=transform)
 
     def process(self):
+        from .parsers import has_kg_raw
+
+        for cand in (self.raw_dir, self._raw_dir):
+            if has_kg_raw(cand):
+                self._process_raw(cand)
+                return
+        self._process_synthetic()
+
+    def _process_raw(self, raw_dir):
+        """Real triple files (reference ``knowledge_graph.py:86-148``)."""
+        from .. import convert
+        from .parsers import parse_kg_dir
+
+        n, r, self.train, self.valid, self.test = parse_kg_dir(raw_dir)
+        g = convert.graph((self.train[:, 0], self.train[:, 2]), num_nodes=n)
+        E = g._relation(None).num_edges_padded
+        et = np.zeros(E, np.int32)
+        et[: self.train.shape[0]] = self.train[:, 1].astype(np.int32)
+        g.edata["etype"] = jnp.asarray(et)
+        self._g = g
+        self.num_entities = n
+        self.num_rels = r
+
+    def _process_synthetic(self):
         from .. import convert
 
         n, r, t, s = self._cfg
@@ -359,10 +384,11 @@ class GraphClassificationDataset(DGLDataset):
     determined by planted structure (cycle vs. star motifs + feature shift)."""
 
     def __init__(self, name="graphcls_synthetic", num_graphs=120,
-                 num_classes=2, feat_dim=8, seed=0, transform=None, **kwargs):
+                 num_classes=2, feat_dim=8, seed=0, raw_dir=None,
+                 transform=None, **kwargs):
         self._cfg = (num_graphs, num_classes, feat_dim, seed)
         self._num_classes = num_classes
-        super().__init__(name=name, transform=transform)
+        super().__init__(name=name, raw_dir=raw_dir, transform=transform)
 
     def process(self):
         from .. import convert
