@@ -27,10 +27,13 @@ from .impl.cache_policy import (
 )
 from .neighbor_sampler_gb import (
     NeighborSamplerStage,
+    LayerNeighborSampler,
     UniformNegativeSampler,
     MiniBatchTransformer,
     exclude_seed_edges,
     FeatureFetcher,
+    CooperativeFeatureFetcher,
+    shard_feature_table,
     CopyTo,
 )
 from .dataloader import DataLoader
@@ -53,10 +56,13 @@ __all__ = [
     "SievePolicy",
     "S3FifoPolicy",
     "NeighborSamplerStage",
+    "LayerNeighborSampler",
     "UniformNegativeSampler",
     "MiniBatchTransformer",
     "exclude_seed_edges",
     "FeatureFetcher",
+    "CooperativeFeatureFetcher",
+    "shard_feature_table",
     "CopyTo",
     "DataLoader",
     "OnDiskDataset",

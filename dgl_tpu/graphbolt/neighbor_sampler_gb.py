@@ -12,9 +12,11 @@ from .minibatch import MiniBatch
 
 __all__ = [
     "NeighborSamplerStage",
+    "LayerNeighborSampler",
     "UniformNegativeSampler",
     "MiniBatchTransformer",
     "FeatureFetcher",
+    "CooperativeFeatureFetcher",
     "CopyTo",
 ]
 
@@ -57,6 +59,37 @@ class NeighborSamplerStage(_Stage):
         )
         mb.blocks = blocks
         mb.input_nodes = np.asarray(blocks[0].srcdata[NID])
+        return mb
+
+
+class LayerNeighborSampler(_Stage):
+    """Layer-dependent (LABOR) sampling stage (reference
+    ``impl/neighbor_sampler.py:640`` LayerNeighborSampler): consecutive
+    layers share per-node uniforms so the union frontier is much smaller
+    than independent per-seed sampling at equal variance.
+
+    ``importance_sampling`` > 0 enables LABOR-i c-optimization
+    iterations (-1 iterates to convergence) as in the reference's
+    ``layer_dependency``/``num_iterations`` knobs."""
+
+    def __init__(self, source, graph, fanouts: Sequence[int],
+                 prob=None, importance_sampling: int = 0,
+                 seed: Optional[int] = None):
+        super().__init__(source)
+        from ..dataloading import LaborSampler
+
+        self.graph = graph
+        self.sampler = LaborSampler(
+            list(fanouts), prob=prob,
+            importance_sampling=importance_sampling, seed=seed,
+        )
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        input_nodes, output_nodes, blocks = self.sampler.sample_blocks(
+            self.graph, np.asarray(mb.seeds)
+        )
+        mb.blocks = blocks
+        mb.input_nodes = input_nodes
         return mb
 
 
@@ -146,6 +179,75 @@ class FeatureFetcher(_Stage):
             mb.node_features[k] = self.store.read(
                 self.domain, self.type_name, k, ids
             )
+        return mb
+
+
+def shard_feature_table(mesh, feat, axis: str = "gp"):
+    """Row-shard a global feature array over a mesh axis for
+    :class:`CooperativeFeatureFetcher`.
+
+    Returns ``(ranges, table)``: ``ranges`` the (P+1,) global row range
+    per part, ``table`` a (P, rows_max, F) device array sharded over
+    ``axis`` (part-major local rows, zero-padded tails)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    feat = np.asarray(feat)
+    nparts = mesh.shape[axis]
+    n = feat.shape[0]
+    rows_max = -(-n // nparts)
+    ranges = np.minimum(np.arange(nparts + 1) * rows_max, n)
+    table = np.zeros((nparts, rows_max) + feat.shape[1:], feat.dtype)
+    for p in range(nparts):
+        lo, hi = ranges[p], ranges[p + 1]
+        table[p, : hi - lo] = feat[lo:hi]
+    sharding = NamedSharding(mesh, P(axis))
+    return jnp.asarray(ranges), jax.device_put(table, sharding)
+
+
+class CooperativeFeatureFetcher(_Stage):
+    """Cooperative-minibatching feature fetch (reference
+    ``impl/neighbor_sampler.py:555-639`` + ``impl/cooperative_conv.py:12``):
+    features live row-sharded across the mesh; each minibatch's input
+    nodes are partitioned by OWNER rank and fetched with the sparse
+    all-to-all pull, so every row moves over the interconnect exactly
+    once from the rank that owns it — no replicated feature table.
+
+    ``tables``: dict key -> (ranges, sharded (P, rows_max, F) table),
+    from :func:`shard_feature_table`."""
+
+    def __init__(self, source, mesh, tables, axis: str = "gp"):
+        super().__init__(source)
+        self.mesh = mesh
+        self.tables = tables
+        self.axis = axis
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..distributed.cooperative import sparse_all_to_all_pull
+
+        ids = np.asarray(
+            mb.input_nodes if mb.input_nodes is not None else mb.seeds
+        ).astype(np.int64)
+        n = ids.shape[0]
+        nparts = self.mesh.shape[self.axis]
+        per = -(-max(n, 1) // nparts)
+        padded = np.zeros(nparts * per, np.int64)
+        padded[:n] = ids
+        id_blocks = jax.device_put(
+            padded.reshape(nparts, per),
+            NamedSharding(self.mesh, P(self.axis)),
+        )
+        for k, (ranges, table) in self.tables.items():
+            rows = sparse_all_to_all_pull(
+                self.mesh, ranges, table, id_blocks, axis=self.axis
+            )
+            mb.node_features[k] = jnp.reshape(
+                rows, (nparts * per,) + rows.shape[2:]
+            )[:n]
         return mb
 
 

@@ -197,3 +197,98 @@ def test_exclude_seed_edges():
             e = (int(src_nid[np.asarray(rel.src)[i]]),
                  int(dst_nid[np.asarray(rel.dst)[i]]))
             assert e not in banned
+
+
+def test_layer_neighbor_sampler_stage(g):
+    """LABOR stage produces valid blocks and a SMALLER union frontier than
+    independent neighbor sampling (the point of layer-dependent sampling,
+    reference impl/neighbor_sampler.py:640)."""
+    seeds = np.arange(40)
+    items = gb.ItemSet(seeds, names="seeds")
+
+    def frontier_size(stage_cls, **kw):
+        dp = gb.ItemSampler(items, batch_size=40)
+        dp = stage_cls(dp, g, [5, 5], **kw)
+        (mb,) = list(dp)
+        assert len(mb.blocks) == 2
+        return int(np.asarray(mb.input_nodes).shape[0])
+
+    labor = frontier_size(gb.LayerNeighborSampler, seed=0)
+    indep_dp = gb.ItemSampler(items, batch_size=40)
+    indep_dp = gb.NeighborSamplerStage(indep_dp, g, [5, 5], batch_size=40,
+                                       seed=0)
+    (mb,) = list(indep_dp)
+    # fixed-shape sampler pads to caps; compare against the real (unpadded)
+    # frontier of the ragged path instead
+    from dgl_tpu.dataloading import NeighborSampler
+
+    ragged = NeighborSampler([5, 5], seed=0)
+    inp, _, _ = ragged.sample_blocks(g, seeds)
+    assert labor <= inp.shape[0], (labor, inp.shape[0])
+
+
+def test_layer_neighbor_sampler_importance(g):
+    seeds = np.arange(20)
+    dp = gb.ItemSampler(gb.ItemSet(seeds, names="seeds"), batch_size=20)
+    dp = gb.LayerNeighborSampler(dp, g, [4], importance_sampling=-1, seed=1)
+    (mb,) = list(dp)
+    blk = mb.blocks[0]
+    # every seed's in-edges land on a dst that is a seed
+    from dgl_tpu.base import NID
+
+    dst_nid = np.asarray(blk.dstdata[NID])
+    assert set(dst_nid) <= set(seeds.tolist())
+
+
+def test_cooperative_feature_fetcher_matches_plain(g):
+    """VERDICT bar: identical results with/without cooperative mode on the
+    8-CPU mesh (reference impl/cooperative_conv.py:12)."""
+    from dgl_tpu.parallel import create_mesh
+
+    mesh = create_mesh((8,), ("gp",))
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(100, 8)).astype(np.float32)
+    store = gb.FeatureStore({("node", "_N", "feat"): feats})
+    items = gb.ItemSet(np.arange(48), names="seeds")
+
+    def run(cooperative):
+        dp = gb.ItemSampler(items, batch_size=16, shuffle=True, seed=0)
+        dp = gb.NeighborSamplerStage(dp, g, [3], batch_size=16, seed=0)
+        if cooperative:
+            tables = {"feat": gb.shard_feature_table(mesh, feats)}
+            dp = gb.CooperativeFeatureFetcher(dp, mesh, tables)
+        else:
+            dp = gb.FeatureFetcher(dp, store, ["feat"])
+        return [np.asarray(mb.node_features["feat"]) for mb in dp]
+
+    plain = run(False)
+    coop = run(True)
+    assert len(plain) == len(coop)
+    for a, b in zip(plain, coop):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_dataloader_overlap_copy_preserves_batches(g):
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(100, 8)).astype(np.float32)
+    store = gb.FeatureStore({("node", "_N", "feat"): feats})
+    items = gb.ItemSet(np.arange(60), names="seeds")
+
+    def batches(**loader_kw):
+        dp = gb.ItemSampler(items, batch_size=16, shuffle=True, seed=0)
+        dp = gb.NeighborSamplerStage(dp, g, [3], batch_size=16, seed=0)
+        dp = gb.FeatureFetcher(dp, store, ["feat"])
+        dp = gb.CopyTo(dp)
+        return [
+            (np.asarray(mb.seeds), np.asarray(mb.node_features["feat"]))
+            for mb in gb.DataLoader(dp, **loader_kw)
+        ]
+
+    base = batches(use_prefetch_thread=False)
+    overlapped = batches(use_prefetch_thread=True, overlap_copy=True)
+    plainthread = batches(use_prefetch_thread=True, overlap_copy=False)
+    assert len(base) == len(overlapped) == len(plainthread) == 4
+    for (s0, f0), (s1, f1), (s2, f2) in zip(base, overlapped, plainthread):
+        np.testing.assert_array_equal(s0, s1)
+        np.testing.assert_array_equal(s0, s2)
+        np.testing.assert_allclose(f0, f1)
