@@ -1,9 +1,11 @@
 // Unit tests for the native host ops (reference tests/cpp/*.cc gtest suite;
 // assert-based here to avoid vendoring gtest). Run via `make test`.
+#include <algorithm>
 #include <cassert>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <random>
 #include <set>
 #include <vector>
 
@@ -115,12 +117,186 @@ static void test_block_build() {
   std::puts("build_padded_block OK");
 }
 
+// --- adversarial tests (FastMap + build_padded_block edge cases) ---
+
+// Replicates FastMap's capacity rule (host_ops.cpp) so collision tests can
+// target a concrete bucket count.
+static uint64_t fastmap_cap(int64_t want) {
+  uint64_t cap = 16;
+  while (cap < (uint64_t)want * 2) cap <<= 1;
+  return cap;
+}
+
+// All neighbor ids hash into the SAME FastMap bucket: every insert after the
+// first must survive a full linear-probe chain.
+static void test_block_hash_collisions() {
+  const int64_t cap_dst = 4, fanout = 24;
+  const int64_t cap_src = cap_dst * (1 + fanout);
+  const uint64_t cap = fastmap_cap(cap_src);
+  const uint64_t mult = 0x9e3779b97f4a7c15ULL;
+  // collect 20 distinct ids whose hash lands in bucket 3
+  std::vector<int64_t> collide;
+  for (int64_t id = 1; (int64_t)collide.size() < 20; ++id) {
+    if (((uint64_t)id * mult & (cap - 1)) == 3) collide.push_back(id);
+  }
+  // seed node 0 has degree 40: each colliding id appears twice (dedup test)
+  std::vector<int64_t> indices;
+  for (int64_t id : collide) {
+    indices.push_back(id);
+    indices.push_back(id);
+  }
+  // indptr over max node id + 1 rows; only row 0 has edges
+  int64_t max_id = *std::max_element(collide.begin(), collide.end());
+  std::vector<int64_t> indptr(max_id + 2, 40);
+  indptr[0] = 0;
+  int64_t seeds[] = {0, -1, -1, -1};
+  std::vector<int64_t> src_ids(cap_src, -1);
+  std::vector<int64_t> esrc(cap_dst * fanout), edst(cap_dst * fanout),
+      eo(cap_dst * fanout);
+  std::vector<uint8_t> em(cap_dst * fanout);
+  build_padded_block(indptr.data(), indices.data(), nullptr, seeds, cap_dst,
+                     fanout, 0, 77, src_ids.data(), esrc.data(), edst.data(),
+                     eo.data(), em.data());
+  // 24 sampled edges land on <= 20 DISTINCT source slots (dedup despite
+  // every key probing the same chain)
+  std::set<int64_t> slots, ids_seen;
+  int real = 0;
+  for (int64_t e = 0; e < cap_dst * fanout; ++e) {
+    if (!em[e]) continue;
+    ++real;
+    assert(edst[e] == 0);
+    slots.insert(esrc[e]);
+    ids_seen.insert(src_ids[esrc[e]]);
+    assert(indices[eo[e]] == src_ids[esrc[e]]);
+  }
+  assert(real == fanout);  // deg(40) > fanout(24) -> exactly fanout picks
+  assert(slots.size() == ids_seen.size());
+  assert(ids_seen.size() <= 20);
+  for (int64_t id : ids_seen) {
+    assert(std::find(collide.begin(), collide.end(), id) != collide.end());
+  }
+  std::puts("build_padded_block hash-collision dedup OK");
+}
+
+// Every source distinct across the whole block: fills src_ids to EXACTLY
+// cap_src (the FastMap sizing boundary — one past-the-end write would
+// corrupt).
+static void test_block_full_capacity() {
+  const int64_t cap_dst = 8, fanout = 6;
+  const int64_t cap_src = cap_dst * (1 + fanout);  // 56
+  // seeds 0..7; seed s's neighbors are 100+s*6 .. 100+s*6+5 (all distinct,
+  // disjoint from seeds) -> inserts = 8 seeds + 48 neighbors = 56 = cap_src
+  std::vector<int64_t> indptr, indices;
+  int64_t nrows = 100 + 8 * 6;
+  indptr.assign(nrows + 1, 0);
+  for (int64_t s = 0; s < 8; ++s) {
+    for (int64_t j = 0; j < 6; ++j) indices.push_back(100 + s * 6 + j);
+  }
+  for (int64_t r = 0; r <= nrows; ++r) indptr[r] = (r < 8) ? r * 6 : 48;
+  int64_t seeds[8];
+  for (int64_t i = 0; i < 8; ++i) seeds[i] = i;
+  std::vector<int64_t> src_ids(cap_src, -1);
+  std::vector<int64_t> esrc(48), edst(48), eo(48);
+  std::vector<uint8_t> em(48);
+  build_padded_block(indptr.data(), indices.data(), nullptr, seeds, cap_dst,
+                     fanout, 0, 5, src_ids.data(), esrc.data(), edst.data(),
+                     eo.data(), em.data());
+  // all cap_src slots populated, all distinct
+  std::set<int64_t> uniq(src_ids.begin(), src_ids.end());
+  assert(uniq.count(-1) == 0);
+  assert((int64_t)uniq.size() == cap_src);
+  for (int64_t e = 0; e < 48; ++e) {
+    assert(em[e] == 1);
+    assert(src_ids[esrc[e]] == indices[eo[e]]);
+  }
+  std::puts("build_padded_block full-capacity OK");
+}
+
+// Entirely -1 (sink) seed batch: nothing sampled, every edge masked to the
+// sink self-loop, src_ids untouched.
+static void test_block_all_sink() {
+  int64_t indptr[] = {0, 1};
+  int64_t indices[] = {0};
+  const int64_t cap_dst = 4, fanout = 3;
+  int64_t seeds[] = {-1, -1, -1, -1};
+  std::vector<int64_t> src_ids(cap_dst * (1 + fanout), -1);
+  int64_t esrc[12], edst[12], eo[12];
+  uint8_t em[12];
+  build_padded_block(indptr, indices, nullptr, seeds, cap_dst, fanout, 0, 1,
+                     src_ids.data(), esrc, edst, eo, em);
+  for (auto v : src_ids) assert(v == -1);
+  for (int e = 0; e < 12; ++e) {
+    assert(em[e] == 0 && esrc[e] == cap_dst - 1 && edst[e] == cap_dst - 1);
+  }
+  std::puts("build_padded_block all-sink OK");
+}
+
+// replace=1 on a degree-1 node: all picks duplicate one neighbor -> exactly
+// one source slot allocated, fanout live edges.
+static void test_block_replace_dedup() {
+  int64_t indptr[] = {0, 1, 1};
+  int64_t indices[] = {1};
+  const int64_t cap_dst = 2, fanout = 5;
+  int64_t seeds[] = {0, -1};
+  std::vector<int64_t> src_ids(cap_dst * (1 + fanout), -1);
+  int64_t esrc[10], edst[10], eo[10];
+  uint8_t em[10];
+  build_padded_block(indptr, indices, nullptr, seeds, cap_dst, fanout, 1, 3,
+                     src_ids.data(), esrc, edst, eo, em);
+  int real = 0;
+  std::set<int64_t> slots;
+  for (int e = 0; e < 10; ++e) {
+    if (!em[e]) continue;
+    ++real;
+    slots.insert(esrc[e]);
+    assert(src_ids[esrc[e]] == 1);
+  }
+  assert(real == fanout);
+  assert(slots.size() == 1);  // deduped to a single slot
+  std::puts("build_padded_block replace-dedup OK");
+}
+
+// unique_and_compact under heavy duplication + huge ids (hash spread).
+static void test_unique_compact_stress() {
+  const int64_t n = 20000;
+  std::vector<int64_t> ids(n);
+  std::mt19937_64 rng(42);
+  std::vector<int64_t> pool;
+  for (int i = 0; i < 500; ++i) {
+    pool.push_back((int64_t)(rng() >> 1));  // non-negative, up to ~4.6e18
+  }
+  pool.push_back(0);
+  pool.push_back(INT64_MAX);
+  for (int64_t i = 0; i < n; ++i) ids[i] = pool[rng() % pool.size()];
+  std::vector<int64_t> uniq(n), relab(n);
+  int64_t k = unique_and_compact(ids.data(), n, uniq.data(), relab.data());
+  std::set<int64_t> expect(ids.begin(), ids.end());
+  assert(k == (int64_t)expect.size());
+  // round-trip: uniq[relab[i]] == ids[i]; first-occurrence order
+  std::set<int64_t> seen;
+  int64_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    assert(relab[i] >= 0 && relab[i] < k);
+    assert(uniq[relab[i]] == ids[i]);
+    if (seen.insert(ids[i]).second) {
+      assert(relab[i] == next);
+      ++next;
+    }
+  }
+  std::puts("unique_and_compact stress OK");
+}
+
 int main() {
   test_coo_to_csr();
   test_sampling();
   test_unique_compact();
   test_random_walk();
   test_block_build();
+  test_block_hash_collisions();
+  test_block_full_capacity();
+  test_block_all_sink();
+  test_block_replace_dedup();
+  test_unique_compact_stress();
   std::puts("ALL C++ TESTS PASSED");
   return 0;
 }
