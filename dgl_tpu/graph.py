@@ -147,6 +147,12 @@ class Relation:
         E_arr = src.shape[0]
         E = E_arr if num_edges is None else int(num_edges)
         np_id = np.dtype(np.int32) if idtype == jnp.int32 else np.dtype(np.int64)
+        if np_id == np.int64 and to_device and not jax.config.jax_enable_x64:
+            raise DGLError(
+                "int64 idtype requires JAX x64 mode: wrap in "
+                "`with jax.enable_x64(True):` or set jax_enable_x64 "
+                "(otherwise ids silently truncate to int32)"
+            )
         src = src.astype(np_id)
         dst = dst.astype(np_id)
         if E > 0:
@@ -997,7 +1003,7 @@ class Graph:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), self)
 
     def with_spmm_plans(self, num_hubs: int = 2048,
-                        precision: str = "bf16") -> "Graph":
+                        precision: str = "int8") -> "Graph":
         """Return a copy whose relations carry dense-hub SpMM plans
         (:mod:`dgl_tpu.ops.hub_spmm`): supported g-SpMM calls then aggregate
         hub edges as one MXU matmul instead of a per-edge HBM gather. Build
@@ -1216,6 +1222,12 @@ def _graph_inc(self, typestr="both", etype=None):
 def _graph_astype(self, idtype):
     """Cast index arrays (reference ``DGLGraph.long/int/astype``)."""
     np_id = np.int64 if idtype == jnp.int64 else np.int32
+    if np_id is np.int64 and not jax.config.jax_enable_x64:
+        raise DGLError(
+            "int64 idtype requires JAX x64 mode: wrap in "
+            "`with jax.enable_x64(True):` or set jax_enable_x64 "
+            "(otherwise ids silently truncate to int32)"
+        )
 
     def conv(rel: Relation) -> Relation:
         new = Relation.__new__(Relation)

@@ -23,10 +23,13 @@ The backward pass is the same decomposition transposed (``A_hub.T @ dz`` plus
 the reverse cold segment-sum), mirroring the hand-derived rules of the
 reference's ``GSpMM`` autograd (``python/dgl/backend/pytorch/sparse.py:162``).
 
-Precision: ``"bf16"`` stores ``A_hub`` in bfloat16 and rounds hub features to
-bfloat16 for the MXU (counts are small integers, exactly representable; the
-feature rounding gives ~1e-3 relative error). ``"f32"`` keeps everything
-float32 (exact, ~2-3x the matmul cost).
+Precision: ``"int8"`` (default for :func:`build_hub_plan` callers that pass
+it) stores ``A_hub`` as int8 counts — HALF the HBM stream of bf16, which is
+what bounds the matmul — converted to bfloat16 on the fly for the MXU (XLA
+fuses the convert into the dot's operand read; small-integer counts are exact
+in bf16, so accuracy equals ``"bf16"``). Falls back to bf16 storage if any
+edge multiplicity exceeds 127. ``"bf16"`` stores A_hub in bfloat16.
+``"f32"`` keeps everything float32 (exact, ~2-3x the matmul cost).
 """
 from __future__ import annotations
 
@@ -77,6 +80,7 @@ class HubSpMMPlan:
         num_hubs: int,
         coverage: float,
         precision: str,
+        cold: str = "f32",
     ):
         self.hub_ids = hub_ids
         self.a_hub = a_hub
@@ -89,6 +93,7 @@ class HubSpMMPlan:
         self.num_hubs = int(num_hubs)
         self.coverage = float(coverage)
         self.precision = str(precision)
+        self.cold = str(cold)
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self.ARRAY_FIELDS)
@@ -98,6 +103,7 @@ class HubSpMMPlan:
             self.num_hubs,
             self.coverage,
             self.precision,
+            self.cold,
         )
         return children, aux
 
@@ -112,13 +118,14 @@ class HubSpMMPlan:
             obj.num_hubs,
             obj.coverage,
             obj.precision,
+            obj.cold,
         ) = aux
         return obj
 
     def __repr__(self):
         return (
             f"HubSpMMPlan(H={self.num_hubs}, coverage={self.coverage:.3f}, "
-            f"precision={self.precision})"
+            f"precision={self.precision}, cold={self.cold})"
         )
 
 
@@ -129,15 +136,22 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16"):
+def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
+                   cold: str | None = None):
     """Build a :class:`HubSpMMPlan` for a relation (host-side, once per graph).
 
     ``A_hub`` is constructed ON DEVICE with a scalar scatter-add from small
     index transfers — the dense (N_dst, H) matrix never crosses the host link
     (single transfers over ~200 MB can wedge the remote runtime).
     """
-    if precision not in ("bf16", "f32"):
-        raise DGLError(f"hub plan precision must be bf16|f32, got {precision}")
+    if precision not in ("int8", "bf16", "f32"):
+        raise DGLError(
+            f"hub plan precision must be int8|bf16|f32, got {precision}"
+        )
+    if cold is None:
+        cold = "f32" if precision == "f32" else "bf16"
+    if cold not in ("bf16", "f32"):
+        raise DGLError(f"hub plan cold must be bf16|f32, got {cold}")
     src_csc = np.asarray(rel.csc_indices)
     dst_csc = np.asarray(rel.csc_dst)
     n_src, n_dst = rel.num_src, rel.num_dst
@@ -155,8 +169,8 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16"):
 
     is_hub = slots >= 0
     hub_pos = np.nonzero(is_hub)[0]
-    cold = real & ~is_hub
-    cold_idx = np.nonzero(cold)[0]
+    cold_mask = real & ~is_hub
+    cold_idx = np.nonzero(cold_mask)[0]
     Ec = _rup(cold_idx.shape[0], 8) if cold_idx.size else 8
     cold_src = np.zeros(Ec, np.int32)
     cold_dst = np.full(Ec, n_dst, np.int32)
@@ -170,7 +184,18 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16"):
     rev_src[: cold_idx.shape[0]] = cold_src[order]
     rev_dst[: cold_idx.shape[0]] = cold_dst[order]
 
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if precision == "int8" and hub_pos.size:
+        # int8 storage is only exact up to multiplicity 127; check the max
+        # edge multiplicity per (dst, hub) cell on the host (cheap: E ints)
+        pair = dst_csc[hub_pos].astype(np.int64) * H + slots[hub_pos]
+        if np.unique(pair, return_counts=True)[1].max() > 127:
+            precision = "bf16"
+    if precision == "int8":
+        dtype = jnp.int8
+    elif precision == "bf16":
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
     dst_h = jnp.asarray(dst_csc[hub_pos].astype(np.int32))
     slot_h = jnp.asarray(slots[hub_pos])
     a_hub = (
@@ -189,11 +214,14 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16"):
         num_hubs=H,
         coverage=float(is_hub.sum() / n_real),
         precision=precision,
+        cold=cold,
     )
 
 
 def _mm(a, b, precision):
-    if precision == "bf16":
+    if precision in ("int8", "bf16"):
+        # int8-stored counts convert to bf16 on the fly (fused by XLA into
+        # the dot's operand read — halves the A_hub HBM stream)
         return jnp.dot(
             a.astype(jnp.bfloat16),
             b.astype(jnp.bfloat16),
@@ -203,12 +231,23 @@ def _mm(a, b, precision):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _cold_gather(x, idx, cold):
+    """Gather rows for the cold segment sum. ``cold='bf16'`` converts the
+    table to bfloat16 first — the gather is what dominates the cold tail, and
+    halving its bytes measured 2.74x vs the 2.30x f32 path on v5e
+    (benchmarks/probe_r2c.py); rows convert back to f32 inside the same XLA
+    fusion so the accumulate stays exact."""
+    if cold == "bf16":
+        return x.astype(jnp.bfloat16)[idx].astype(jnp.float32)
+    return x[idx]
+
+
 @jax.custom_vjp
 def _hub_copy_u_sum2d(plan: HubSpMMPlan, x):
     """copy_u + sum for 2-D x via the dense-hub decomposition."""
     out_hub = _mm(plan.a_hub, x[plan.hub_ids], plan.precision)
     out_cold = jax.ops.segment_sum(
-        x[plan.cold_src],
+        _cold_gather(x, plan.cold_src, plan.cold),
         plan.cold_dst,
         num_segments=plan.num_dst,
         indices_are_sorted=True,
@@ -226,7 +265,7 @@ def _bwd(plan, dz):
     # construction, so scatter-add composes exactly.
     d_hub = _mm(plan.a_hub.T, dz, plan.precision)
     dx = jax.ops.segment_sum(
-        dz[plan.rev_dst],
+        _cold_gather(dz, plan.rev_dst, plan.cold),
         plan.rev_src,
         num_segments=plan.num_src,
         indices_are_sorted=True,
