@@ -152,10 +152,10 @@ def _run(fallback: bool):
     if fallback:
         gp, path, iters = g, "xla gather+segsum (cpu)", 5
     else:
-        gp = g.with_spmm_plans(num_hubs=2048, precision="bf16")
+        gp = g.with_spmm_plans(num_hubs=2048, precision="int8")
         plan = gp._relation(None).hub_plan
-        path = (f"dense-hub H=2048 bf16 (coverage {plan.coverage:.2f})"
-                " + cold segsum")
+        path = (f"dense-hub H=2048 int8 (coverage {plan.coverage:.2f})"
+                " + bf16 cold segsum")
         iters = 20
 
     @jax.jit
