@@ -214,7 +214,9 @@ def _refine(adj, side, weights, passes=3, frac=0.5):
 def _bisect_multilevel(adj, weights, coarsen_to=64, frac=0.5):
     levels = []  # (mapping, finer_adj, finer_weights)
     a, w = adj, weights
-    wmax = 1.5 * weights.sum() / coarsen_to  # METIS maxvwgt analog
+    wmax = 6.0 * weights.sum() / coarsen_to  # METIS maxvwgt analog (loose:
+    #  tight caps stall coarsening on power-law graphs and triple runtime;
+    #  the forced rebalance stage in _refine absorbs the residual lumpiness)
     while a.shape[0] > coarsen_to:
         a2, w2, mapping = _coarsen(a, w, wmax=wmax)
         if a2.shape[0] >= a.shape[0] * 0.95:
