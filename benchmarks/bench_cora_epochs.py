@@ -1,0 +1,125 @@
+"""GCN/GAT Cora-config 200-epoch training time on one TPU chip.
+
+The reference's flagship small-model numbers (BASELINE.md /
+``docs/source/performance.rst:41-49``): GCN Cora 200 epochs = 0.666 s, GAT
+Cora = 1.399 s on a single GPU. Same config here (2-layer, hidden 16 / 8x8
+heads, dropout 0.5, Adam 1e-2), the whole 200-epoch loop inside ONE jit
+via ``lax.fori_loop`` so the axon tunnel's ~50 ms/dispatch overhead is paid
+once, timed by scalar-fetch differencing (k vs 1 epochs — see
+memory:axon-tpu-quirks).
+
+Run: timeout 590 python benchmarks/bench_cora_epochs.py [--device cpu]
+Prints one JSON line per model.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--device", default=None, choices=[None, "cpu"])
+    args = p.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import dgl_tpu as dgl
+    from dgl_tpu.data import CoraGraphDataset
+    from dgl_tpu.models import GAT, GCN
+
+    ds = CoraGraphDataset()
+    g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
+    feat = g.ndata["feat"]
+    y = g.ndata["label"].astype(jnp.int32)
+    tm = g.ndata["train_mask"].astype(jnp.float32)
+    sm = g.ndata["test_mask"]
+    C = ds.num_classes
+
+    # optimizer configs follow the reference example scripts: GCN Adam 1e-2
+    # (examples/core/gcn/train.py), GAT Adam 5e-3 + weight decay 5e-4 with
+    # feat/attn dropout 0.6 active during training (examples/pytorch/gat)
+    configs = {
+        "gcn": (GCN(feat.shape[1], 16, C, dropout=0.5), 0.666,
+                optax.adam(1e-2), True),
+        "gat": (GAT(feat.shape[1], 8, C, heads=8), 1.399,
+                optax.adamw(5e-3, weight_decay=5e-4), False),
+    }
+    for name, (model, ref_s, tx, train_det) in configs.items():
+        params = model.init(jax.random.PRNGKey(0), g, feat)
+        opt0 = tx.init(params)
+
+        def epoch_body(i, carry):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                logits = model.apply(
+                    p, g, feat, deterministic=train_det,
+                    rngs={"dropout": sub},
+                )
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y
+                )
+                return (ls * tm).sum() / tm.sum()
+
+            _, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, key
+
+        @jax.jit
+        def train(params, opt_state, k):
+            params, opt_state, _ = jax.lax.fori_loop(
+                0, k, epoch_body, (params, opt_state, jax.random.PRNGKey(1))
+            )
+            logits = model.apply(params, g, feat)
+            pred = jnp.argmax(logits, -1)
+            acc = jnp.where(sm, pred == y, 0).sum() / sm.sum()
+            return acc
+
+        def t(k):
+            acc = float(train(params, opt0, jnp.int32(k)))  # warm/compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(train(params, opt0, jnp.int32(k)))
+                best = min(best, time.perf_counter() - t0)
+            return best, acc
+
+        t1, _ = t(1)
+        t200, acc = t(200)
+        dt = t200 - t1  # 199 epochs net of dispatch+eval overhead
+        total = dt * 200 / 199
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_cora_200epoch_s",
+                    "value": round(total, 4),
+                    "unit": "s",
+                    "vs_baseline": round(ref_s / total, 2),
+                    "detail": {
+                        "reference_s": ref_s,
+                        "test_acc": round(acc, 4),
+                        "device": str(jax.devices()[0].device_kind),
+                        "dataset": ds.__class__.__name__,
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,16 @@ def synthetic_classification_graph(
     *,
     homophily: float = 0.8,
     noise: float = 1.0,
+    signal: float = 2.0,
     seed: int = 0,
 ):
     """SBM-style graph with planted classes.
+
+    ``signal`` scales the class centroids: per-class feature separability is
+    ~``signal*sqrt(2*feat_dim)/noise`` standard deviations, so small values
+    (e.g. 0.04 at 1433 dims) calibrate the synthetic stand-ins to the REAL
+    datasets' published accuracy bands instead of saturating (see
+    ``citation._CALIB``).
 
     Returns a homogeneous Graph with ndata: feat, label, train/val/test_mask.
     """
@@ -54,7 +61,7 @@ def synthetic_classification_graph(
             dst[i] = order[rng.integers(lo, hi)]
         else:
             dst[i] = rng.integers(0, num_nodes)
-    centroids = rng.normal(size=(num_classes, feat_dim)) * 2.0
+    centroids = rng.normal(size=(num_classes, feat_dim)) * signal
     feat = centroids[labels] + rng.normal(size=(num_nodes, feat_dim)) * noise
 
     g = convert.graph((src, dst), num_nodes=num_nodes)
@@ -208,6 +215,7 @@ def synthetic_hetero_graph(
     num_classes: int = 8,
     feat_dim: int = 64,
     target_ntype: str = "paper",
+    signal: float = 2.0,
     seed: int = 0,
 ):
     """ogbn-mag-shaped heterograph (reference ``data/adapter.py`` OGB mag):
@@ -249,7 +257,7 @@ def synthetic_hetero_graph(
             dst = rng.integers(0, num_nodes_dict[dt], ne)
         data[cet] = (src, dst)
     g = convert.heterograph(data, num_nodes_dict=num_nodes_dict)
-    centroids = rng.normal(size=(num_classes, feat_dim)) * 2.0
+    centroids = rng.normal(size=(num_classes, feat_dim)) * signal
     g._node_frames.setdefault(target_ntype, {})["feat"] = jnp.asarray(
         centroids[labels] + rng.normal(size=(n_paper, feat_dim)),
         dtype=jnp.float32,
