@@ -155,7 +155,7 @@ def _run(fallback: bool):
         gp = g.with_spmm_plans(num_hubs=2048, precision="int8")
         plan = gp._relation(None).hub_plan
         path = (f"dense-hub H=2048 int8 (coverage {plan.coverage:.2f})"
-                " + bf16 cold segsum")
+                f" + {plan.cold} cold (bf16 shell gathers, no segsum)")
         iters = 20
 
     @jax.jit

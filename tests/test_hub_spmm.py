@@ -111,3 +111,79 @@ def test_unsupported_ops_fall_back():
         ops.u_mul_e_sum(g, x, e), ops.u_mul_e_sum(g0, x, e), rtol=1e-5)
     np.testing.assert_allclose(
         ops.copy_u_max(g, x), ops.copy_u_max(g0, x), rtol=1e-5)
+
+
+# -- shell cold mode (segment-sum-free cold tail) -----------------------------
+
+
+@pytest.mark.parametrize("precision,cold,tol", [
+    ("f32", "shell-f32", 1e-5),
+    ("int8", "shell", 1e-2),
+    ("bf16", "shell", 1e-2),
+])
+def test_shell_forward_and_grad(precision, cold, tol):
+    g = _powerlaw_graph(n=500, e=4000)
+    rel = g._relation(None)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(500, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(500, 64)), jnp.float32)
+    plan = build_hub_plan(rel, num_hubs=64, precision=precision, cold=cold)
+    assert plan.cold == cold and len(plan.shells) > 0
+    ref = ops.copy_u_sum(g, x)
+    out = hub_copy_u_sum(plan, x)
+    # bf16 rounding error scales with the magnitude of the summed rows, so
+    # compare max-normalized (matches the legacy bf16-cold tolerance policy)
+    assert float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref))) < tol
+    g1 = jax.grad(lambda x: jnp.sum(ops.copy_u_sum(g, x) * w))(x)
+    g2 = jax.grad(lambda x: jnp.sum(hub_copy_u_sum(plan, x) * w))(x)
+    assert float(jnp.max(jnp.abs(g2 - g1)) / jnp.max(jnp.abs(g1))) < tol
+
+
+def test_shell_is_default_for_low_precision():
+    rel = _powerlaw_graph()._relation(None)
+    assert build_hub_plan(rel, 64, precision="int8").cold == "shell"
+    assert build_hub_plan(rel, 64, precision="bf16").cold == "shell"
+    assert build_hub_plan(rel, 64, precision="f32").cold == "f32"
+
+
+def test_shell_padded_graph():
+    # padding edges (src == num_src / dst == num_dst) must be excluded
+    src = np.array([0, 1, 1, 2, 5, 5])
+    dst = np.array([1, 2, 0, 0, 5, 5])
+    g = dgl_tpu.graph((src, dst), num_nodes=5, num_edges=4)
+    rel = g._relation(None)
+    x = jnp.arange(15, dtype=jnp.float32).reshape(5, 3)
+    ref = ops.copy_u_sum(g, x)
+    plan = build_hub_plan(rel, num_hubs=2, precision="f32", cold="shell-f32")
+    np.testing.assert_allclose(hub_copy_u_sum(plan, x), ref, rtol=1e-6)
+
+
+def test_shell_all_hub_empty_cold():
+    g = _powerlaw_graph(n=100, e=900)
+    plan = build_hub_plan(g._relation(None), num_hubs=100,
+                          precision="f32", cold="shell-f32")
+    assert plan.coverage == 1.0 and len(plan.shells) == 0
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(100, 16)),
+                    jnp.float32)
+    np.testing.assert_allclose(hub_copy_u_sum(plan, x),
+                               ops.copy_u_sum(g, x), rtol=1e-5, atol=1e-5)
+
+
+def test_shell_plan_pytree_roundtrip():
+    gp = _powerlaw_graph(n=200, e=1500).with_spmm_plans(num_hubs=64,
+                                                        precision="int8")
+    plan = gp._relation(None).hub_plan
+    assert plan.cold == "shell"
+    leaves, treedef = jax.tree_util.tree_flatten(gp)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    p2 = g2._relation(None).hub_plan
+    assert p2.cold == "shell" and len(p2.shells) == len(plan.shells)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(200, 24)),
+                    jnp.float32)
+
+    @jax.jit
+    def f(g, x):
+        return ops.copy_u_sum(g, x)
+
+    np.testing.assert_allclose(f(g2, x), ops.copy_u_sum(
+        _powerlaw_graph(n=200, e=1500), x), rtol=5e-2, atol=5e-2)
