@@ -15,7 +15,13 @@ The reference's server/client RPC architecture collapses into:
 """
 from .graph_partition_book import RangePartitionBook
 GraphPartitionBook = RangePartitionBook  # reference class name
-from .dist_graph import DistGraph, node_split, edge_split, exit_client
+from .dist_graph import (
+    DistGraph,
+    sample_neighbors,
+    node_split,
+    edge_split,
+    exit_client,
+)
 from ..dataloading import DataLoader as DistDataLoader  # reference name:
 # seed-sharded loading is the ddp_rank/ddp_world_size args of DataLoader
 # (reference dist_dataloader.py:23)
@@ -50,6 +56,7 @@ __all__ = [
     "RangePartitionBook",
     "GraphPartitionBook",
     "DistGraph",
+    "sample_neighbors",
     "node_split",
     "edge_split",
     "exit_client",

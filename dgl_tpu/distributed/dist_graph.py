@@ -13,7 +13,13 @@ import numpy as np
 
 from ..base import DGLError
 
-__all__ = ["DistGraph", "node_split", "edge_split", "exit_client"]
+__all__ = [
+    "DistGraph",
+    "sample_neighbors",
+    "node_split",
+    "edge_split",
+    "exit_client",
+]
 
 
 class DistGraph:
@@ -64,6 +70,77 @@ class DistGraph:
 
     def local_var(self):
         return self.local_partition.local_var()
+
+    # -- owner-local sampling (reference ``graph_services.py:1037``) --------
+
+    def _global_to_local(self):
+        if getattr(self, "_g2l", None) is None:
+            new_ids = np.asarray(self.local_partition.ndata["_new_id"])
+            g2l = np.full(int(self._book.num_nodes()), -1, np.int64)
+            g2l[new_ids] = np.arange(new_ids.shape[0])
+            self._g2l = g2l
+        return self._g2l
+
+    def sample_neighbors(self, nodes, fanout, edge_dir="in", prob=None,
+                         replace=False, seed=None):
+        """Sample in-neighbors of OWNED seed nodes from the local partition
+        (reference ``graph_services.py:1037`` ``sample_neighbors`` — the
+        remote server round-trip of ``_distributed_access:737`` collapses to
+        a local CSC pick because every in-edge of an owned node is stored
+        with its partition, exactly like DistDGL's dst-owner placement).
+        ``nodes`` are GLOBAL (partition-book) ids; the result is an edge
+        subgraph over the global id space. Seeds owned by other partitions
+        raise — cross-part minibatch workflows use
+        :class:`~dgl_tpu.distributed.dist_minibatch.DistNeighborSampler`,
+        which groups frontiers by owner.
+        """
+        if edge_dir != "in":
+            raise DGLError("DistGraph.sample_neighbors samples in-edges "
+                           "(dst-owner partition placement)")
+        from .. import convert
+        from ..base import EID, NID
+        from ..sampling import sample_neighbors as local_sample
+
+        nodes = np.atleast_1d(np.asarray(nodes, np.int64))
+        lo, hi = (int(self._book._ranges[self._part_id]),
+                  int(self._book._ranges[self._part_id + 1]))
+        if nodes.size and not ((nodes >= lo) & (nodes < hi)).all():
+            raise DGLError(
+                f"seeds outside this rank's owned range [{lo},{hi}); use "
+                "DistNeighborSampler for cross-partition minibatches"
+            )
+        g2l = self._global_to_local()
+        local = g2l[nodes]
+        frontier = local_sample(
+            self.local_partition, local, fanout, prob=prob,
+            replace=replace, copy_ndata=False, copy_edata=True, seed=seed,
+        )
+        u_l, v_l = (np.asarray(a) for a in frontier.edges())
+        new_ids = np.asarray(self.local_partition.ndata["_new_id"])
+        out = convert.graph(
+            (new_ids[u_l], new_ids[v_l]),
+            num_nodes=int(self._book.num_nodes()),
+        )
+        cet = frontier.canonical_etypes[0]
+        eid = frontier._edge_frames.get(cet, {}).get(EID)
+        if eid is not None:
+            out.edata[EID] = eid
+        return out
+
+
+def sample_neighbors(g, nodes, fanout, edge_dir="in", prob=None,
+                     replace=False, seed=None):
+    """Reference-name entry point (``dgl.distributed.sample_neighbors``,
+    ``graph_services.py:1037``): owner-local sampling on a
+    :class:`DistGraph`; plain graphs fall through to
+    :func:`dgl_tpu.sampling.sample_neighbors`."""
+    if isinstance(g, DistGraph):
+        return g.sample_neighbors(nodes, fanout, edge_dir=edge_dir,
+                                  prob=prob, replace=replace, seed=seed)
+    from ..sampling import sample_neighbors as local_sample
+
+    return local_sample(g, nodes, fanout, edge_dir=edge_dir, prob=prob,
+                        replace=replace, seed=seed)
 
 
 def _split(ids_or_mask, partition_book, rank, force_even=True):

@@ -565,3 +565,48 @@ def test_dispatch_partitions_tool(g, tmp_path):
     )
     assert r.returncode == 0, r.stderr.decode() + r.stdout.decode()
     assert b"OK" in r.stdout
+
+
+def test_dist_graph_sample_neighbors(tmp_path):
+    """Owner-local sampling (reference graph_services.py:1037): every rank
+    samples its owned seeds from its partition alone; results are exact
+    in-edges in GLOBAL (partition-book) id space with correct counts."""
+    from dgl_tpu.base import EID
+    from dgl_tpu.distributed import (
+        DistGraph, partition_graph, sample_neighbors,
+    )
+
+    rng = np.random.default_rng(7)
+    n, e = 80, 600
+    g = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                  num_nodes=n)
+    d = str(tmp_path)
+    order, new_of_old = partition_graph(g, "pg", 4, d, return_mapping=True)
+    src_old, dst_old = (np.asarray(a) for a in g.edges())
+    # the true edge set in new-id space
+    true = set(zip(new_of_old[src_old].tolist(), new_of_old[dst_old].tolist()))
+    deg_new = np.bincount(new_of_old[dst_old], minlength=n)
+
+    seen = 0
+    for rank in range(4):
+        dg = DistGraph(d, part_id=rank)
+        book = dg.get_partition_book()
+        lo, hi = book._ranges[rank], book._ranges[rank + 1]
+        seeds = np.arange(lo, min(lo + 10, hi))
+        out = sample_neighbors(dg, seeds, fanout=3, seed=0)
+        u, v = (np.asarray(a) for a in out.edges())
+        assert out.num_nodes() == n
+        assert set(v.tolist()) <= set(seeds.tolist())
+        for uu, vv in zip(u.tolist(), v.tolist()):
+            assert (uu, vv) in true
+        cnt = np.bincount(v, minlength=n)
+        for s in seeds:
+            assert cnt[s] == min(3, deg_new[s])
+        seen += u.shape[0]
+        # seeds owned elsewhere are rejected (cross-part goes through
+        # DistNeighborSampler)
+        other = (hi % n) if hi < n else 0
+        if not (lo <= other < hi):
+            with pytest.raises(Exception):
+                dg.sample_neighbors(np.array([other]), 3)
+    assert seen > 0
