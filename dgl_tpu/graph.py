@@ -74,9 +74,11 @@ class Relation:
         "csc_dst",
     )
 
-    # optional dense-hub SpMM plan (ops/hub_spmm.py); class-level default so
+    # optional dense-hub SpMM plan (ops/hub_spmm.py) and full-edge shell
+    # plan for weighted ops (ops/shell_spmm.py); class-level defaults so
     # Relations built via __new__ (astype, tree_unflatten) stay consistent
     hub_plan = None
+    shell_plan = None
 
     def __init__(
         self,
@@ -97,6 +99,7 @@ class Relation:
         max_in_degree: int = -1,
         max_out_degree: int = -1,
         hub_plan=None,
+        shell_plan=None,
     ):
         self.src = src
         self.dst = dst
@@ -115,6 +118,7 @@ class Relation:
         self.max_in_degree = int(max_in_degree)
         self.max_out_degree = int(max_out_degree)
         self.hub_plan = hub_plan
+        self.shell_plan = shell_plan
 
     # -- construction -------------------------------------------------------
 
@@ -241,6 +245,8 @@ class Relation:
         children = tuple(getattr(self, f) for f in Relation.ARRAY_FIELDS)
         if self.hub_plan is not None:
             children = children + (self.hub_plan,)
+        if self.shell_plan is not None:
+            children = children + (self.shell_plan,)
         aux = (
             self.num_src,
             self.num_dst,
@@ -248,6 +254,7 @@ class Relation:
             self.max_in_degree,
             self.max_out_degree,
             self.hub_plan is not None,
+            self.shell_plan is not None,
         )
         return children, aux
 
@@ -263,8 +270,11 @@ class Relation:
             obj.max_in_degree,
             obj.max_out_degree,
             has_plan,
+            has_shell,
         ) = aux
-        obj.hub_plan = children[len(cls.ARRAY_FIELDS)] if has_plan else None
+        i = len(cls.ARRAY_FIELDS)
+        obj.hub_plan = children[i] if has_plan else None
+        obj.shell_plan = children[i + int(has_plan)] if has_shell else None
         return obj
 
     def with_hub_plan(self, plan) -> "Relation":
@@ -279,6 +289,23 @@ class Relation:
         new.max_in_degree = self.max_in_degree
         new.max_out_degree = self.max_out_degree
         new.hub_plan = plan
+        new.shell_plan = self.shell_plan
+        return new
+
+    def with_shell_plan(self, plan) -> "Relation":
+        """Return a copy carrying a full-edge shell plan
+        (ops/shell_spmm.py); ``gspmm`` dispatches weighted sum/mean ops
+        through it."""
+        new = Relation.__new__(Relation)
+        for f in Relation.ARRAY_FIELDS:
+            setattr(new, f, getattr(self, f))
+        new.num_src = self.num_src
+        new.num_dst = self.num_dst
+        new.num_edges = self.num_edges
+        new.max_in_degree = self.max_in_degree
+        new.max_out_degree = self.max_out_degree
+        new.hub_plan = self.hub_plan
+        new.shell_plan = plan
         return new
 
     # -- queries -------------------------------------------------------------
@@ -1003,18 +1030,29 @@ class Graph:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), self)
 
     def with_spmm_plans(self, num_hubs: int = 2048,
-                        precision: str = "int8") -> "Graph":
+                        precision: str = "int8",
+                        weighted: bool = False,
+                        gather_dtype: str = "bf16") -> "Graph":
         """Return a copy whose relations carry dense-hub SpMM plans
         (:mod:`dgl_tpu.ops.hub_spmm`): supported g-SpMM calls then aggregate
         hub edges as one MXU matmul instead of a per-edge HBM gather. Build
-        once per graph (host pass + one device scatter per relation)."""
+        once per graph (host pass + one device scatter per relation).
+
+        ``weighted=True`` additionally builds full-edge shell plans
+        (:mod:`dgl_tpu.ops.shell_spmm`) so edge-weighted sum/mean ops
+        (``u_mul_e_sum`` — the GAT/GCN-norm aggregation) skip the sorted
+        segment-sum as well."""
         from .ops.hub_spmm import build_hub_plan
+        from .ops.shell_spmm import build_shell_plan
 
         g = self.structural_clone()
-        g._relations = {
-            k: r.with_hub_plan(build_hub_plan(r, num_hubs, precision))
-            for k, r in self._relations.items()
-        }
+        rels = {}
+        for k, r in self._relations.items():
+            r = r.with_hub_plan(build_hub_plan(r, num_hubs, precision))
+            if weighted:
+                r = r.with_shell_plan(build_shell_plan(r, gather_dtype))
+            rels[k] = r
+        g._relations = rels
         return g
 
     # -- pytree ---------------------------------------------------------------

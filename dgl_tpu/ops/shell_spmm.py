@@ -1,0 +1,297 @@
+"""Shell-decomposition g-SpMM for WEIGHTED message ops (u_mul_e_sum etc.).
+
+The dense-hub fast path (:mod:`dgl_tpu.ops.hub_spmm`) only covers
+``copy_u + sum`` — runtime edge weights cannot be folded into the
+precomputed ``A_hub`` counts. This module generalizes the shell
+decomposition measured there (on TPU v5e the sorted segment-sum's scatter
+lowering costs ~14 ns/edge while row gathers cost ~8 ns/edge) to every
+binary op of the g-SpMM family with the sum/mean reducer:
+
+  Rank destinations by in-degree (host, once per graph). The dsts with
+  >= k in-edges form a contiguous prefix of the rank order, so "the k-th
+  in-edge of every dst" becomes flat gathers of the source row and the
+  edge value added into a prefix slice — zero scatters/segment-sums.
+  One final unrank gather restores standard order. The VJP for dU runs
+  the same structure transposed (sources ranked by out-degree); dE is
+  pure gathers as in the classic path.
+
+Reference counterpart: the fused weighted SpMM kernels
+(``src/array/cpu/spmm.h:47``, ``src/array/cuda/spmm.cuh:30``) and the
+``GSpMM`` autograd rules (``python/dgl/backend/pytorch/sparse.py:162``).
+Attach via ``Graph.with_spmm_plans(weighted=True)``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import DGLError
+
+__all__ = ["ShellSpMMPlan", "build_shell_plan", "shell_gspmm_sum"]
+
+
+def _rup(x: int, m: int) -> int:
+    return max(int(-(-x // m) * m), m)
+
+
+def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
+               n_to: int):
+    """Shells of one direction: for each level k, the (gather-node,
+    gather-eid, mask) triple of "the k-th incident edge of every ranked
+    ``e_to`` node". ``e_node`` is the id gathered from the node array
+    (src for forward, dst for backward), ``e_eid`` the id gathered from
+    the edge array (caller's eid order)."""
+    deg = np.bincount(e_to, minlength=n_to)
+    rank = np.argsort(-deg, kind="stable").astype(np.int32)
+    unrank = np.empty(n_to, np.int32)
+    unrank[rank] = np.arange(n_to, dtype=np.int32)
+    order = np.argsort(e_to, kind="stable")
+    en, et, ee = e_node[order], e_to[order], e_eid[order]
+    starts = np.concatenate(([0], np.cumsum(np.bincount(et, minlength=n_to))))
+    pos = np.arange(et.shape[0]) - starts[et]
+    kmax = int(deg.max()) if et.size else 0
+    h = np.bincount(np.minimum(deg, kmax), minlength=kmax + 1)
+    n_ge = np.concatenate((np.cumsum(h[::-1])[::-1], [0]))
+    shells = []
+    for k in range(kmax):
+        sel = pos == k
+        n_k = int(n_ge[k + 1])
+        n_k8 = _rup(n_k, 8)
+        nidx = np.zeros(n_k8, np.int32)
+        eidx = np.zeros(n_k8, np.int32)
+        r = unrank[et[sel]]
+        nidx[r] = en[sel]
+        eidx[r] = ee[sel]
+        mask = np.zeros((n_k8, 1), np.float32)
+        mask[:n_k, 0] = 1.0
+        shells.append((jnp.asarray(nidx), jnp.asarray(eidx),
+                       jnp.asarray(mask)))
+    return tuple(shells), jnp.asarray(unrank)
+
+
+class ShellSpMMPlan:
+    """Full-edge shell decomposition for one relation (pytree).
+
+    ``src_eid``/``dst_eid``/``emask`` are the eid-order endpoint arrays
+    (padding-masked) used by the dE gradient, which is pure gathers.
+    """
+
+    ARRAY_FIELDS = ("shells", "unrank_dst", "rev_shells", "unrank_src",
+                    "src_eid", "dst_eid", "emask")
+
+    def __init__(self, shells, unrank_dst, rev_shells, unrank_src,
+                 src_eid, dst_eid, emask, *,
+                 num_src: int, num_dst: int, gather_dtype: str = "bf16"):
+        self.shells = shells
+        self.unrank_dst = unrank_dst
+        self.rev_shells = rev_shells
+        self.unrank_src = unrank_src
+        self.src_eid = src_eid
+        self.dst_eid = dst_eid
+        self.emask = emask
+        self.num_src = int(num_src)
+        self.num_dst = int(num_dst)
+        self.gather_dtype = str(gather_dtype)
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self.ARRAY_FIELDS)
+        return children, (self.num_src, self.num_dst, self.gather_dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        for f, c in zip(cls.ARRAY_FIELDS, children):
+            setattr(obj, f, c)
+        obj.num_src, obj.num_dst, obj.gather_dtype = aux
+        return obj
+
+    def __repr__(self):
+        return (f"ShellSpMMPlan(shells={len(self.shells)}, "
+                f"rev={len(self.rev_shells)}, gather={self.gather_dtype})")
+
+
+jax.tree_util.register_pytree_node(
+    ShellSpMMPlan, lambda p: p.tree_flatten(), ShellSpMMPlan.tree_unflatten
+)
+
+
+def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
+    """Build the full-edge shell plan (host-side, once per graph).
+
+    ``gather_dtype='bf16'`` rounds gathered node rows to bfloat16 (f32
+    accumulation, ~1e-3 relative error — halves gather bytes); ``'f32'``
+    keeps everything exact.
+    """
+    if gather_dtype not in ("bf16", "f32"):
+        raise DGLError(f"gather_dtype must be bf16|f32, got {gather_dtype}")
+    src = np.asarray(rel.csc_indices)
+    dst = np.asarray(rel.csc_dst)
+    eid = np.asarray(rel.csc_eids)
+    real = (dst < rel.num_dst) & (src < rel.num_src)
+    src, dst, eid = src[real], dst[real], eid[real]
+    shells, unrank_dst = _build_dir(src, dst, eid, rel.num_dst)
+    rev_shells, unrank_src = _build_dir(dst, src, eid, rel.num_src)
+    # eid-order endpoints for dE (clamped so padded slots gather row 0 and
+    # are zeroed by emask)
+    se = np.asarray(rel.src).astype(np.int64)
+    de_ = np.asarray(rel.dst).astype(np.int64)
+    emask = ((se < rel.num_src) & (de_ < rel.num_dst)).astype(np.float32)
+    return ShellSpMMPlan(
+        shells, unrank_dst, rev_shells, unrank_src,
+        jnp.asarray(np.where(emask > 0, se, 0).astype(np.int32)),
+        jnp.asarray(np.where(emask > 0, de_, 0).astype(np.int32)),
+        jnp.asarray(emask),
+        num_src=rel.num_src, num_dst=rel.num_dst, gather_dtype=gather_dtype,
+    )
+
+
+def _expand(x, ndim):
+    while x.ndim < ndim:
+        x = x[..., None]
+    return x
+
+
+def _mask_expand(mask, ndim):
+    """Shape a (n, 1) (or (n,)) mask to exactly ``ndim`` dims."""
+    mask = mask.reshape(mask.shape[0], *([1] * (ndim - 1)))
+    return mask
+
+
+def _shell_accumulate(shells, unrank, n_out, msg_of):
+    """``out[v] = sum_k msg_of(shell_k)[unrank[v]]`` with masked prefixes.
+
+    ``msg_of((nidx, eidx)) -> (n_k8, ...)`` builds the per-level messages;
+    the accumulator shape comes from the first level (all levels broadcast
+    to the same feature shape).
+    """
+    n8 = _rup(n_out, 8)
+    acc = None
+    for nidx, eidx, mask in shells:
+        rows = msg_of(nidx, eidx)
+        m = _mask_expand(mask, rows.ndim)
+        if acc is None:
+            acc = jnp.zeros((n8,) + rows.shape[1:], jnp.float32)
+        # where (not multiply): padded slots may hold inf/nan (e.g. div by
+        # a zero edge value gathered from slot 0)
+        acc = acc.at[: nidx.shape[0]].add(
+            jnp.where(m > 0, rows.astype(jnp.float32), 0.0)
+        )
+    if acc is None:  # no edges
+        return None
+    return acc[unrank]
+
+
+def _g(x, dtype):
+    return x.astype(jnp.bfloat16) if dtype == "bf16" else x
+
+
+def _msg(op, ul, el):
+    if op == "copy_lhs":
+        return ul
+    if op == "copy_rhs":
+        return el
+    if ul.ndim != el.ndim:
+        nd = max(ul.ndim, el.ndim)
+        ul, el = _expand(ul, nd), _expand(el, nd)
+    if op == "add":
+        return ul + el
+    if op == "sub":
+        return ul - el
+    if op == "mul":
+        return ul * el
+    if op == "div":
+        return ul / el
+    raise DGLError(f"Unknown spmm binary op {op!r}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def shell_gspmm_sum(op, plan: ShellSpMMPlan, u, e):
+    """g-SpMM with sum reducer via the shell decomposition; matches
+    ``ops.gspmm(g, op, 'sum', u, e)`` (to ~1e-3 relative for bf16
+    gathers; exactly for ``gather_dtype='f32'``)."""
+    out = _fwd_impl(op, plan, u, e)
+    return out
+
+
+def _fwd_impl(op, plan, u, e):
+    gd = plan.gather_dtype
+    ub = _g(u, gd) if u is not None and op != "copy_rhs" else None
+    eb = _g(e, gd) if e is not None and op != "copy_lhs" else None
+
+    def msg_of(nidx, eidx):
+        ul = ub[nidx] if ub is not None else None
+        el = eb[eidx] if eb is not None else None
+        return _msg(op, ul, el)
+
+    ref = u if op != "copy_rhs" else e
+    out = _shell_accumulate(plan.shells, plan.unrank_dst, plan.num_dst,
+                            msg_of)
+    if out is None:
+        shape = (plan.num_dst,) + tuple(ref.shape[1:])
+        return jnp.zeros(shape, ref.dtype)
+    return out.astype(ref.dtype)
+
+
+def _shell_fwd(op, plan, u, e):
+    return shell_gspmm_sum(op, plan, u, e), (plan, u, e)
+
+
+def _shell_bwd(op, res, dz):
+    plan, u, e = res
+    gd = plan.gather_dtype
+    du = de = None
+    dzb = _g(dz, gd)
+    eb = _g(e, gd) if e is not None else None
+
+    if op != "copy_rhs" and u is not None:
+        # dU[s] = sum over out-edges of dZ[dst] (op' e): reverse shells
+        def msg_of(nidx, eidx):
+            dzl = dzb[nidx]
+            if op in ("copy_lhs", "add", "sub"):
+                return dzl
+            el = eb[eidx]
+            if dzl.ndim != el.ndim:
+                nd = max(dzl.ndim, el.ndim)
+                dzl, el = _expand(dzl, nd), _expand(el, nd)
+            if op == "mul":
+                return dzl * el
+            if op == "div":
+                return dzl / el
+            raise DGLError(op)
+
+        du = _shell_accumulate(plan.rev_shells, plan.unrank_src,
+                               plan.num_src, msg_of)
+        if du is None:
+            du = jnp.zeros((plan.num_src,) + dz.shape[1:], jnp.float32)
+        from .spmm import _reduce_grad
+
+        du = _reduce_grad(du, u.shape).astype(u.dtype)
+
+    if op != "copy_lhs" and e is not None:
+        # dE is pure gathers in eid order (no reduction): the reference's
+        # rule (``backend/pytorch/sparse.py:205-230``) verbatim
+        dz_d = dz[plan.dst_eid]
+        if op in ("copy_rhs", "add"):
+            de = dz_d
+        elif op == "sub":
+            de = -dz_d
+        elif op == "mul":
+            de = dz_d * _expand(u[plan.src_eid], dz_d.ndim)
+        elif op == "div":
+            eu = _expand(u[plan.src_eid], dz_d.ndim)
+            ee = _expand(e, dz_d.ndim)
+            de = -dz_d * eu / (ee * ee)
+        else:
+            raise DGLError(op)
+        de = de * _mask_expand(plan.emask, de.ndim)
+        from .spmm import _reduce_grad
+
+        de = _reduce_grad(de, e.shape).astype(e.dtype)
+
+    return (None, du, de)
+
+
+shell_gspmm_sum.defvjp(_shell_fwd, _shell_bwd)

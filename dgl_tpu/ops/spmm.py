@@ -207,6 +207,17 @@ def gspmm(g, op, reduce_op, lhs_data, rhs_data, etype=None):
             out = out / _expand(deg, out.ndim)
         return out
 
+    # full-edge shell fast path (ops/shell_spmm.py): weighted ops with the
+    # sum/mean reducer; attached via Graph.with_spmm_plans(weighted=True)
+    if rel.shell_plan is not None and reduce_op in ("sum", "mean"):
+        from .shell_spmm import shell_gspmm_sum
+
+        out = shell_gspmm_sum(op, rel.shell_plan, u, e)
+        if reduce_op == "mean":
+            deg = jnp.maximum(rel.in_degrees(), 1).astype(out.dtype)
+            out = out / _expand(deg, out.ndim)
+        return out
+
     if reduce_op in ("sum", "mean"):
         out = _gspmm_sum(op, rel, u, e)
         if reduce_op == "mean":

@@ -1,0 +1,121 @@
+"""Weighted shell-decomposition g-SpMM (ops/shell_spmm.py) vs the classic
+sorted-segment path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu
+from dgl_tpu import ops
+from dgl_tpu.ops.shell_spmm import ShellSpMMPlan, build_shell_plan
+
+
+def _graph(n=300, e=2500, seed=0):
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n + 1)
+    src = rng.choice(n, e, p=w / w.sum())
+    dst = rng.integers(0, n, e)
+    return dgl_tpu.graph((src, dst), num_nodes=n)
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    g0 = _graph()
+    gw = g0.with_spmm_plans(num_hubs=64, weighted=True, gather_dtype="f32")
+    return g0, gw
+
+
+@pytest.mark.parametrize("opname", [
+    "u_mul_e_sum", "u_add_e_sum", "u_sub_e_sum", "u_div_e_sum",
+    "u_mul_e_mean", "copy_e_sum",
+])
+def test_weighted_ops_match(graphs, opname):
+    g0, gw = graphs
+    assert gw._relation(None).shell_plan is not None
+    rng = np.random.default_rng(1)
+    n, E = g0.num_nodes(), g0.num_edges()
+    x = jnp.asarray(rng.normal(size=(n, 24)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(E,)) + 3.0, jnp.float32)
+    R = jnp.asarray(rng.normal(size=(n, 24)), jnp.float32)
+    f = getattr(ops, opname)
+    if opname == "copy_e_sum":
+        ref, out = f(g0, e), f(gw, e)
+        loss = lambda gg: (lambda x_, e_: jnp.sum(
+            jnp.sum(f(gg, e_)) * jnp.sum(x_ * 0) + jnp.sum(f(gg, e_))))
+    else:
+        ref, out = f(g0, x, e), f(gw, x, e)
+        loss = lambda gg: (lambda x_, e_: jnp.sum(f(gg, x_, e_) * R))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    gx0, ge0 = jax.grad(loss(g0), argnums=(0, 1))(x, e)
+    gx1, ge1 = jax.grad(loss(gw), argnums=(0, 1))(x, e)
+    np.testing.assert_allclose(gx1, gx0, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ge1, ge0, rtol=1e-4, atol=1e-4)
+
+
+def test_multihead_broadcast(graphs):
+    # the GAT aggregation shape: u (N, H, D) * e (E, H, 1)
+    g0, gw = graphs
+    rng = np.random.default_rng(2)
+    n, E, H, D = g0.num_nodes(), g0.num_edges(), 4, 6
+    xh = jnp.asarray(rng.normal(size=(n, H, D)), jnp.float32)
+    eh = jnp.asarray(rng.normal(size=(E, H, 1)), jnp.float32)
+    Rh = jnp.asarray(rng.normal(size=(n, H, D)), jnp.float32)
+    ref = ops.u_mul_e_sum(g0, xh, eh)
+    np.testing.assert_allclose(ops.u_mul_e_sum(gw, xh, eh), ref,
+                               rtol=1e-5, atol=1e-5)
+    loss = lambda gg: (lambda x_, e_: jnp.sum(ops.u_mul_e_sum(gg, x_, e_)
+                                              * Rh))
+    gx0, ge0 = jax.grad(loss(g0), argnums=(0, 1))(xh, eh)
+    gx1, ge1 = jax.grad(loss(gw), argnums=(0, 1))(xh, eh)
+    np.testing.assert_allclose(gx1, gx0, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ge1, ge0, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_gather_mode():
+    g0 = _graph()
+    gw = g0.with_spmm_plans(num_hubs=64, weighted=True, gather_dtype="bf16")
+    rng = np.random.default_rng(3)
+    n, E = g0.num_nodes(), g0.num_edges()
+    x = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(E,)), jnp.float32)
+    ref = ops.u_mul_e_sum(g0, x, e)
+    out = ops.u_mul_e_sum(gw, x, e)
+    assert float(jnp.max(jnp.abs(out - ref)) /
+                 (jnp.max(jnp.abs(ref)) + 1e-9)) < 2e-2
+
+
+def test_padded_graph_weighted():
+    src = np.array([0, 1, 1, 2, 5, 5])
+    dst = np.array([1, 2, 0, 0, 5, 5])
+    g = dgl_tpu.graph((src, dst), num_nodes=5, num_edges=4)
+    gw = g.with_spmm_plans(num_hubs=2, weighted=True, gather_dtype="f32")
+    x = jnp.arange(15, dtype=jnp.float32).reshape(5, 3)
+    e = jnp.asarray([1.0, 2.0, 0.5, 3.0, 7.0, 7.0])[: g._relation(None).src.shape[0]]
+    ref = ops.u_mul_e_sum(g, x, e)
+    np.testing.assert_allclose(ops.u_mul_e_sum(gw, x, e), ref, rtol=1e-6)
+    # padding edges must not contribute to dE
+    loss = lambda gg: (lambda e_: jnp.sum(ops.u_mul_e_sum(gg, x, e_)))
+    ge0 = jax.grad(loss(g))(e)
+    ge1 = jax.grad(loss(gw))(e)
+    np.testing.assert_allclose(ge1, ge0, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_pytree_roundtrip(graphs):
+    _, gw = graphs
+    leaves, treedef = jax.tree_util.tree_flatten(gw)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    p = g2._relation(None).shell_plan
+    assert isinstance(p, ShellSpMMPlan)
+    assert len(p.shells) > 0 and len(p.rev_shells) > 0
+
+
+def test_empty_graph_shell_plan():
+    g = dgl_tpu.graph((np.zeros(0, np.int64), np.zeros(0, np.int64)),
+                      num_nodes=4)
+    plan = build_shell_plan(g._relation(None), "f32")
+    x = jnp.ones((4, 3), jnp.float32)
+    e = jnp.ones((g._relation(None).src.shape[0],), jnp.float32)
+    from dgl_tpu.ops.shell_spmm import shell_gspmm_sum
+
+    out = shell_gspmm_sum("mul", plan, x, e)
+    np.testing.assert_allclose(out, np.zeros((4, 3)))
