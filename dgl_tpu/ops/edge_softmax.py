@@ -27,6 +27,12 @@ def _seg_to_edges(rel: Relation, node_vals):
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _edge_softmax(rel: Relation, norm_by, logits):
+    # shell fast path (ops/shell_spmm.py): max and exp-sum accumulate over
+    # degree-ranked prefixes — no sorted segment reductions at all
+    if rel.shell_plan is not None and norm_by in ("dst", "src"):
+        from .shell_spmm import shell_edge_softmax
+
+        return shell_edge_softmax(rel.shell_plan, logits, norm_by=norm_by)
     if norm_by == "src":
         rel = rel.reverse()
     # Numerically-stable softmax: segment reductions run over the sorted
@@ -51,9 +57,23 @@ def _edge_softmax_fwd(rel, norm_by, logits):
 
 def _edge_softmax_bwd(norm_by, res, dz):
     rel, out = res
+    sds = out * dz
+    if rel.shell_plan is not None and norm_by in ("dst", "src"):
+        from .shell_spmm import shell_edge_acc
+
+        plan = rel.shell_plan
+        if norm_by == "dst":
+            shells, n_out, rank_eid = (plan.shells, plan.num_dst,
+                                       plan.dst_rank_eid)
+        else:
+            shells, n_out, rank_eid = (plan.rev_shells, plan.num_src,
+                                       plan.src_rank_eid)
+        accum = shell_edge_acc(shells, n_out, sds, kind="sum")[rank_eid]
+        while accum.ndim < sds.ndim:
+            accum = accum[..., None]
+        return (None, (sds - out * accum).astype(dz.dtype))
     if norm_by == "src":
         rel = rel.reverse()
-    sds = out * dz
     accum = jax.ops.segment_sum(
         sds[rel.csc_eids],
         rel.csc_dst,

@@ -80,10 +80,11 @@ class ShellSpMMPlan:
     """
 
     ARRAY_FIELDS = ("shells", "unrank_dst", "rev_shells", "unrank_src",
-                    "src_eid", "dst_eid", "emask")
+                    "src_eid", "dst_eid", "emask",
+                    "dst_rank_eid", "src_rank_eid")
 
     def __init__(self, shells, unrank_dst, rev_shells, unrank_src,
-                 src_eid, dst_eid, emask, *,
+                 src_eid, dst_eid, emask, dst_rank_eid, src_rank_eid, *,
                  num_src: int, num_dst: int, gather_dtype: str = "bf16"):
         self.shells = shells
         self.unrank_dst = unrank_dst
@@ -92,6 +93,12 @@ class ShellSpMMPlan:
         self.src_eid = src_eid
         self.dst_eid = dst_eid
         self.emask = emask
+        # rank-space position of each edge's endpoint (eid order): lets
+        # per-edge reads of segment aggregates skip the unrank gather
+        # (``agg_ranked[dst_rank_eid]`` instead of
+        # ``agg_ranked[unrank][dst]``)
+        self.dst_rank_eid = dst_rank_eid
+        self.src_rank_eid = src_rank_eid
         self.num_src = int(num_src)
         self.num_dst = int(num_dst)
         self.gather_dtype = str(gather_dtype)
@@ -139,11 +146,15 @@ def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
     se = np.asarray(rel.src).astype(np.int64)
     de_ = np.asarray(rel.dst).astype(np.int64)
     emask = ((se < rel.num_src) & (de_ < rel.num_dst)).astype(np.float32)
+    se_c = np.where(emask > 0, se, 0).astype(np.int64)
+    de_c = np.where(emask > 0, de_, 0).astype(np.int64)
     return ShellSpMMPlan(
         shells, unrank_dst, rev_shells, unrank_src,
-        jnp.asarray(np.where(emask > 0, se, 0).astype(np.int32)),
-        jnp.asarray(np.where(emask > 0, de_, 0).astype(np.int32)),
+        jnp.asarray(se_c.astype(np.int32)),
+        jnp.asarray(de_c.astype(np.int32)),
         jnp.asarray(emask),
+        jnp.asarray(np.asarray(unrank_dst)[de_c]),
+        jnp.asarray(np.asarray(unrank_src)[se_c]),
         num_src=rel.num_src, num_dst=rel.num_dst, gather_dtype=gather_dtype,
     )
 
@@ -295,3 +306,68 @@ def _shell_bwd(op, res, dz):
 
 
 shell_gspmm_sum.defvjp(_shell_fwd, _shell_bwd)
+
+
+# ---------------------------------------------------------------------------
+# edge-value segment reductions in RANK space (edge_softmax building blocks)
+# ---------------------------------------------------------------------------
+
+
+def shell_edge_acc(shells, n_out, evals, kind="sum", transform=None):
+    """Segment-reduce per-edge values keyed by the shells' ranked nodes.
+
+    Returns the RANKED accumulator ``(rup(n_out, 8), *feat)`` — row i is the
+    aggregate of the rank-i node. ``transform(rows, k_prefix)`` optionally
+    maps each level's gathered rows given the current prefix view of a
+    companion ranked array (used by edge-softmax to subtract the running
+    max before exp). ``kind`` in {"sum", "max"}; empty segments hold the
+    identity (0 / -inf).
+    """
+    n8 = _rup(n_out, 8)
+    acc = None
+    for nidx, eidx, mask in shells:
+        rows = evals[eidx].astype(jnp.float32)
+        if transform is not None:
+            rows = transform(rows, nidx.shape[0])
+        m = _mask_expand(mask, rows.ndim)
+        if acc is None:
+            init = 0.0 if kind == "sum" else -jnp.inf
+            acc = jnp.full((n8,) + rows.shape[1:], init, jnp.float32)
+        if kind == "sum":
+            acc = acc.at[: nidx.shape[0]].add(jnp.where(m > 0, rows, 0.0))
+        else:
+            acc = acc.at[: nidx.shape[0]].max(
+                jnp.where(m > 0, rows, -jnp.inf)
+            )
+    if acc is None:
+        return jnp.zeros((n8,), jnp.float32)
+    return acc
+
+
+def shell_edge_softmax(plan: ShellSpMMPlan, logits, norm_by="dst"):
+    """Numerically-stable edge softmax with zero segment-sums: the max and
+    the exp-sum accumulate over shell prefixes in rank space; per-edge
+    normalization reads them back with ONE gather each via the
+    precomposed rank positions."""
+    if norm_by == "dst":
+        shells, n_out, rank_eid = (plan.shells, plan.num_dst,
+                                   plan.dst_rank_eid)
+    else:
+        shells, n_out, rank_eid = (plan.rev_shells, plan.num_src,
+                                   plan.src_rank_eid)
+    mx = shell_edge_acc(shells, n_out, logits, kind="max")
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+
+    def shift_exp(rows, n_k):
+        m = mx[:n_k]
+        if m.ndim < rows.ndim:
+            m = m.reshape(m.shape + (1,) * (rows.ndim - m.ndim))
+        return jnp.exp(rows - m)
+
+    s = shell_edge_acc(shells, n_out, logits, kind="sum",
+                       transform=shift_exp)
+    mx_e = mx[rank_eid]
+    s_e = jnp.maximum(s, 1e-38)[rank_eid]
+    while mx_e.ndim < logits.ndim:
+        mx_e, s_e = mx_e[..., None], s_e[..., None]
+    return (jnp.exp(logits - mx_e) / s_e).astype(logits.dtype)

@@ -119,3 +119,53 @@ def test_empty_graph_shell_plan():
 
     out = shell_gspmm_sum("mul", plan, x, e)
     np.testing.assert_allclose(out, np.zeros((4, 3)))
+
+
+@pytest.mark.parametrize("shape", [(), (4,), (4, 1)])
+@pytest.mark.parametrize("norm_by", ["dst", "src"])
+def test_shell_edge_softmax(graphs, shape, norm_by):
+    g0, gw = graphs
+    rng = np.random.default_rng(5)
+    E = g0.num_edges()
+    lg = jnp.asarray(rng.normal(size=(E,) + shape) * 3, jnp.float32)
+    R = jnp.asarray(rng.normal(size=(E,) + shape), jnp.float32)
+    ref = ops.edge_softmax(g0, lg, norm_by=norm_by)
+    out = ops.edge_softmax(gw, lg, norm_by=norm_by)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda l: jnp.sum(
+        ops.edge_softmax(g0, l, norm_by=norm_by) * R))(lg)
+    g2 = jax.grad(lambda l: jnp.sum(
+        ops.edge_softmax(gw, l, norm_by=norm_by) * R))(lg)
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-5)
+
+
+def test_shell_edge_softmax_subset(graphs):
+    g0, gw = graphs
+    rng = np.random.default_rng(6)
+    E = g0.num_edges()
+    eids = np.sort(rng.choice(E, 500, replace=False))
+    lg = jnp.asarray(rng.normal(size=(E,)) * 3, jnp.float32)
+    ref = ops.edge_softmax(g0, lg, eids=eids)
+    out = ops.edge_softmax(gw, lg, eids=eids)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gatconv_with_plans(graphs):
+    # the full GAT layer (edge_softmax + u_mul_e_sum) must be unchanged by
+    # attaching weighted plans
+    from dgl_tpu.nn.conv.gatconv import GATConv
+
+    g0, gw = graphs
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(g0.num_nodes(), 16)), jnp.float32)
+    conv = GATConv(16, 8, 4)
+    p = conv.init(jax.random.PRNGKey(0), g0, x)
+    r0 = conv.apply(p, g0, x)
+    r1 = conv.apply(p, gw, x)
+    np.testing.assert_allclose(r1, r0, rtol=1e-5, atol=1e-5)
+    lo = lambda gg: (lambda p: jnp.sum(conv.apply(p, gg, x) ** 2))
+    d0 = jax.grad(lo(g0))(p)
+    d1 = jax.grad(lo(gw))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(d0),
+                    jax.tree_util.tree_leaves(d1)):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
