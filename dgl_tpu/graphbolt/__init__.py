@@ -25,8 +25,16 @@ from .impl.cache_policy import (
     SievePolicy,
     S3FifoPolicy,
 )
+from .impl.fused_csc_sampling_graph import (
+    CSCFormatBase,
+    SampledSubgraphImpl,
+    FusedCSCSamplingGraph,
+    fused_csc_sampling_graph,
+    from_dglgraph,
+)
 from .neighbor_sampler_gb import (
     NeighborSamplerStage,
+    InSubgraphSampler,
     LayerNeighborSampler,
     UniformNegativeSampler,
     MiniBatchTransformer,
@@ -55,7 +63,13 @@ __all__ = [
     "ClockPolicy",
     "SievePolicy",
     "S3FifoPolicy",
+    "CSCFormatBase",
+    "SampledSubgraphImpl",
+    "FusedCSCSamplingGraph",
+    "fused_csc_sampling_graph",
+    "from_dglgraph",
     "NeighborSamplerStage",
+    "InSubgraphSampler",
     "LayerNeighborSampler",
     "UniformNegativeSampler",
     "MiniBatchTransformer",

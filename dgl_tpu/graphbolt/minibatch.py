@@ -15,6 +15,7 @@ class MiniBatch:
     indexes: Any = None
     input_nodes: Any = None           # ids whose features must be fetched
     blocks: Optional[List] = None     # MFG blocks (outermost first)
+    sampled_subgraphs: Optional[List] = None  # SampledSubgraphImpl per layer
     node_features: Dict[str, Any] = field(default_factory=dict)
     edge_features: List[Dict[str, Any]] = field(default_factory=list)
     negative_srcs: Any = None

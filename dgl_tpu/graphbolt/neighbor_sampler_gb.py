@@ -17,6 +17,7 @@ __all__ = [
     "MiniBatchTransformer",
     "FeatureFetcher",
     "CooperativeFeatureFetcher",
+    "InSubgraphSampler",
     "CopyTo",
 ]
 
@@ -318,3 +319,27 @@ def exclude_seed_edges(mb: MiniBatch, include_reverse_edges: bool = False):
 
 
 __all__.append("exclude_seed_edges")
+
+
+class InSubgraphSampler(_Stage):
+    """Full in-neighborhood sampler (reference
+    ``impl/in_subgraph_sampler.py``): attaches the seeds' complete 1-hop
+    in-subgraph as a :class:`SampledSubgraphImpl` (no fanout cap)."""
+
+    def __init__(self, source, graph):
+        super().__init__(source)
+        from .impl.fused_csc_sampling_graph import (
+            FusedCSCSamplingGraph, from_dglgraph,
+        )
+
+        self.graph = (graph if isinstance(graph, FusedCSCSamplingGraph)
+                      else from_dglgraph(graph))
+
+    def _apply(self, mb: MiniBatch) -> MiniBatch:
+        seeds = np.asarray(mb.seeds)
+        sub = self.graph.in_subgraph(seeds)
+        mb.sampled_subgraphs = [sub]
+        mb.input_nodes = np.unique(
+            np.concatenate([seeds, sub.sampled_csc.indices])
+        )
+        return mb

@@ -1,0 +1,147 @@
+"""FusedCSCSamplingGraph (graphbolt/impl/fused_csc_sampling_graph.py) vs
+reference semantics (``impl/fused_csc_sampling_graph.py``)."""
+import numpy as np
+import pytest
+
+import dgl_tpu
+from dgl_tpu import graphbolt as gb
+
+
+def _graph(n=50, e=400, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    return dgl_tpu.graph((src, dst), num_nodes=n), src, dst
+
+
+def test_from_dglgraph_roundtrip():
+    g, src, dst = _graph()
+    fg = gb.from_dglgraph(g)
+    assert fg.total_num_nodes == 50
+    assert fg.total_num_edges == 400
+    # CSC expansion reproduces the edge multiset
+    back = fg.to_dglgraph()
+    a = sorted(zip(*(np.asarray(x) for x in g.edges())))
+    b = sorted(zip(*(np.asarray(x) for x in back.edges())))
+    assert a == b
+
+
+def test_sample_neighbors_counts_and_membership():
+    g, src, dst = _graph()
+    fg = gb.from_dglgraph(g)
+    seeds = np.array([3, 7, 7, 11, 49])
+    sub = fg.sample_neighbors(seeds, fanouts=[5], seed=0)
+    indeg = np.bincount(dst, minlength=50)
+    assert np.array_equal(sub.original_column_node_ids, seeds)
+    counts = np.diff(sub.sampled_csc.indptr)
+    for s, c in zip(seeds, counts):
+        assert c == min(5, indeg[s])
+    # every sampled edge is a real in-edge of its seed
+    in_nbrs = {int(s): set(src[dst == s]) for s in seeds}
+    col = np.repeat(np.arange(seeds.shape[0]), counts)
+    for r, cidx in zip(sub.sampled_csc.indices, col):
+        assert int(r) in in_nbrs[int(seeds[cidx])]
+    # edge ids map back to the original edges
+    eid = sub.original_edge_ids
+    assert eid.shape[0] == sub.num_sampled_edges()
+    es, ed = (np.asarray(x) for x in g.edges())
+    for k, (r, cidx) in enumerate(zip(sub.sampled_csc.indices, col)):
+        assert es[eid[k]] == r and ed[eid[k]] == seeds[cidx]
+    # no-replace: unique picks per seed
+    for i in range(seeds.shape[0]):
+        sl = sub.original_edge_ids[
+            sub.sampled_csc.indptr[i]: sub.sampled_csc.indptr[i + 1]]
+        assert len(set(sl.tolist())) == sl.shape[0]
+
+
+def test_sample_neighbors_replace_and_full():
+    g, src, dst = _graph()
+    fg = gb.from_dglgraph(g)
+    seeds = np.arange(10)
+    indeg = np.bincount(dst, minlength=50)
+    sub = fg.sample_neighbors(seeds, fanouts=[7], replace=True, seed=1)
+    counts = np.diff(sub.sampled_csc.indptr)
+    for s, c in zip(seeds, counts):
+        assert c == (7 if indeg[s] > 0 else 0)
+    full = fg.sample_neighbors(seeds, fanouts=[-1])
+    assert np.array_equal(np.diff(full.sampled_csc.indptr), indeg[seeds])
+
+
+def test_weighted_sampling_prefers_heavy_edges():
+    # one seed with two in-edges, one weighted 50x: frequency check
+    src = np.array([0, 1] * 1 + [2])
+    dst = np.array([3, 3, 4])
+    probs = np.array([50.0, 1.0, 1.0], np.float32)
+    fg = gb.fused_csc_sampling_graph(
+        np.array([0, 0, 0, 0, 2, 3]),
+        np.array([0, 1, 2]),
+        edge_attributes={"prob": probs},
+    )
+    picks = []
+    for s in range(400):
+        sub = fg.sample_neighbors(np.array([3]), fanouts=[1],
+                                  probs_name="prob", seed=s)
+        picks.append(int(sub.sampled_csc.indices[0]))
+    frac0 = picks.count(0) / len(picks)
+    assert frac0 > 0.9  # ~50/51 expected
+
+
+def test_in_subgraph():
+    g, src, dst = _graph()
+    fg = gb.from_dglgraph(g)
+    seeds = np.array([5, 6])
+    sub = fg.in_subgraph(seeds)
+    indeg = np.bincount(dst, minlength=50)
+    assert np.array_equal(np.diff(sub.sampled_csc.indptr), indeg[seeds])
+
+
+def test_temporal_sample_neighbors():
+    # edges into node 3 from nodes 0..9; node timestamps = node id; seed
+    # timestamp 4 -> only neighbors with id <= 4 eligible
+    src = np.arange(10)
+    dst = np.full(10, 10)
+    g = dgl_tpu.graph((src, dst), num_nodes=11)
+    fg = gb.from_dglgraph(g)
+    fg.node_attributes["ts"] = np.arange(11, dtype=np.int64)
+    sub = fg.temporal_sample_neighbors(
+        np.array([10]), np.array([4]), fanouts=[10],
+        node_timestamp_attr_name="ts", seed=0,
+    )
+    assert set(sub.sampled_csc.indices.tolist()) <= set(range(5))
+    assert sub.num_sampled_edges() == 5
+    # edge-timestamp variant
+    fg.edge_attributes["ets"] = np.arange(10, dtype=np.int64)
+    sub = fg.temporal_sample_neighbors(
+        np.array([10]), np.array([2]), fanouts=[-1],
+        edge_timestamp_attr_name="ets", seed=0,
+    )
+    assert sub.num_sampled_edges() == 3
+
+
+def test_hetero_fanouts_per_type():
+    # two edge types into the same dst with separate fanouts
+    src = np.array([0, 1, 2, 3, 4, 5])
+    dst = np.array([6, 6, 6, 6, 6, 6])
+    tpe = np.array([0, 0, 0, 1, 1, 1])
+    g = dgl_tpu.graph((src, dst), num_nodes=7)
+    fg = gb.from_dglgraph(g)
+    fg.type_per_edge = np.asarray(tpe)[np.argsort(
+        np.asarray(g._relation(None).csc_eids)[:6], kind="stable")]
+    # csc order equals eid order here (single dst), so direct is fine
+    fg.type_per_edge = tpe
+    sub = fg.sample_neighbors(np.array([6]), fanouts=[1, 2], seed=0)
+    assert sub.num_sampled_edges() == 3
+    types = tpe[sub.original_edge_ids]
+    assert (types == 0).sum() == 1 and (types == 1).sum() == 2
+
+
+def test_in_subgraph_sampler_stage():
+    g, src, dst = _graph()
+    items = gb.ItemSet(np.arange(20), names="seed_nodes")
+    sampler = gb.ItemSampler(items, batch_size=4)
+    stage = gb.InSubgraphSampler(sampler, g)
+    batches = list(stage)
+    assert len(batches) == 5
+    mb = batches[0]
+    assert mb.sampled_subgraphs is not None
+    assert mb.input_nodes is not None
