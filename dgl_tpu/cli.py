@@ -238,6 +238,104 @@ def _run_linkpred(cfg: dict):
     mod.main()
 
 
+_EXPORT_TEMPLATE = '''\
+"""Standalone {pipeline} training script generated by `dgl_tpu export`
+(reference ``dglgo/cli/export_cli.py``: the same config -> script codegen,
+without the yaml/typer/jinja stack). Edit freely — it has no dependency on
+the CLI."""
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import dgl_tpu
+from dgl_tpu import add_self_loop, remove_self_loop
+from dgl_tpu.cli import _build_model, _load_dataset
+from dgl_tpu.checkpoint import save_checkpoint
+
+CFG = {cfg!r}
+
+
+def main():
+    ds = _load_dataset(CFG["dataset"])
+    g = add_self_loop(remove_self_loop(ds[0]))
+    feat = g.ndata["feat"]
+    labels = g.ndata["label"].astype(jnp.int32)
+    train_mask = g.ndata["train_mask"].astype(jnp.float32)
+    test_mask = g.ndata["test_mask"]
+    model = _build_model(CFG["model"], feat.shape[1],
+                         CFG.get("hidden", 16), ds.num_classes)
+    params = model.init(jax.random.PRNGKey(0), g, feat)
+    tx = optax.adam(CFG.get("lr", 1e-2))
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            logits = model.apply(p, g, feat, deterministic=False,
+                                 rngs={{"dropout": rng}})
+            ls = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels)
+            return (ls * train_mask).sum() / train_mask.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    for epoch in range(CFG.get("epochs", 200)):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if epoch % 20 == 0:
+            print(f"epoch {{epoch:4d}} loss {{float(loss):.4f}}")
+    logits = model.apply(params, g, feat)
+    pred = jnp.argmax(logits, -1)
+    acc = float(((pred == labels) * test_mask).sum() / test_mask.sum())
+    print(f"done in {{time.perf_counter()-t0:.2f}}s; "
+          f"test accuracy {{acc:.4f}}")
+    if CFG.get("checkpoint"):
+        save_checkpoint(CFG["checkpoint"], params, step=CFG.get("epochs"))
+        print("checkpoint saved to", CFG["checkpoint"])
+
+
+if __name__ == "__main__":
+    main()
+'''
+
+
+def _run_apply(cfg: dict):
+    """Inference from a trained checkpoint (reference
+    ``dglgo/apply_pipeline/nodepred``): writes per-node predictions and
+    prints accuracy on labeled nodes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import add_self_loop, remove_self_loop
+    from .checkpoint import load_checkpoint
+
+    ds = _load_dataset(cfg["dataset"])
+    g = add_self_loop(remove_self_loop(ds[0]))
+    feat = g.ndata["feat"]
+    model = _build_model(
+        cfg["model"], feat.shape[1], cfg.get("hidden", 16), ds.num_classes
+    )
+    params = model.init(jax.random.PRNGKey(0), g, feat)
+    params, _step = load_checkpoint(cfg["checkpoint"], params,
+                                    return_step=True)
+    logits = model.apply(params, g, feat)
+    pred = np.asarray(jnp.argmax(logits, -1))
+    out = cfg.get("output", "predictions.npy")
+    np.save(out, pred)
+    labels = np.asarray(g.ndata["label"])
+    acc = float((pred == labels).mean())
+    print(f"predictions for {pred.shape[0]} nodes saved to {out}; "
+          f"all-node accuracy {acc:.4f}")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dgl_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -263,6 +361,23 @@ def main(argv=None):
     tp.add_argument("--lr", type=float)
     tp.add_argument("--hidden", type=int)
 
+    ep = sub.add_parser(
+        "export", help="generate a standalone training script from a config "
+        "(reference dglgo export)")
+    ep.add_argument("--cfg", help="config JSON path")
+    ep.add_argument("--output", default="script.py")
+    ep.add_argument("--checkpoint", help="path the script saves params to")
+
+    ap = sub.add_parser(
+        "apply", help="run inference from a trained checkpoint "
+        "(reference dglgo apply)")
+    ap.add_argument("--cfg", help="config JSON path")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--model", default="gcn")
+    ap.add_argument("--dataset", default="cora")
+    ap.add_argument("--hidden", type=int, default=16)
+    ap.add_argument("--output", default="predictions.npy")
+
     args = p.parse_args(argv)
 
     if args.cmd == "recipe":
@@ -287,6 +402,37 @@ def main(argv=None):
                 indent=2,
             )
         )
+        return
+
+    if args.cmd == "export":
+        if args.cfg:
+            with open(args.cfg) as f:
+                cfg = json.load(f)
+        else:
+            cfg = {"pipeline": "nodepred", "model": "gcn",
+                   "dataset": "cora"}
+        if cfg.get("pipeline", "nodepred") != "nodepred":
+            raise SystemExit("export currently supports the nodepred "
+                             "pipeline (reference dglgo parity scope)")
+        if args.checkpoint:
+            cfg["checkpoint"] = args.checkpoint
+        with open(args.output, "w") as f:
+            f.write(_EXPORT_TEMPLATE.format(
+                pipeline=cfg.get("pipeline", "nodepred"), cfg=cfg))
+        print(f"standalone script written to {args.output}")
+        return
+
+    if args.cmd == "apply":
+        cfg = {}
+        if args.cfg:
+            with open(args.cfg) as f:
+                cfg = json.load(f)
+        cfg.setdefault("model", args.model)
+        cfg.setdefault("dataset", args.dataset)
+        cfg.setdefault("hidden", args.hidden)
+        cfg["checkpoint"] = args.checkpoint
+        cfg["output"] = args.output
+        _run_apply(cfg)
         return
 
     if args.cmd == "train":
