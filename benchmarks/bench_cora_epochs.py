@@ -42,6 +42,10 @@ def main():
 
     ds = CoraGraphDataset()
     g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
+    if jax.devices()[0].platform != "cpu":
+        # segment-free SpMM/edge-softmax fast paths (ops/shell_spmm.py);
+        # skipped on CPU where the dense-hub matmul has no MXU to run on
+        g = g.with_spmm_plans(num_hubs=512, weighted=True)
     feat = g.ndata["feat"]
     y = g.ndata["label"].astype(jnp.int32)
     tm = g.ndata["train_mask"].astype(jnp.float32)
