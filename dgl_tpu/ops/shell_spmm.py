@@ -371,3 +371,31 @@ def shell_edge_softmax(plan: ShellSpMMPlan, logits, norm_by="dst"):
     while mx_e.ndim < logits.ndim:
         mx_e, s_e = mx_e[..., None], s_e[..., None]
     return (jnp.exp(logits - mx_e) / s_e).astype(logits.dtype)
+
+
+def shell_gspmm_cmp(op, reduce_op, plan: ShellSpMMPlan, u, e, in_degrees):
+    """g-SpMM with the max/min reducer via shells (plain JAX AD — gradients
+    flow to the arg-extremum positions through the scatter-max/min rule,
+    matching the reference's BwdSegmentCmp semantics). Zero-degree rows
+    return 0 like the classic path."""
+    gd = plan.gather_dtype
+    ub = _g(u, gd) if u is not None and op != "copy_rhs" else None
+    eb = _g(e, gd) if e is not None and op != "copy_lhs" else None
+    sign = 1.0 if reduce_op == "max" else -1.0
+    n8 = _rup(plan.num_dst, 8)
+    acc = None
+    for nidx, eidx, mask in plan.shells:
+        ul = ub[nidx] if ub is not None else None
+        el = eb[eidx] if eb is not None else None
+        rows = _msg(op, ul, el).astype(jnp.float32) * sign
+        m = _mask_expand(mask, rows.ndim)
+        if acc is None:
+            acc = jnp.full((n8,) + rows.shape[1:], -jnp.inf, jnp.float32)
+        acc = acc.at[: nidx.shape[0]].max(jnp.where(m > 0, rows, -jnp.inf))
+    ref = u if op != "copy_rhs" else e
+    if acc is None:
+        shape = (plan.num_dst,) + tuple(ref.shape[1:])
+        return jnp.zeros(shape, ref.dtype)
+    out = (acc * sign)[plan.unrank_dst]
+    deg = _mask_expand(jnp.asarray(in_degrees > 0, jnp.float32), out.ndim)
+    return jnp.where(deg > 0, out, 0.0).astype(ref.dtype)

@@ -226,6 +226,11 @@ def gspmm(g, op, reduce_op, lhs_data, rhs_data, etype=None):
             out = out / _expand(deg, out.ndim)
         return out
     if reduce_op in ("max", "min"):
+        if rel.shell_plan is not None:
+            from .shell_spmm import shell_gspmm_cmp
+
+            return shell_gspmm_cmp(op, reduce_op, rel.shell_plan, u, e,
+                                   rel.in_degrees())
         return _gspmm_cmp(op, reduce_op, rel, u, e)
     raise DGLError(f"Unknown reduce op {reduce_op!r}")
 

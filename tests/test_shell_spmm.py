@@ -169,3 +169,31 @@ def test_gatconv_with_plans(graphs):
     for a, b in zip(jax.tree_util.tree_leaves(d0),
                     jax.tree_util.tree_leaves(d1)):
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("opname", [
+    "copy_u_max", "copy_u_min", "u_mul_e_max", "u_add_e_min", "copy_e_max",
+])
+def test_cmp_reducers_match(graphs, opname):
+    g0, gw = graphs
+    rng = np.random.default_rng(8)
+    n, E = g0.num_nodes(), g0.num_edges()
+    x = jnp.asarray(rng.normal(size=(n, 12)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(E,)), jnp.float32)
+    R = jnp.asarray(rng.normal(size=(n, 12)), jnp.float32)
+    f = getattr(ops, opname)
+    if opname.startswith("copy_u"):
+        args = (x,)
+    elif opname.startswith("copy_e"):
+        args = (e,)
+    else:
+        args = (x, e)
+    ref = f(g0, *args)
+    out = f(gw, *args)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # gradients flow to the arg-extremum positions in both paths
+    if opname.startswith("copy_u"):
+        Rr = R[:, : ref.shape[-1]] if ref.ndim == 2 else R[:, 0]
+        g1 = jax.grad(lambda a: jnp.sum(f(g0, a) * Rr))(x)
+        g2 = jax.grad(lambda a: jnp.sum(f(gw, a) * Rr))(x)
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-4)
