@@ -19,6 +19,9 @@ def main():
 
     ds = CiteseerGraphDataset()
     g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
+    if jax.devices()[0].platform != "cpu":
+        # segment-free edge-softmax + weighted SpMM (ops/shell_spmm.py)
+        g = g.with_spmm_plans(weighted=True)
     feat = g.ndata["feat"]
     labels = g.ndata["label"].astype(jnp.int32)
     train_mask = g.ndata["train_mask"].astype(jnp.float32)

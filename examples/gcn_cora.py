@@ -24,6 +24,10 @@ def main():
 
     ds = CoraGraphDataset()
     g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
+    if jax.devices()[0].platform != "cpu":
+        # segment-free SpMM fast path (MXU hub matmul + shells); CPU keeps
+        # the classic sorted-segment path
+        g = g.with_spmm_plans(weighted=True)
     feat = g.ndata["feat"]
     labels = g.ndata["label"].astype(jnp.int32)
     train_mask = g.ndata["train_mask"].astype(jnp.float32)

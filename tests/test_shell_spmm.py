@@ -197,3 +197,24 @@ def test_cmp_reducers_match(graphs, opname):
         g1 = jax.grad(lambda a: jnp.sum(f(g0, a) * Rr))(x)
         g2 = jax.grad(lambda a: jnp.sum(f(gw, a) * Rr))(x)
         np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-4)
+
+
+def test_hetero_bipartite_plans():
+    # with_spmm_plans builds per-relation plans incl. bipartite ones
+    rng = np.random.default_rng(9)
+    g = dgl_tpu.heterograph({
+        ("user", "follows", "user"): (rng.integers(0, 40, 300),
+                                      rng.integers(0, 40, 300)),
+        ("user", "rates", "item"): (rng.integers(0, 40, 200),
+                                    rng.integers(0, 25, 200)),
+    }, num_nodes_dict={"user": 40, "item": 25})
+    gw = g.with_spmm_plans(num_hubs=16, weighted=True, gather_dtype="f32")
+    x = jnp.asarray(rng.normal(size=(40, 8)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(200,)), jnp.float32)
+    np.testing.assert_allclose(
+        ops.u_mul_e_sum(gw, x, e, etype="rates"),
+        ops.u_mul_e_sum(g, x, e, etype="rates"), rtol=1e-5, atol=1e-5)
+    ref = ops.copy_u_sum(g, x, etype="follows")
+    out = ops.copy_u_sum(gw, x, etype="follows")
+    assert float(jnp.max(jnp.abs(out - ref)) /
+                 jnp.max(jnp.abs(ref))) < 1e-2  # bf16 shell cold default
