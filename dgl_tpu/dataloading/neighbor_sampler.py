@@ -225,6 +225,7 @@ def _mask_excluded_edges(block, exclude_eids):
     )
     new_rel.max_in_degree = rel.max_in_degree
     new_rel.max_out_degree = rel.max_out_degree
+    new_rel.uniform_stride = rel.uniform_stride
     block._relations[cet] = new_rel
     emask = emask & ~bad
     block._edge_frames[cet]["_mask"] = emask
@@ -248,6 +249,9 @@ def _finalize_block(g, seed_ids, cap_dst, cap_src, src_ids, esrc, edst,
     brel = block._relations[("_N", "_E", "_N")]
     brel.max_in_degree = Ecap
     brel.max_out_degree = Ecap
+    # dst-major layout with exactly `fanout` slots per dst (padding slots
+    # carry dst == sink): segment reductions lower to reshape+reduce
+    brel.uniform_stride = cap_src // cap_dst - 1
     block._node_frames.setdefault("_N", {})[NID] = np.where(
         src_ids >= 0, src_ids, 0
     )

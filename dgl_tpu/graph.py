@@ -79,6 +79,10 @@ class Relation:
     # Relations built via __new__ (astype, tree_unflatten) stay consistent
     hub_plan = None
     shell_plan = None
+    # static uniform-stride edge layout (fixed-shape MFG blocks): edge
+    # position d*stride+j belongs to dst d (or the padding sink), so
+    # segment reductions lower to reshape+reduce (ops/spmm.py)
+    uniform_stride = 0
 
     def __init__(
         self,
@@ -100,6 +104,7 @@ class Relation:
         max_out_degree: int = -1,
         hub_plan=None,
         shell_plan=None,
+        uniform_stride: int = 0,
     ):
         self.src = src
         self.dst = dst
@@ -119,6 +124,7 @@ class Relation:
         self.max_out_degree = int(max_out_degree)
         self.hub_plan = hub_plan
         self.shell_plan = shell_plan
+        self.uniform_stride = int(uniform_stride)
 
     # -- construction -------------------------------------------------------
 
@@ -255,6 +261,7 @@ class Relation:
             self.max_out_degree,
             self.hub_plan is not None,
             self.shell_plan is not None,
+            self.uniform_stride,
         )
         return children, aux
 
@@ -271,6 +278,7 @@ class Relation:
             obj.max_out_degree,
             has_plan,
             has_shell,
+            obj.uniform_stride,
         ) = aux
         i = len(cls.ARRAY_FIELDS)
         obj.hub_plan = children[i] if has_plan else None
@@ -290,6 +298,7 @@ class Relation:
         new.max_out_degree = self.max_out_degree
         new.hub_plan = plan
         new.shell_plan = self.shell_plan
+        new.uniform_stride = self.uniform_stride
         return new
 
     def with_shell_plan(self, plan) -> "Relation":
@@ -306,6 +315,7 @@ class Relation:
         new.max_out_degree = self.max_out_degree
         new.hub_plan = self.hub_plan
         new.shell_plan = plan
+        new.uniform_stride = self.uniform_stride
         return new
 
     # -- queries -------------------------------------------------------------
@@ -1276,6 +1286,8 @@ def _graph_astype(self, idtype):
         new.num_edges = rel.num_edges
         new.max_in_degree = rel.max_in_degree
         new.max_out_degree = rel.max_out_degree
+        # plans hold int32 index arrays; rebuild after a cast if needed
+        new.uniform_stride = rel.uniform_stride
         return new
 
     g = self.structural_clone()

@@ -25,8 +25,29 @@ def _seg_to_edges(rel: Relation, node_vals):
     return node_vals[rel.dst]
 
 
+def _uniform_reshape(rel, logits):
+    """(B, f, *feat) view of per-edge values with the validity mask, for
+    uniform-stride MFG blocks (no scatter — see ops/spmm.py)."""
+    f, B = rel.uniform_stride, rel.num_dst
+    E = B * f
+    dst = rel.dst[:E]
+    stripe = jnp.repeat(jnp.arange(B, dtype=dst.dtype), f)
+    valid = (dst == stripe).reshape((B, f) + (1,) * (logits.ndim - 1))
+    z = logits[:E].reshape((B, f) + logits.shape[1:])
+    return z, valid
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _edge_softmax(rel: Relation, norm_by, logits):
+    # uniform-stride MFG blocks: masked per-stripe softmax, no segment ops
+    if rel.uniform_stride > 0 and norm_by == "dst":
+        z, valid = _uniform_reshape(rel, logits)
+        zm = jnp.where(valid, z, -jnp.inf)
+        m = jnp.max(zm, axis=1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        ez = jnp.where(valid, jnp.exp(z - m), 0.0)
+        s = jnp.maximum(ez.sum(axis=1, keepdims=True), 1e-38)
+        return (ez / s).reshape(logits.shape).astype(logits.dtype)
     # shell fast path (ops/shell_spmm.py): max and exp-sum accumulate over
     # degree-ranked prefixes — no sorted segment reductions at all
     if rel.shell_plan is not None and norm_by in ("dst", "src"):
@@ -58,6 +79,13 @@ def _edge_softmax_fwd(rel, norm_by, logits):
 def _edge_softmax_bwd(norm_by, res, dz):
     rel, out = res
     sds = out * dz
+    if rel.uniform_stride > 0 and norm_by == "dst":
+        f, B = rel.uniform_stride, rel.num_dst
+        sds_r = sds.reshape((B, f) + sds.shape[1:])
+        out_r = out.reshape((B, f) + out.shape[1:])
+        accum = sds_r.sum(axis=1, keepdims=True)
+        return (None, (sds_r - out_r * accum).reshape(out.shape)
+                .astype(dz.dtype))
     if rel.shell_plan is not None and norm_by in ("dst", "src"):
         from .shell_spmm import shell_edge_acc
 
