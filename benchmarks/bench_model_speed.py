@@ -29,6 +29,9 @@ def main():
     g = dgl.add_self_loop(
         dgl.graph((rng.integers(0, N, E), rng.integers(0, N, E)), num_nodes=N)
     )
+    if jax.devices()[0].platform != "cpu":
+        # segment-free fast paths (hub matmul + shells); CPU keeps classic
+        g = g.with_spmm_plans(weighted=True)
     x = jnp.asarray(rng.normal(size=(N, F)), dtype=jnp.float32)
     y = jnp.asarray(rng.integers(0, C, N), dtype=jnp.int32)
 
