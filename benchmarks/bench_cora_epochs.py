@@ -1,4 +1,4 @@
-"""GCN/GAT Cora-config 200-epoch training time on one TPU chip.
+"""GCN/GAT citation-dataset 200-epoch training times on one TPU chip.
 
 The reference's flagship small-model numbers (BASELINE.md /
 ``docs/source/performance.rst:41-49``): GCN Cora 200 epochs = 0.666 s, GAT
@@ -25,6 +25,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--device", default=None, choices=[None, "cpu"])
+    p.add_argument("--datasets", nargs="+",
+                   default=["cora", "citeseer", "pubmed"])
     args = p.parse_args()
 
     import jax
@@ -37,10 +39,26 @@ def main():
     import optax
 
     import dgl_tpu as dgl
-    from dgl_tpu.data import CoraGraphDataset
+    from dgl_tpu.data import (
+        CiteseerGraphDataset, CoraGraphDataset, PubmedGraphDataset,
+    )
     from dgl_tpu.models import GAT, GCN
 
-    ds = CoraGraphDataset()
+    # reference single-GPU 200-epoch times, docs/source/performance.rst:41-49
+    REF = {("gcn", "cora"): 0.666, ("gat", "cora"): 1.399,
+           ("gcn", "citeseer"): 0.674, ("gat", "citeseer"): 1.399,
+           ("gcn", "pubmed"): 0.690}
+    DSETS = {"cora": CoraGraphDataset, "citeseer": CiteseerGraphDataset,
+             "pubmed": PubmedGraphDataset}
+    for dname in args.datasets:
+        run_dataset(dname, DSETS[dname](), REF, jax, jnp, np, optax,
+                    dgl, GAT, GCN)
+
+
+def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN):
+    import json
+    import time
+
     g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
     if jax.devices()[0].platform != "cpu":
         # segment-free SpMM/edge-softmax fast paths (ops/shell_spmm.py);
@@ -56,12 +74,15 @@ def main():
     # (examples/core/gcn/train.py), GAT Adam 5e-3 + weight decay 5e-4 with
     # feat/attn dropout 0.6 active during training (examples/pytorch/gat)
     configs = {
-        "gcn": (GCN(feat.shape[1], 16, C, dropout=0.5), 0.666,
-                optax.adam(1e-2), True),
-        "gat": (GAT(feat.shape[1], 8, C, heads=8), 1.399,
+        "gcn": (GCN(feat.shape[1], 16, C, dropout=0.5),
+                REF.get(("gcn", dname)), optax.adam(1e-2), True),
+        "gat": (GAT(feat.shape[1], 8, C, heads=8),
+                REF.get(("gat", dname)),
                 optax.adamw(5e-3, weight_decay=5e-4), False),
     }
     for name, (model, ref_s, tx, train_det) in configs.items():
+        if ref_s is None:
+            continue  # reference publishes no number for this pair
         params = model.init(jax.random.PRNGKey(0), g, feat)
         opt0 = tx.init(params)
 
@@ -109,7 +130,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"{name}_cora_200epoch_s",
+                    "metric": f"{name}_{dname}_200epoch_s",
                     "value": round(total, 4),
                     "unit": "s",
                     "vs_baseline": round(ref_s / total, 2),
