@@ -75,7 +75,7 @@ def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN):
     # feat/attn dropout 0.6 active during training (examples/pytorch/gat)
     configs = {
         "gcn": (GCN(feat.shape[1], 16, C, dropout=0.5),
-                REF.get(("gcn", dname)), optax.adam(1e-2), True),
+                REF.get(("gcn", dname)), optax.adam(1e-2), False),
         "gat": (GAT(feat.shape[1], 8, C, heads=8),
                 REF.get(("gat", dname)),
                 optax.adamw(5e-3, weight_decay=5e-4), False),

@@ -40,11 +40,15 @@ _URL = "https://data.dgl.ai/dataset/{}.zip"
 # published band (reference docs/source/performance.rst:41-49: Cora 0.81,
 # CiteSeer 0.70, PubMed 0.79) rather than saturating near 1.0 — keeps
 # accuracy benchmarks on the stand-ins honest. Measured (2-layer GCN h=16,
-# dropout 0.5, Adam 1e-2, 200 epochs): cora 0.807, citeseer 0.699,
-# pubmed 0.755.
+# dropout 0.5 active, Adam 1e-2, 200 epochs, crc32 seeds): cora 0.836,
+# citeseer ~0.70, pubmed 0.777 (published: 0.813/0.710/0.790). GAT on the
+# stand-ins runs lower than on real data (cora 0.794 vs 0.840 published;
+# citeseer ~0.5) — gaussian features lack the sparse bag-of-words
+# structure GAT's attention exploits; the stand-ins are calibrated to the
+# GCN bands, which is what the accuracy benches assert.
 _CALIB = {
     "cora": {"signal": 0.025, "homophily": 0.68, "noise": 1.0},
-    "citeseer": {"signal": 0.018, "homophily": 0.74, "noise": 1.0},
+    "citeseer": {"signal": 0.02, "homophily": 0.74, "noise": 1.0},
     "pubmed": {"signal": 0.029, "homophily": 0.79, "noise": 1.0},
 }
 
@@ -86,7 +90,7 @@ class CitationGraphDataset(DGLDataset):
             # invalidate stale caches instead of silently serving them
             c = _CALIB.get(self.name, {})
             tag = "-".join(f"{k}{c[k]}" for k in sorted(c))
-            return os.path.join(self.save_path, f"graph-syn-{tag}.npz")
+            return os.path.join(self.save_path, f"graph-syn-crc-{tag}.npz")
         return os.path.join(self.save_path, "graph.npz")
 
     def has_cache(self):
@@ -106,8 +110,14 @@ class CitationGraphDataset(DGLDataset):
     def process(self):
         n, e, d, c = _STATS[self.name]
         if self._synthetic:
+            import zlib
+
+            # zlib.crc32, NOT hash(): str hashing is randomized per process
+            # (PYTHONHASHSEED), which would regenerate a different graph on
+            # every fresh interpreter and defeat both determinism and the
+            # accuracy calibration
             g = synthetic_classification_graph(
-                n, e, c, d, seed=hash(self.name) % 2**31,
+                n, e, c, d, seed=zlib.crc32(self.name.encode()) % 2**31,
                 **_CALIB.get(self.name,
                              {"signal": 0.04, "homophily": 0.81, "noise": 1.0}),
             )

@@ -124,7 +124,18 @@ class DistGraph:
         cet = frontier.canonical_etypes[0]
         eid = frontier._edge_frames.get(cet, {}).get(EID)
         if eid is not None:
-            out.edata[EID] = eid
+            # the frontier's EIDs are induced positions into the LOCAL
+            # partition; translate through the partition's stored parent
+            # ids so consumers see GLOBAL edge ids (the reference
+            # graph_services contract — global lookups / exclude_edges)
+            pcet = self.local_partition.canonical_etypes[0]
+            parent = self.local_partition._edge_frames.get(
+                pcet, {}).get(EID)
+            if parent is not None:
+                eid = np.asarray(parent)[np.asarray(eid)]
+            import jax.numpy as jnp
+
+            out.edata[EID] = jnp.asarray(np.asarray(eid))
         return out
 
 

@@ -91,6 +91,11 @@ class FusedCSCSamplingGraph:
             np.arange(self.indices.shape[0], dtype=np.int64)
             if edge_ids is None else np.asarray(edge_ids, np.int64)
         )
+        # lazy per-graph caches: prob cumsums (per probs_name) and per-type
+        # edge masks — per-call O(E) host passes would dominate minibatch
+        # epochs on large graphs
+        self._prob_cumsum = {}
+        self._type_masks = None
 
     # -- metadata -----------------------------------------------------------
 
@@ -140,9 +145,14 @@ class FusedCSCSamplingGraph:
                 r = (u * safe).astype(np.int64)
             else:
                 # per-draw inverse-CDF over the row's weights via the global
-                # cumulative sum (reference rowwise_sampling.cc semantics)
-                p = probs[self._eids]
-                cp = np.concatenate(([0.0], np.cumsum(p)))
+                # cumulative sum (reference rowwise_sampling.cc semantics),
+                # cached per probs array across calls
+                key = id(probs)
+                cp = self._prob_cumsum.get(key)
+                if cp is None:
+                    cp = np.concatenate(([0.0],
+                                         np.cumsum(probs[self._eids])))
+                    self._prob_cumsum[key] = cp
                 base = cp[draw_start]
                 rowsum = cp[draw_start + safe] - base
                 tgt = base + u * np.maximum(rowsum, 1e-300)
@@ -192,13 +202,17 @@ class FusedCSCSamplingGraph:
         else:
             # hetero: pick per edge type with its own fanout, then merge in
             # CSC position order per seed
+            if self._type_masks is None:
+                self._type_masks = {}
             sels, owners = [], []
             for t, f in enumerate(fanouts):
-                mask = np.zeros(self.total_num_edges, bool)
-                mask[self.type_per_edge == t] = True
-                o, s = self._pick_masked(nodes, int(f), replace, probs,
-                                         rng, mask)
-                sels.append(s)
+                mask = self._type_masks.get(t)
+                if mask is None:
+                    mask = np.asarray(self.type_per_edge == t)
+                    self._type_masks[t] = mask
+                o, s_ = self._pick_masked(nodes, int(f), replace, probs,
+                                          rng, mask)
+                sels.append(s_)
                 owners.append(o)
             sel = np.concatenate(sels)
             owner = np.concatenate(owners)
@@ -221,6 +235,32 @@ class FusedCSCSamplingGraph:
         owner = np.repeat(np.arange(nodes.shape[0]), degs)
         epos = np.repeat(starts, degs) + pos
         ok = emask[epos]
+        if replace and fanout >= 0:
+            # fanout draws WITH repetition per seed among its ok edges
+            tdeg = np.bincount(owner, weights=ok.astype(np.int64),
+                               minlength=nodes.shape[0]).astype(np.int64)
+            counts = np.where(tdeg > 0, fanout, 0)
+            # rank of ok edges within each owner (0..tdeg-1), built by
+            # cumulative count over the ok positions
+            okc = np.cumsum(ok) - 1
+            okc_start = np.concatenate(([0], np.cumsum(tdeg)))[:-1]
+            # map (owner, j-th draw) -> a uniformly random ok edge
+            draw_owner = np.repeat(np.arange(nodes.shape[0]), counts)
+            u = rng.random(int(counts.sum()))
+            jth = (u * np.maximum(tdeg[draw_owner], 1)).astype(np.int64)
+            ok_epos = epos[ok]
+            if probs is not None:
+                p = probs[self._eids[ok_epos]]
+                cp = np.concatenate(([0.0], np.cumsum(p)))
+                base = cp[okc_start[draw_owner]]
+                rowsum = (cp[okc_start[draw_owner]
+                             + tdeg[draw_owner]] - base)
+                tgt = base + u * np.maximum(rowsum, 1e-300)
+                jth = (np.searchsorted(cp, tgt, side="left") - 1
+                       - okc_start[draw_owner])
+                jth = np.clip(jth, 0, np.maximum(tdeg[draw_owner] - 1, 0))
+            sel = ok_epos[okc_start[draw_owner] + jth]
+            return draw_owner, sel
         keys = rng.random(pos.shape[0])
         if probs is not None:
             p = probs[self._eids[epos]]
@@ -282,12 +322,26 @@ class FusedCSCSamplingGraph:
             ets = self.edge_attributes[edge_timestamp_attr_name]
             ok &= ets[self._eids[epos]] <= ts[owner]
         rng = np.random.default_rng(seed)
-        keys = np.where(ok, rng.random(epos.shape[0]), np.inf)
-        order = np.lexsort((keys, owner))
-        rank = _ragged_arange(degs)
         tdeg = np.bincount(owner, weights=ok.astype(np.int64),
                            minlength=nodes.shape[0]).astype(np.int64)
         f = int(fanouts[0])
+        if replace and f >= 0:
+            counts = np.where(tdeg > 0, f, 0)
+            okc_start = np.concatenate(([0], np.cumsum(tdeg)))[:-1]
+            draw_owner = np.repeat(np.arange(nodes.shape[0]), counts)
+            u = rng.random(int(counts.sum()))
+            jth = (u * np.maximum(tdeg[draw_owner], 1)).astype(np.int64)
+            sel = epos[ok][okc_start[draw_owner] + jth]
+            indptr = np.concatenate(([0], np.cumsum(counts)))
+            return SampledSubgraphImpl(
+                sampled_csc=CSCFormatBase(indptr.astype(np.int64),
+                                          self.indices[sel]),
+                original_column_node_ids=nodes,
+                original_edge_ids=self._eids[sel],
+            )
+        keys = np.where(ok, rng.random(epos.shape[0]), np.inf)
+        order = np.lexsort((keys, owner))
+        rank = _ragged_arange(degs)
         cnt = np.minimum(tdeg, f) if f >= 0 else tdeg
         keep = (rank < np.repeat(cnt, degs)) & ok[order]
         # lexsort's primary key is `owner`, so the kept picks are already

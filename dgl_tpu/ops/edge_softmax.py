@@ -91,12 +91,14 @@ def _edge_softmax_bwd(norm_by, res, dz):
 
         plan = rel.shell_plan
         if norm_by == "dst":
-            shells, n_out, rank_eid = (plan.shells, plan.num_dst,
-                                       plan.dst_rank_eid)
+            shells, resid, n_out, rank_eid = (
+                plan.shells, plan.res_dst, plan.num_dst, plan.dst_rank_eid)
         else:
-            shells, n_out, rank_eid = (plan.rev_shells, plan.num_src,
-                                       plan.src_rank_eid)
-        accum = shell_edge_acc(shells, n_out, sds, kind="sum")[rank_eid]
+            shells, resid, n_out, rank_eid = (
+                plan.rev_shells, plan.res_src, plan.num_src,
+                plan.src_rank_eid)
+        accum = shell_edge_acc(shells, n_out, sds, kind="sum",
+                               residual=resid)[rank_eid]
         while accum.ndim < sds.ndim:
             accum = accum[..., None]
         return (None, (sds - out * accum).astype(dz.dtype))

@@ -71,8 +71,10 @@ class HubSpMMPlan:
         "rev_src",
         "rev_dst",
         "shells",
+        "res_dst",
         "unrank_dst",
         "rev_shells",
+        "res_src",
         "unrank_src",
     )
 
@@ -85,8 +87,10 @@ class HubSpMMPlan:
         rev_src,
         rev_dst,
         shells=(),
+        res_dst=None,
         unrank_dst=None,
         rev_shells=(),
+        res_src=None,
         unrank_src=None,
         *,
         num_src: int,
@@ -103,8 +107,10 @@ class HubSpMMPlan:
         self.rev_src = rev_src
         self.rev_dst = rev_dst
         self.shells = shells
+        self.res_dst = res_dst
         self.unrank_dst = unrank_dst
         self.rev_shells = rev_shells
+        self.res_src = res_src
         self.unrank_src = unrank_src
         self.num_src = int(num_src)
         self.num_dst = int(num_dst)
@@ -160,37 +166,26 @@ def _build_shells(e_from: np.ndarray, e_to: np.ndarray, n_to: int):
     Relabel the ``e_to`` side by descending degree; then the nodes with
     degree >= k form the PREFIX [0, N_k) of the rank order, so "the k-th
     incident edge of every node" becomes one flat gather added to a prefix
-    slice — no scatter, no segment-sum. Measured on v5e: XLA's sorted
-    segment-sum costs ~14 ns/edge (the scatter lowering) while a row gather
-    costs ~8 ns/edge; shells replace the former with the latter.
+    slice — no scatter, no segment-sum for levels under the cap. Measured
+    on v5e: XLA's sorted segment-sum costs ~14 ns/edge (the scatter
+    lowering) while a row gather costs ~8 ns/edge.
 
-    Returns (shells, unrank) where shells is a tuple of (idx_k, mask_k):
-    ``out_perm[:len(idx_k)] += x[idx_k] * mask_k`` accumulates shell k, and
-    ``out = out_perm[unrank]`` restores standard order.
+    Delegates to :func:`dgl_tpu.ops.shell_spmm._build_dir` (the capped
+    single-pass builder — one shell per level would explode on power-law
+    degree tails); levels beyond the cap come back as a residual
+    ``(idx, rank_pos)`` pair reduced with one sorted segment-sum.
+
+    Returns (shells, residual, unrank) with shells a tuple of
+    (idx_k, mask_k).
     """
-    deg = np.bincount(e_to, minlength=n_to)
-    rank = np.argsort(-deg, kind="stable").astype(np.int32)
-    unrank = np.empty(n_to, np.int32)
-    unrank[rank] = np.arange(n_to, dtype=np.int32)
-    # within-node position of each edge (edges sorted by e_to)
-    order = np.argsort(e_to, kind="stable")
-    ef, et = e_from[order], e_to[order]
-    starts = np.concatenate(([0], np.cumsum(np.bincount(et, minlength=n_to))))
-    pos = np.arange(et.shape[0]) - starts[et]
-    kmax = int(deg.max()) if deg.size and et.size else 0
-    n_ge = np.concatenate((np.cumsum(np.bincount(
-        np.minimum(deg, kmax), minlength=kmax + 1)[::-1])[::-1], [0]))
-    shells = []
-    for k in range(kmax):
-        sel = pos == k
-        n_k = int(n_ge[k + 1])  # count(deg >= k+1)
-        n_k8 = _rup(n_k, 8)
-        idx = np.zeros(n_k8, np.int32)
-        idx[unrank[et[sel]]] = ef[sel]
-        mask = np.zeros((n_k8, 1), np.float32)
-        mask[:n_k, 0] = 1.0
-        shells.append((jnp.asarray(idx), jnp.asarray(mask)))
-    return tuple(shells), jnp.asarray(unrank)
+    from .shell_spmm import _build_dir
+
+    shells3, res3, unrank = _build_dir(
+        e_from, e_to, np.zeros_like(e_from), n_to
+    )
+    shells = tuple((nidx, mask) for nidx, _eidx, mask in shells3)
+    res = None if res3 is None else (res3[0], res3[2])
+    return shells, res, unrank
 
 
 def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
@@ -264,10 +259,11 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
     if cold in ("shell", "shell-f32"):
         cs = src_csc[cold_idx]
         cd = dst_csc[cold_idx]
-        shells, unrank_dst = _build_shells(cs, cd, n_dst)
-        rev_shells, unrank_src = _build_shells(cd, cs, n_src)
+        shells, res_dst, unrank_dst = _build_shells(cs, cd, n_dst)
+        rev_shells, res_src, unrank_src = _build_shells(cd, cs, n_src)
     else:
-        shells, unrank_dst, rev_shells, unrank_src = (), None, (), None
+        shells, res_dst, unrank_dst = (), None, None
+        rev_shells, res_src, unrank_src = (), None, None
     return HubSpMMPlan(
         hub_ids=jnp.asarray(hub_ids),
         a_hub=a_hub,
@@ -276,8 +272,10 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
         rev_src=jnp.asarray(rev_src),
         rev_dst=jnp.asarray(rev_dst),
         shells=shells,
+        res_dst=res_dst,
         unrank_dst=unrank_dst,
         rev_shells=rev_shells,
+        res_src=res_src,
         unrank_src=unrank_src,
         num_src=n_src,
         num_dst=n_dst,
@@ -312,19 +310,27 @@ def _cold_gather(x, idx, cold):
     return x[idx]
 
 
-def _shell_sum(x, shells, unrank, n_out, cold):
+def _shell_sum(x, shells, residual, unrank, n_out, cold):
     """``out[v] = sum_{k} x[idx_k[unrank[v]]]`` — the shell accumulation.
 
     Each shell is one flat row gather added to a prefix slice of the
     rank-ordered accumulator (no scatter/segment-sum; see
-    :func:`_build_shells`); a single final gather restores standard order.
+    :func:`_build_shells`); beyond-cap edges reduce with one sorted
+    segment-sum keyed by rank position; a single final gather restores
+    standard order.
     """
     xg = x.astype(jnp.bfloat16) if cold == "shell" else x
     n8 = _rup(n_out, 8)
     acc = jnp.zeros((n8, x.shape[1]), jnp.float32)
     for idx, mask in shells:
-        rows = xg[idx].astype(jnp.float32) * mask
+        rows = jnp.where(mask > 0, xg[idx].astype(jnp.float32), 0.0)
         acc = acc.at[: idx.shape[0]].add(rows)
+    if residual is not None and int(residual[1].shape[0]) > 0:
+        r_idx, r_pos = residual
+        acc = acc + jax.ops.segment_sum(
+            xg[r_idx].astype(jnp.float32), r_pos, num_segments=n8,
+            indices_are_sorted=True,
+        )
     return acc[unrank]
 
 
@@ -334,7 +340,8 @@ def _hub_copy_u_sum2d(plan: HubSpMMPlan, x):
     out_hub = _mm(plan.a_hub, x[plan.hub_ids], plan.precision)
     if plan.cold in ("shell", "shell-f32"):
         out_cold = _shell_sum(
-            x, plan.shells, plan.unrank_dst, plan.num_dst, plan.cold
+            x, plan.shells, plan.res_dst, plan.unrank_dst, plan.num_dst,
+            plan.cold,
         )
     else:
         out_cold = jax.ops.segment_sum(
@@ -358,7 +365,8 @@ def _bwd(plan, dz):
     d_hub = _mm(plan.a_hub.T, dz, plan.precision)
     if plan.cold in ("shell", "shell-f32"):
         dx = _shell_sum(
-            dz, plan.rev_shells, plan.unrank_src, plan.num_src, plan.cold
+            dz, plan.rev_shells, plan.res_src, plan.unrank_src,
+            plan.num_src, plan.cold,
         )
     else:
         dx = jax.ops.segment_sum(

@@ -37,13 +37,27 @@ def _rup(x: int, m: int) -> int:
     return max(int(-(-x // m) * m), m)
 
 
+SHELL_CAP = 32  # max shell levels; deeper edges take the residual segsum
+
+
 def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
-               n_to: int):
-    """Shells of one direction: for each level k, the (gather-node,
-    gather-eid, mask) triple of "the k-th incident edge of every ranked
-    ``e_to`` node". ``e_node`` is the id gathered from the node array
-    (src for forward, dst for backward), ``e_eid`` the id gathered from
-    the edge array (caller's eid order)."""
+               n_to: int, cap: int = SHELL_CAP):
+    """Shells of one direction: for each level k < ``cap``, the
+    (gather-node, gather-eid, mask) triple of "the k-th incident edge of
+    every ranked ``e_to`` node". ``e_node`` is the id gathered from the
+    node array (src for forward, dst for backward), ``e_eid`` the id
+    gathered from the edge array (caller's eid order).
+
+    Levels >= ``cap`` (a power-law graph's max degree can be ~1e5 — one
+    shell per level would explode both the host build and the XLA program)
+    go to the RESIDUAL: edges sorted by rank position, reduced with one
+    sorted segment op straight into the ranked accumulator. Padding slots
+    carry rank position ``rup(n_to, 8)`` (out of range -> dropped by the
+    segment ops, no mask needed).
+
+    Returns (shells, (res_nidx, res_eidx, res_pos), unrank). The build is
+    a single O(E log E) grouped pass (sort by level), not a per-level scan.
+    """
     deg = np.bincount(e_to, minlength=n_to)
     rank = np.argsort(-deg, kind="stable").astype(np.int32)
     unrank = np.empty(n_to, np.int32)
@@ -52,24 +66,46 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
     en, et, ee = e_node[order], e_to[order], e_eid[order]
     starts = np.concatenate(([0], np.cumsum(np.bincount(et, minlength=n_to))))
     pos = np.arange(et.shape[0]) - starts[et]
-    kmax = int(deg.max()) if et.size else 0
+    kmax = min(int(deg.max()) if et.size else 0, cap)
     h = np.bincount(np.minimum(deg, kmax), minlength=kmax + 1)
     n_ge = np.concatenate((np.cumsum(h[::-1])[::-1], [0]))
+    rp = unrank[et]
+    # group the capped levels contiguously: one sort, then per-level slices
+    lo = pos < kmax
+    lorder = np.lexsort((rp[lo], pos[lo]))
+    en_l, ee_l, rp_l = en[lo][lorder], ee[lo][lorder], rp[lo][lorder]
+    lstarts = np.concatenate(
+        ([0], np.cumsum(np.bincount(pos[lo], minlength=kmax)))
+    )
     shells = []
     for k in range(kmax):
-        sel = pos == k
+        a, b = int(lstarts[k]), int(lstarts[k + 1])
         n_k = int(n_ge[k + 1])
         n_k8 = _rup(n_k, 8)
         nidx = np.zeros(n_k8, np.int32)
         eidx = np.zeros(n_k8, np.int32)
-        r = unrank[et[sel]]
-        nidx[r] = en[sel]
-        eidx[r] = ee[sel]
+        nidx[rp_l[a:b]] = en_l[a:b]
+        eidx[rp_l[a:b]] = ee_l[a:b]
         mask = np.zeros((n_k8, 1), np.float32)
         mask[:n_k, 0] = 1.0
         shells.append((jnp.asarray(nidx), jnp.asarray(eidx),
                        jnp.asarray(mask)))
-    return tuple(shells), jnp.asarray(unrank)
+    hi = ~lo
+    n8 = _rup(n_to, 8)
+    R = int(hi.sum())
+    if R == 0:
+        return tuple(shells), None, jnp.asarray(unrank)
+    R8 = _rup(R, 8)
+    res_nidx = np.zeros(R8, np.int32)
+    res_eidx = np.zeros(R8, np.int32)
+    res_pos = np.full(R8, n8, np.int32)  # out of range -> dropped
+    horder = np.argsort(rp[hi], kind="stable")
+    res_nidx[:R] = en[hi][horder]
+    res_eidx[:R] = ee[hi][horder]
+    res_pos[:R] = rp[hi][horder]
+    residual = (jnp.asarray(res_nidx), jnp.asarray(res_eidx),
+                jnp.asarray(res_pos))
+    return tuple(shells), residual, jnp.asarray(unrank)
 
 
 class ShellSpMMPlan:
@@ -79,16 +115,20 @@ class ShellSpMMPlan:
     (padding-masked) used by the dE gradient, which is pure gathers.
     """
 
-    ARRAY_FIELDS = ("shells", "unrank_dst", "rev_shells", "unrank_src",
+    ARRAY_FIELDS = ("shells", "res_dst", "unrank_dst",
+                    "rev_shells", "res_src", "unrank_src",
                     "src_eid", "dst_eid", "emask",
                     "dst_rank_eid", "src_rank_eid")
 
-    def __init__(self, shells, unrank_dst, rev_shells, unrank_src,
+    def __init__(self, shells, res_dst, unrank_dst,
+                 rev_shells, res_src, unrank_src,
                  src_eid, dst_eid, emask, dst_rank_eid, src_rank_eid, *,
                  num_src: int, num_dst: int, gather_dtype: str = "bf16"):
         self.shells = shells
+        self.res_dst = res_dst
         self.unrank_dst = unrank_dst
         self.rev_shells = rev_shells
+        self.res_src = res_src
         self.unrank_src = unrank_src
         self.src_eid = src_eid
         self.dst_eid = dst_eid
@@ -139,8 +179,8 @@ def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
     eid = np.asarray(rel.csc_eids)
     real = (dst < rel.num_dst) & (src < rel.num_src)
     src, dst, eid = src[real], dst[real], eid[real]
-    shells, unrank_dst = _build_dir(src, dst, eid, rel.num_dst)
-    rev_shells, unrank_src = _build_dir(dst, src, eid, rel.num_src)
+    shells, res_dst, unrank_dst = _build_dir(src, dst, eid, rel.num_dst)
+    rev_shells, res_src, unrank_src = _build_dir(dst, src, eid, rel.num_src)
     # eid-order endpoints for dE (clamped so padded slots gather row 0 and
     # are zeroed by emask)
     se = np.asarray(rel.src).astype(np.int64)
@@ -149,7 +189,7 @@ def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
     se_c = np.where(emask > 0, se, 0).astype(np.int64)
     de_c = np.where(emask > 0, de_, 0).astype(np.int64)
     return ShellSpMMPlan(
-        shells, unrank_dst, rev_shells, unrank_src,
+        shells, res_dst, unrank_dst, rev_shells, res_src, unrank_src,
         jnp.asarray(se_c.astype(np.int32)),
         jnp.asarray(de_c.astype(np.int32)),
         jnp.asarray(emask),
@@ -171,12 +211,14 @@ def _mask_expand(mask, ndim):
     return mask
 
 
-def _shell_accumulate(shells, unrank, n_out, msg_of):
+def _shell_accumulate(shells, residual, unrank, n_out, msg_of):
     """``out[v] = sum_k msg_of(shell_k)[unrank[v]]`` with masked prefixes.
 
     ``msg_of((nidx, eidx)) -> (n_k8, ...)`` builds the per-level messages;
     the accumulator shape comes from the first level (all levels broadcast
-    to the same feature shape).
+    to the same feature shape). ``residual`` holds the beyond-cap edges
+    (sorted by rank position) reduced with ONE sorted segment-sum — its
+    padding rows carry an out-of-range position and are dropped.
     """
     n8 = _rup(n_out, 8)
     acc = None
@@ -190,6 +232,12 @@ def _shell_accumulate(shells, unrank, n_out, msg_of):
         acc = acc.at[: nidx.shape[0]].add(
             jnp.where(m > 0, rows.astype(jnp.float32), 0.0)
         )
+    if residual is not None and int(residual[2].shape[0]) > 0:
+        r_nidx, r_eidx, r_pos = residual
+        rows = msg_of(r_nidx, r_eidx).astype(jnp.float32)
+        seg = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
+                                  indices_are_sorted=True)
+        acc = seg if acc is None else acc + seg
     if acc is None:  # no edges
         return None
     return acc[unrank]
@@ -238,8 +286,8 @@ def _fwd_impl(op, plan, u, e):
         return _msg(op, ul, el)
 
     ref = u if op != "copy_rhs" else e
-    out = _shell_accumulate(plan.shells, plan.unrank_dst, plan.num_dst,
-                            msg_of)
+    out = _shell_accumulate(plan.shells, plan.res_dst, plan.unrank_dst,
+                            plan.num_dst, msg_of)
     if out is None:
         shape = (plan.num_dst,) + tuple(ref.shape[1:])
         return jnp.zeros(shape, ref.dtype)
@@ -273,8 +321,8 @@ def _shell_bwd(op, res, dz):
                 return dzl / el
             raise DGLError(op)
 
-        du = _shell_accumulate(plan.rev_shells, plan.unrank_src,
-                               plan.num_src, msg_of)
+        du = _shell_accumulate(plan.rev_shells, plan.res_src,
+                               plan.unrank_src, plan.num_src, msg_of)
         if du is None:
             du = jnp.zeros((plan.num_src,) + dz.shape[1:], jnp.float32)
         from .spmm import _reduce_grad
@@ -297,7 +345,7 @@ def _shell_bwd(op, res, dz):
             de = -dz_d * eu / (ee * ee)
         else:
             raise DGLError(op)
-        de = de * _mask_expand(plan.emask, de.ndim)
+        de = jnp.where(_mask_expand(plan.emask, de.ndim) > 0, de, 0.0)
         from .spmm import _reduce_grad
 
         de = _reduce_grad(de, e.shape).astype(e.dtype)
@@ -313,22 +361,24 @@ shell_gspmm_sum.defvjp(_shell_fwd, _shell_bwd)
 # ---------------------------------------------------------------------------
 
 
-def shell_edge_acc(shells, n_out, evals, kind="sum", transform=None):
+def shell_edge_acc(shells, n_out, evals, kind="sum", transform=None,
+                   residual=None):
     """Segment-reduce per-edge values keyed by the shells' ranked nodes.
 
     Returns the RANKED accumulator ``(rup(n_out, 8), *feat)`` — row i is the
-    aggregate of the rank-i node. ``transform(rows, k_prefix)`` optionally
-    maps each level's gathered rows given the current prefix view of a
-    companion ranked array (used by edge-softmax to subtract the running
-    max before exp). ``kind`` in {"sum", "max"}; empty segments hold the
-    identity (0 / -inf).
+    aggregate of the rank-i node. ``transform(rows, ranked_positions)``
+    optionally maps gathered rows given their rank positions (used by
+    edge-softmax to subtract the running max before exp); for the capped
+    shells the positions are the prefix ``[0, n_k8)``, for the residual
+    they are its explicit position array. ``kind`` in {"sum", "max"};
+    empty segments hold the identity (0 / -inf).
     """
     n8 = _rup(n_out, 8)
     acc = None
     for nidx, eidx, mask in shells:
         rows = evals[eidx].astype(jnp.float32)
         if transform is not None:
-            rows = transform(rows, nidx.shape[0])
+            rows = transform(rows, None)
         m = _mask_expand(mask, rows.ndim)
         if acc is None:
             init = 0.0 if kind == "sum" else -jnp.inf
@@ -339,6 +389,19 @@ def shell_edge_acc(shells, n_out, evals, kind="sum", transform=None):
             acc = acc.at[: nidx.shape[0]].max(
                 jnp.where(m > 0, rows, -jnp.inf)
             )
+    if residual is not None and int(residual[2].shape[0]) > 0:
+        _, r_eidx, r_pos = residual
+        rows = evals[r_eidx].astype(jnp.float32)
+        if transform is not None:
+            rows = transform(rows, r_pos)
+        if kind == "sum":
+            seg = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
+                                      indices_are_sorted=True)
+            acc = seg if acc is None else acc + seg
+        else:
+            seg = jax.ops.segment_max(rows, r_pos, num_segments=n8,
+                                      indices_are_sorted=True)
+            acc = seg if acc is None else jnp.maximum(acc, seg)
     if acc is None:
         return jnp.zeros((n8,), jnp.float32)
     return acc
@@ -350,22 +413,25 @@ def shell_edge_softmax(plan: ShellSpMMPlan, logits, norm_by="dst"):
     normalization reads them back with ONE gather each via the
     precomposed rank positions."""
     if norm_by == "dst":
-        shells, n_out, rank_eid = (plan.shells, plan.num_dst,
-                                   plan.dst_rank_eid)
+        shells, res, n_out, rank_eid = (plan.shells, plan.res_dst,
+                                        plan.num_dst, plan.dst_rank_eid)
     else:
-        shells, n_out, rank_eid = (plan.rev_shells, plan.num_src,
-                                   plan.src_rank_eid)
-    mx = shell_edge_acc(shells, n_out, logits, kind="max")
+        shells, res, n_out, rank_eid = (plan.rev_shells, plan.res_src,
+                                        plan.num_src, plan.src_rank_eid)
+    mx = shell_edge_acc(shells, n_out, logits, kind="max", residual=res)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    mx_pad = jnp.concatenate([mx, jnp.zeros((1,) + mx.shape[1:], mx.dtype)])
 
-    def shift_exp(rows, n_k):
-        m = mx[:n_k]
+    def shift_exp(rows, pos):
+        # pos None -> capped shell (prefix rows); else residual positions
+        # (padding position n8 reads the appended zero row)
+        m = mx[: rows.shape[0]] if pos is None else mx_pad[pos]
         if m.ndim < rows.ndim:
             m = m.reshape(m.shape + (1,) * (rows.ndim - m.ndim))
         return jnp.exp(rows - m)
 
     s = shell_edge_acc(shells, n_out, logits, kind="sum",
-                       transform=shift_exp)
+                       transform=shift_exp, residual=res)
     mx_e = mx[rank_eid]
     s_e = jnp.maximum(s, 1e-38)[rank_eid]
     while mx_e.ndim < logits.ndim:
@@ -392,6 +458,14 @@ def shell_gspmm_cmp(op, reduce_op, plan: ShellSpMMPlan, u, e, in_degrees):
         if acc is None:
             acc = jnp.full((n8,) + rows.shape[1:], -jnp.inf, jnp.float32)
         acc = acc.at[: nidx.shape[0]].max(jnp.where(m > 0, rows, -jnp.inf))
+    if plan.res_dst is not None and int(plan.res_dst[2].shape[0]) > 0:
+        r_nidx, r_eidx, r_pos = plan.res_dst
+        ul = ub[r_nidx] if ub is not None else None
+        el = eb[r_eidx] if eb is not None else None
+        rows = _msg(op, ul, el).astype(jnp.float32) * sign
+        seg = jax.ops.segment_max(rows, r_pos, num_segments=n8,
+                                  indices_are_sorted=True)
+        acc = seg if acc is None else jnp.maximum(acc, seg)
     ref = u if op != "copy_rhs" else e
     if acc is None:
         shape = (plan.num_dst,) + tuple(ref.shape[1:])

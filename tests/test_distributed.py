@@ -599,6 +599,12 @@ def test_dist_graph_sample_neighbors(tmp_path):
         assert set(v.tolist()) <= set(seeds.tolist())
         for uu, vv in zip(u.tolist(), v.tolist()):
             assert (uu, vv) in true
+        # edge ids are GLOBAL (original graph) ids matching each edge
+        from dgl_tpu.base import EID as _EID
+        eids = np.asarray(out.edata[_EID])
+        for k in range(u.shape[0]):
+            assert new_of_old[src_old[eids[k]]] == u[k]
+            assert new_of_old[dst_old[eids[k]]] == v[k]
         cnt = np.bincount(v, minlength=n)
         for s in seeds:
             assert cnt[s] == min(3, deg_new[s])

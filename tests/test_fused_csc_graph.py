@@ -145,3 +145,29 @@ def test_in_subgraph_sampler_stage():
     mb = batches[0]
     assert mb.sampled_subgraphs is not None
     assert mb.input_nodes is not None
+
+
+def test_replace_in_hetero_and_temporal():
+    """replace=True must draw exactly `fanout` picks per nonempty seed in
+    the hetero (per-etype) and temporal paths (reference
+    rowwise_sampling.cc semantics)."""
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([5, 5, 5, 5])
+    tpe = np.array([0, 0, 1, 1])
+    g = dgl_tpu.graph((src, dst), num_nodes=6)
+    fg = gb.from_dglgraph(g)
+    fg.type_per_edge = tpe
+    sub = fg.sample_neighbors(np.array([5]), fanouts=[5, 3], replace=True,
+                              seed=0)
+    assert sub.num_sampled_edges() == 8
+    types = tpe[sub.original_edge_ids]
+    assert (types == 0).sum() == 5 and (types == 1).sum() == 3
+    # temporal with replace: node ts filter leaves 2 eligible, still 4 draws
+    fg2 = gb.from_dglgraph(g)
+    fg2.node_attributes["ts"] = np.array([0, 1, 2, 3, 0, 9])
+    sub = fg2.temporal_sample_neighbors(
+        np.array([5]), np.array([1]), fanouts=[4], replace=True,
+        node_timestamp_attr_name="ts", seed=0,
+    )
+    assert sub.num_sampled_edges() == 4
+    assert set(sub.sampled_csc.indices.tolist()) <= {0, 1}

@@ -218,3 +218,39 @@ def test_hetero_bipartite_plans():
     out = ops.copy_u_sum(gw, x, etype="follows")
     assert float(jnp.max(jnp.abs(out - ref)) /
                  jnp.max(jnp.abs(ref))) < 1e-2  # bf16 shell cold default
+
+
+def test_high_degree_capped_shells():
+    """A ~30k-out-degree node must not explode the plan build (capped
+    shells + sorted residual, ops/shell_spmm.py::SHELL_CAP); results match
+    the classic path including the reverse (dU) direction and norm_by=src
+    softmax that route through the residual."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n, e_extra = 20_000, 100_000
+    src = np.concatenate([np.zeros(10_000, np.int64),
+                          rng.integers(0, n, e_extra)])
+    dst = rng.integers(0, n, src.shape[0])
+    t0 = time.perf_counter()
+    g0 = dgl_tpu.graph((src, dst), num_nodes=n)
+    gw = g0.with_spmm_plans(num_hubs=64, weighted=True, gather_dtype="f32")
+    assert time.perf_counter() - t0 < 30
+    plan = gw._relation(None).shell_plan
+    from dgl_tpu.ops.shell_spmm import SHELL_CAP
+    assert len(plan.rev_shells) <= SHELL_CAP
+    assert int(plan.res_src[2].shape[0]) >= 9_000
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(g0.num_edges(),)), jnp.float32)
+    R = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    np.testing.assert_allclose(ops.u_mul_e_sum(gw, x, e),
+                               ops.u_mul_e_sum(g0, x, e),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda a: jnp.sum(ops.u_mul_e_sum(g0, a, e) * R))(x)
+    g2 = jax.grad(lambda a: jnp.sum(ops.u_mul_e_sum(gw, a, e) * R))(x)
+    # the 10k-term residual sum reassociates: magnitude-relative tolerance
+    assert float(jnp.max(jnp.abs(g2 - g1)) / jnp.max(jnp.abs(g1))) < 1e-4
+    lg = jnp.asarray(rng.normal(size=(g0.num_edges(),)) * 2, jnp.float32)
+    np.testing.assert_allclose(
+        ops.edge_softmax(gw, lg, norm_by="src"),
+        ops.edge_softmax(g0, lg, norm_by="src"), rtol=1e-5, atol=1e-6)
