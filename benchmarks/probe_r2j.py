@@ -44,27 +44,30 @@ def main():
     conv = GATConv(F, HID, HEADS, allow_zero_in_degree=True)
     params = conv.init(jax.random.PRNGKey(0), g0, x)
 
-    def timed(g):
-        @jax.jit
-        def chain(params, x, k):
-            def body(_, c):
-                p, h = c
-                def loss(p):
-                    return jnp.sum(conv.apply(p, g, h) ** 2) * 1e-6
-                l, grads = jax.value_and_grad(loss)(p)
-                p2 = jax.tree_util.tree_map(
-                    lambda a, b: a - 1e-9 * b, p, grads)
-                return (p2, h)
-            p, _ = jax.lax.fori_loop(0, k, body, (params, x))
-            return jnp.sum(p["params"]["fc"]["kernel"])
+    # the graph is a jit ARGUMENT, not a closure: closing over it embeds
+    # ~10s of MB of index arrays as HLO constants, which overflows the
+    # remote compile service's request-size limit (HTTP 413 on axon)
+    @jax.jit
+    def chain(params, x, k, g):
+        def body(_, c):
+            p, h = c
+            def loss(p):
+                return jnp.sum(conv.apply(p, g, h) ** 2) * 1e-6
+            l, grads = jax.value_and_grad(loss)(p)
+            p2 = jax.tree_util.tree_map(
+                lambda a, b: a - 1e-9 * b, p, grads)
+            return (p2, h)
+        p, _ = jax.lax.fori_loop(0, k, body, (params, x))
+        return jnp.sum(p["params"]["fc"]["kernel"])
 
+    def timed(g):
         def t(k):
             kk = jnp.int32(k)
-            float(chain(params, x, kk))
+            float(chain(params, x, kk, g))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                float(chain(params, x, kk))
+                float(chain(params, x, kk, g))
                 best = min(best, time.perf_counter() - t0)
             return best
 

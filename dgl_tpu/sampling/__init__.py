@@ -12,15 +12,21 @@ from .neighbor import (
     temporal_sample_neighbors,
     select_topk,
     sample_neighbors_biased,
+    sample_etype_neighbors,
+    sample_neighbors_fused,
 )
 from .randomwalks import random_walk, node2vec_random_walk, pack_traces
 from .negative import global_uniform_negative_sampling
 from .labor import sample_labors
 from .pinsage import PinSAGESampler, RandomWalkNeighborSampler
+from .utils import EidExcluder
 
 __all__ = [
     "sample_neighbors",
     "sample_neighbors_fixed",
+    "sample_etype_neighbors",
+    "sample_neighbors_fused",
+    "EidExcluder",
     "in_subgraph_sample",
     "temporal_sample_neighbors",
     "random_walk",

@@ -489,3 +489,188 @@ def sample_neighbors_biased(g: Graph, nodes, fanout, bias,
 
 
 __all__ += ["select_topk", "sample_neighbors_biased"]
+
+
+def sample_etype_neighbors(
+    g: Graph,
+    nodes,
+    etype_offset,
+    fanout,
+    edge_dir: str = "in",
+    prob=None,
+    exclude_edges=None,
+    replace: bool = False,
+    copy_ndata: bool = True,
+    copy_edata: bool = True,
+    etype_sorted: bool = False,
+    seed: Optional[int] = None,
+) -> Graph:
+    """Per-edge-type fanout sampling on an etype-grouped homogeneous graph
+    (reference ``python/dgl/sampling/neighbor.py:69`` — DistDGL samples the
+    homogenized partition this way; edge IDs are grouped by etype and
+    ``etype_offset[t]`` is the first edge ID of type ``t``).
+
+    ``fanout`` is a per-etype vector (-1 = keep all); ``prob`` an optional
+    list of per-etype weight arrays indexed by local (within-type) edge ID.
+    """
+    from ..subgraph import edge_subgraph
+
+    if len(g.ntypes) != 1 or len(g.canonical_etypes) != 1:
+        raise DGLError(
+            "sample_etype_neighbors operates on the homogenized graph "
+            "(one ntype/etype); use sample_neighbors for heterographs"
+        )
+    rng = np.random.default_rng(seed)
+    cet = g.canonical_etypes[0]
+    rel = g._relations[cet]
+    seeds = np.atleast_1d(_np(nodes)).astype(np.int64)
+    if edge_dir == "in":
+        indptr, eids = rel.host_arrays("csc_indptr", "csc_eids")
+    elif edge_dir == "out":
+        indptr, eids = rel.host_arrays("csr_indptr", "csr_eids")
+    else:
+        raise DGLError(f"edge_dir must be 'in' or 'out', got {edge_dir!r}")
+    offsets = np.asarray(etype_offset, dtype=np.int64)
+    if offsets[-1] != g.num_edges():
+        offsets = np.append(offsets, g.num_edges())
+    fan = np.atleast_1d(_np(fanout)).astype(np.int64)
+    num_et = offsets.shape[0] - 1
+    if fan.shape[0] != num_et:
+        raise DGLError(
+            f"fanout has {fan.shape[0]} entries but etype_offset implies "
+            f"{num_et} edge types"
+        )
+    excl = (
+        np.atleast_1d(_np(exclude_edges)).astype(np.int64)
+        if exclude_edges is not None else None
+    )
+    picked_all = []
+    for s in seeds:
+        lo, hi = int(indptr[s]), int(indptr[s + 1])
+        row = eids[lo:hi]
+        if excl is not None and row.size:
+            row = row[~np.isin(row, excl)]
+        if row.size == 0:
+            continue
+        # edge IDs are grouped by etype, so the type of an edge is the
+        # offset bucket its global ID falls into
+        et = np.searchsorted(offsets, row, side="right") - 1
+        for t in range(num_et):
+            cand = row[et == t]
+            f = int(fan[t])
+            if cand.size == 0 or f == 0:
+                continue
+            p = None
+            if prob is not None and prob[t] is not None:
+                p = np.asarray(prob[t], dtype=np.float64)[cand - offsets[t]]
+                keepmask = p > 0
+                cand, p = cand[keepmask], p[keepmask]
+                if cand.size == 0:
+                    continue
+                p = p / p.sum()
+            if f < 0 or (not replace and cand.size <= f):
+                picked_all.append(cand)
+                continue
+            if replace:
+                idx = rng.choice(cand.size, size=f, replace=True, p=p)
+            else:
+                idx = rng.choice(cand.size, size=f, replace=False, p=p)
+            picked_all.append(cand[idx])
+    picked = (
+        np.concatenate(picked_all) if picked_all
+        else np.zeros(0, dtype=np.int64)
+    )
+    sub = edge_subgraph(g, {cet: picked}, relabel_nodes=False, store_ids=True)
+    if not copy_ndata:
+        for nt in sub.ntypes:
+            sub._node_frames[nt] = {}
+    if not copy_edata:
+        for c in sub.canonical_etypes:
+            sub._edge_frames[c] = {EID: sub._edge_frames[c][EID]}
+    return sub
+
+
+def sample_neighbors_fused(
+    g: Graph,
+    nodes,
+    fanout: Union[int, Dict],
+    edge_dir: str = "in",
+    prob: Optional[str] = None,
+    replace: bool = False,
+    copy_ndata: bool = True,
+    copy_edata: bool = True,
+    exclude_edges=None,
+    mapping: Optional[dict] = None,
+    seed: Optional[int] = None,
+) -> Graph:
+    """``sample_neighbors`` fused with node renumbering (reference
+    ``python/dgl/sampling/neighbor.py:399``): the result is relabeled so the
+    seed nodes take IDs ``0..len(seeds)-1`` and sampled neighbors follow in
+    order of appearance. Original IDs are stored as ``ndata[NID]`` /
+    ``edata[EID]``; ``mapping`` (if a dict) receives per-ntype
+    original->new id arrays, mirroring the reference's reusable buffer.
+    """
+    from ..base import NID
+    from ..graph import Relation
+
+    sub = sample_neighbors(
+        g, nodes, fanout, edge_dir=edge_dir, prob=prob, replace=replace,
+        copy_ndata=True, copy_edata=True, exclude_edges=exclude_edges,
+        seed=seed,
+    )
+    if not isinstance(nodes, Mapping):
+        nodes = {g.ntypes[0]: nodes}
+    seeds = {
+        nt: np.atleast_1d(_np(v)).astype(np.int64) for nt, v in nodes.items()
+    }
+    # per-ntype order: seeds first, then other endpoints by appearance
+    order: Dict[str, np.ndarray] = {}
+    for nt in g.ntypes:
+        parts = [seeds.get(nt, np.zeros(0, np.int64))]
+        for cet in g.canonical_etypes:
+            st, _, dt = cet
+            rel = sub._relations[cet]
+            if st == nt:
+                parts.append(_np(rel.src)[: rel.num_edges])
+            if dt == nt:
+                parts.append(_np(rel.dst)[: rel.num_edges])
+        cat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        uniq, first = np.unique(cat, return_index=True)
+        order[nt] = cat[np.sort(first)]
+    remap = {}
+    for nt, ids in order.items():
+        m = np.full(g.num_nodes(nt), -1, dtype=np.int64)
+        m[ids] = np.arange(ids.shape[0], dtype=np.int64)
+        remap[nt] = m
+        if isinstance(mapping, dict):
+            mapping[nt] = m
+    rels = {}
+    import jax.numpy as jnp
+
+    for cet in g.canonical_etypes:
+        st, _, dt = cet
+        rel = sub._relations[cet]
+        rels[cet] = Relation.from_coo(
+            remap[st][_np(rel.src)[: rel.num_edges]],
+            remap[dt][_np(rel.dst)[: rel.num_edges]],
+            order[st].shape[0],
+            order[dt].shape[0],
+            idtype=g.idtype,
+        )
+    out = Graph(rels, {nt: order[nt].shape[0] for nt in g.ntypes})
+    for nt in g.ntypes:
+        frame = {}
+        if copy_ndata:
+            for k, v in g._node_frames.get(nt, {}).items():
+                frame[k] = jnp.asarray(v)[jnp.asarray(order[nt])]
+        frame[NID] = jnp.asarray(order[nt])
+        out._node_frames[nt] = frame
+    for cet in g.canonical_etypes:
+        frame = dict(sub._edge_frames.get(cet, {})) if copy_edata else {}
+        if EID in sub._edge_frames.get(cet, {}):
+            frame[EID] = sub._edge_frames[cet][EID]
+        out._edge_frames[cet] = frame
+    return out
+
+
+__all__ += ["sample_etype_neighbors", "sample_neighbors_fused"]

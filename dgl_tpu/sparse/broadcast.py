@@ -6,7 +6,9 @@ import jax.numpy as jnp
 from ..base import DGLError
 from .sparse_matrix import SparseMatrix, val_like
 
-__all__ = ["sp_broadcast_v"]
+__all__ = [
+    "sp_broadcast_v", "sp_add_v", "sp_sub_v", "sp_mul_v", "sp_div_v",
+]
 
 
 def sp_broadcast_v(A: SparseMatrix, v, op: str) -> SparseMatrix:
@@ -35,3 +37,23 @@ def sp_broadcast_v(A: SparseMatrix, v, op: str) -> SparseMatrix:
     if op == "truediv":
         return val_like(A, A.val / per_nnz)
     raise DGLError(op)
+
+
+def sp_add_v(A: SparseMatrix, v) -> SparseMatrix:
+    """Reference ``python/dgl/sparse/broadcast.py:104``."""
+    return sp_broadcast_v(A, v, "add")
+
+
+def sp_sub_v(A: SparseMatrix, v) -> SparseMatrix:
+    """Reference ``python/dgl/sparse/broadcast.py:112``."""
+    return sp_broadcast_v(A, v, "sub")
+
+
+def sp_mul_v(A: SparseMatrix, v) -> SparseMatrix:
+    """Reference ``python/dgl/sparse/broadcast.py:120``."""
+    return sp_broadcast_v(A, v, "mul")
+
+
+def sp_div_v(A: SparseMatrix, v) -> SparseMatrix:
+    """Reference ``python/dgl/sparse/broadcast.py:128``."""
+    return sp_broadcast_v(A, v, "truediv")

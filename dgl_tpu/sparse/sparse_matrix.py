@@ -148,6 +148,9 @@ class SparseMatrix:
     def smean(self, dim: Optional[int] = None):
         return self.reduce("smean", dim)
 
+    def sprod(self, dim: Optional[int] = None):
+        return self.reduce("sprod", dim)
+
     def softmax(self, dim: int = 1):
         from .softmax_mod import softmax as _softmax
 

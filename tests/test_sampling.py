@@ -301,3 +301,75 @@ def test_sample_neighbors_biased():
     # missing tag offsets -> clear error
     with pytest.raises(Exception):
         sampling.sample_neighbors_biased(g, [0], 2, bias=[1.0, 1.0])
+
+
+def test_sample_etype_neighbors():
+    # homogenized 2-etype graph: edge IDs grouped by etype
+    # etype 0: edges 0..3 (ring), etype 1: edges 4..9 (stars into node 0/1)
+    src = np.array([0, 1, 2, 3, 2, 3, 4, 2, 3, 4])
+    dst = np.array([1, 2, 3, 0, 0, 0, 0, 1, 1, 1])
+    g = dgl.graph((src, dst), num_nodes=5)
+    etype_offset = [0, 4, 10]
+    sg = sampling.sample_etype_neighbors(
+        g, [0, 1], etype_offset, fanout=np.array([1, 2]), seed=0
+    )
+    eid = np.asarray(sg.edata[EID])
+    et = np.searchsorted(np.asarray(etype_offset), eid, side="right") - 1
+    # per seed: at most 1 type-0 edge and 2 type-1 edges
+    dsts = np.asarray(sg.edges()[1])
+    for s in (0, 1):
+        sel = dsts == s
+        assert (et[sel] == 0).sum() <= 1
+        assert (et[sel] == 1).sum() <= 2
+    # fanout -1 keeps all of that type
+    sg_all = sampling.sample_etype_neighbors(
+        g, [0], etype_offset, fanout=np.array([-1, -1]), seed=0
+    )
+    assert sg_all.num_edges() == 4  # node 0 has 1 ring + 3 star in-edges
+    # per-etype prob: zero out one candidate
+    prob = [np.ones(4), np.array([0.0, 1.0, 1.0, 1.0, 1.0, 1.0])]
+    sg_p = sampling.sample_etype_neighbors(
+        g, [0], etype_offset, fanout=np.array([0, -1]), prob=prob, seed=0
+    )
+    assert 4 not in np.asarray(sg_p.edata[EID])  # eid 4 has weight 0
+    assert (np.asarray(sg_p.edata[EID]) >= 4).all()  # fanout 0 drops type 0
+
+
+def test_sample_neighbors_fused(g):
+    from dgl_tpu.base import NID
+
+    mapping = {}
+    sg = sampling.sample_neighbors_fused(g, [7, 3], 4, seed=1, mapping=mapping)
+    nid = np.asarray(sg.ndata[NID])
+    # seeds take new IDs 0, 1
+    assert nid[0] == 7 and nid[1] == 3
+    # edges are relabeled consistently: endpoints map back to parents
+    u, v = (np.asarray(a) for a in sg.edges())
+    parent = sampling.sample_neighbors(g, [7, 3], 4, seed=1)
+    pu, pv = (np.asarray(a) for a in parent.edges())
+    assert set(zip(nid[u].tolist(), nid[v].tolist())) == set(
+        zip(pu.tolist(), pv.tolist())
+    )
+    # every sampled dst is a seed
+    assert set(v.tolist()) <= {0, 1}
+    # mapping dict was filled
+    nt = g.ntypes[0]
+    assert mapping[nt][7] == 0 and mapping[nt][3] == 1
+    # node features are gathered into the new numbering
+    g.ndata["h"] = jnp.arange(g.num_nodes(), dtype=jnp.float32)
+    sg2 = sampling.sample_neighbors_fused(g, [7, 3], 4, seed=1)
+    np.testing.assert_allclose(
+        np.asarray(sg2.ndata["h"]), np.asarray(sg2.ndata[NID]).astype(float)
+    )
+
+
+def test_eid_excluder(g):
+    frontier = sampling.sample_neighbors(g, [0, 1, 2], 5, seed=0)
+    eids = np.asarray(frontier.edata[EID])
+    banned = eids[:2]
+    out = sampling.EidExcluder(banned)(frontier)
+    kept = np.asarray(out.edata[EID])
+    assert not np.isin(kept, banned).any()
+    assert kept.shape[0] == eids.shape[0] - 2
+    # parent EIDs of survivors are preserved
+    assert set(kept.tolist()) == set(eids[2:].tolist())

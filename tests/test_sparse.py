@@ -186,3 +186,84 @@ def test_bcoo_scipy_roundtrip():
     np.testing.assert_allclose(
         np.asarray(A2.to_dense()), m.toarray(), rtol=1e-6
     )
+
+
+def test_named_reductions(A):
+    from dgl_tpu import sparse as dglsp
+
+    dense = np.asarray(A.to_dense())
+    np.testing.assert_allclose(np.asarray(dglsp.sum(A)), dense.sum())
+    np.testing.assert_allclose(
+        np.asarray(dglsp.sum(A, 1)), dense.sum(1)
+    )
+    np.testing.assert_allclose(np.asarray(dglsp.smax(A)), 4.0)
+    np.testing.assert_allclose(np.asarray(dglsp.smin(A)), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(dglsp.smean(A)), np.mean([1.0, 2.0, 3.0, 4.0])
+    )
+    # sprod over nnz and per-row (rows with no nnz -> 0, reference semantics)
+    np.testing.assert_allclose(np.asarray(dglsp.sprod(A)), 24.0)
+    np.testing.assert_allclose(
+        np.asarray(dglsp.sprod(A, 1)), [2.0, 3.0, 4.0]
+    )
+    np.testing.assert_allclose(np.asarray(A.sprod(0)), [4.0, 1.0, 6.0])
+    empty_row = dglsp.from_coo(
+        jnp.array([0]), jnp.array([1]), jnp.array([5.0]), (2, 2)
+    )
+    np.testing.assert_allclose(np.asarray(dglsp.sprod(empty_row, 1)), [5.0, 0.0])
+
+
+def test_sp_prefixed_ops(A):
+    from dgl_tpu import sparse as dglsp
+
+    dense = np.asarray(A.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(dglsp.sp_add(A, A).to_dense()), 2 * dense
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglsp.sp_power(A, 2.0).val), [1, 4, 9, 16]
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglsp.spsp_mul(A, A).to_dense()), dense * dense
+    )
+    # intersection semantics on differing patterns
+    B = dglsp.from_coo(
+        jnp.array([0, 1]), jnp.array([1, 0]), jnp.array([10.0, 7.0]), (3, 3)
+    )
+    prod = dglsp.spsp_mul(A, B)
+    np.testing.assert_allclose(
+        np.asarray(prod.to_dense()), dense * np.asarray(B.to_dense())
+    )
+    assert prod.nnz == 1
+    # vector broadcasts
+    v = jnp.array([[1.0], [2.0], [3.0]])
+    np.testing.assert_allclose(
+        np.asarray(dglsp.sp_mul_v(A, v).to_dense()),
+        dense * np.asarray(v),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglsp.sp_add_v(A, v).val),
+        np.asarray(A.val) + np.asarray(v)[np.asarray(A.row), 0],
+    )
+    assert dglsp.is_scalar(3.0)
+    assert dglsp.is_scalar(jnp.float32(2.0))
+    assert not dglsp.is_scalar(v)
+
+
+def test_torch_sparse_roundtrip(A):
+    import torch
+
+    from dgl_tpu import sparse as dglsp
+
+    dense = np.asarray(A.to_dense())
+    t = dglsp.to_torch_sparse_coo(A)
+    np.testing.assert_allclose(t.to_dense().numpy(), dense)
+    back = dglsp.from_torch_sparse(t)
+    np.testing.assert_allclose(np.asarray(back.to_dense()), dense)
+    csr = dglsp.to_torch_sparse_csr(A)
+    assert csr.layout == torch.sparse_csr
+    np.testing.assert_allclose(csr.to_dense().numpy(), dense)
+    back2 = dglsp.from_torch_sparse(csr)
+    np.testing.assert_allclose(np.asarray(back2.to_dense()), dense)
+    csc = dglsp.to_torch_sparse_csc(A)
+    np.testing.assert_allclose(csc.to_dense().numpy(), dense)
