@@ -8,7 +8,13 @@ tolerates ragged minibatches; XLA cannot). A background prefetch thread
 overlaps sampling + feature gather + host->device transfer with device
 compute (the GraphBolt overlap story, ``graphbolt/dataloader.py:108-191``).
 """
-from .base import Sampler, BlockSampler, as_edge_prediction_sampler, find_exclude_eids
+from .base import (
+    Sampler,
+    BlockSampler,
+    as_edge_prediction_sampler,
+    find_exclude_eids,
+    EdgePredictionSampler,
+)
 from .neighbor_sampler import (
     NeighborSampler,
     MultiLayerNeighborSampler,
@@ -21,8 +27,27 @@ from .graph_loader import GraphDataLoader
 from .negative_sampler import Uniform, GlobalUniform, PerSourceUniform
 from .subgraph_samplers import ClusterGCNSampler, SAINTSampler, ShaDowKHopSampler
 from .hetero_sampler import HeteroFixedShapeNeighborSampler
+from .collators import (
+    TensorizedDataset,
+    DDPTensorizedDataset,
+    create_tensorized_dataset,
+    NodeCollator,
+    EdgeCollator,
+    GraphCollator,
+)
+from .spot_target import SpotTarget
+from .capped import CappedNeighborSampler
 
 __all__ = [
+    "EdgePredictionSampler",
+    "TensorizedDataset",
+    "DDPTensorizedDataset",
+    "create_tensorized_dataset",
+    "NodeCollator",
+    "EdgeCollator",
+    "GraphCollator",
+    "SpotTarget",
+    "CappedNeighborSampler",
     "GraphDataLoader",
     "Sampler",
     "BlockSampler",

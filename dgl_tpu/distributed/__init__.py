@@ -48,6 +48,7 @@ from .dist_minibatch import (
     PartitionedGraphCSC,
     DistNeighborSampler,
     DistNodeDataLoader,
+    DistEdgeDataLoader,
     pull_rows_in_shard_map,
     stack_blocks,
 )
@@ -86,6 +87,7 @@ __all__ = [
     "PartitionedGraphCSC",
     "DistNeighborSampler",
     "DistNodeDataLoader",
+    "DistEdgeDataLoader",
     "pull_rows_in_shard_map",
     "stack_blocks",
 ]

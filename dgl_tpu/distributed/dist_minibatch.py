@@ -317,3 +317,98 @@ class DistNodeDataLoader:
                 [stack_blocks([blocks[p][l] for p in range(self.pg.num_parts)])
                  for l in range(len(self.sampler.fanouts))],
             )
+
+
+class DistEdgeDataLoader:
+    """Distributed edge-prediction loader (reference
+    ``python/dgl/distributed/dist_dataloader.py:843`` ``DistEdgeDataLoader``:
+    trainers iterate their own edge split, sample blocks for the endpoints
+    plus uniform negatives, and train link prediction in lockstep).
+
+    Seeds are edges in the partitioned (new) ID space, split by the dst's
+    owning rank (edges live with their dst partition in CSC). Each step
+    yields per-rank stacked, fixed-shape arrays:
+
+    - ``pos (P, B, 2)`` positive (src, dst) pairs, -1 padded,
+    - ``neg_dst (P, B, K)`` uniform negative dsts,
+    - ``seeds (P, S)`` the unique endpoint ids fed to the sampler
+      (S = B*(2+K)+1, -1 padded),
+    - ``pos_idx (P, B, 2)`` / ``neg_idx (P, B, K)`` positions of each
+      endpoint within ``seeds`` (clamped to 0 on padding — mask via pos/neg
+      -1s),
+    - ``input_nodes (P, S_in)`` and ``blocks`` as in ``DistNodeDataLoader``.
+    """
+
+    def __init__(self, pg: PartitionedGraphCSC, train_edges_new,
+                 fanouts: Sequence[int], batch_size: int,
+                 num_negatives: int = 1, shuffle: bool = True,
+                 seed: Optional[int] = None):
+        edges = np.asarray(train_edges_new, dtype=np.int64)
+        if edges.ndim != 2 or edges.shape[1] != 2:
+            raise DGLError("train_edges_new must be (E, 2) [src, dst] new ids")
+        self.pg = pg
+        self.batch_size = batch_size
+        self.num_negatives = num_negatives
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        owner = np.searchsorted(pg.ranges, edges[:, 1], side="right") - 1
+        self.splits = [edges[owner == p] for p in range(pg.num_parts)]
+        self.steps_per_epoch = max(
+            int(-(-len(s) // batch_size)) for s in self.splits
+        )
+        seed_cap = batch_size * (2 + num_negatives)
+        self.sampler = DistNeighborSampler(pg, fanouts, batch_size=seed_cap)
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def __iter__(self):
+        B, K = self.batch_size, self.num_negatives
+        n_total = int(self.pg.ranges[-1])
+        orders = [
+            self._rng.permutation(len(s)) if self.shuffle
+            else np.arange(len(s))
+            for s in self.splits
+        ]
+        for step in range(self.steps_per_epoch):
+            pos_r, neg_r, seeds_r, pidx_r, nidx_r = [], [], [], [], []
+            in_r, blocks_r = [], []
+            for p in range(self.pg.num_parts):
+                sel = orders[p][step * B : (step + 1) * B]
+                batch = self.splits[p][sel]
+                nb = batch.shape[0]
+                pos = np.full((B, 2), -1, dtype=np.int64)
+                pos[:nb] = batch
+                neg = self._rng.integers(0, n_total, size=(B, K))
+                valid = np.concatenate([pos[:nb].ravel(), neg[:nb].ravel()])
+                uniq = np.unique(valid)
+                cur, _, blks = self.sampler.sample_blocks(uniq)
+                # positions of endpoints within the sampler's seed slots
+                lookup = np.full(n_total, 0, dtype=np.int64)
+                lookup[uniq] = np.arange(uniq.shape[0], dtype=np.int64)
+                pidx = np.where(pos >= 0, lookup[np.maximum(pos, 0)], 0)
+                nidx = lookup[neg]
+                S = self.sampler.batch_size + 1
+                seeds_pad = np.full(S, -1, dtype=np.int64)
+                seeds_pad[: uniq.shape[0]] = uniq
+                pos_r.append(pos)
+                neg_r.append(neg)
+                seeds_r.append(seeds_pad)
+                pidx_r.append(pidx)
+                nidx_r.append(nidx)
+                in_r.append(np.where(cur >= 0, cur, 0))
+                blocks_r.append(blks)
+            yield (
+                jnp.asarray(np.stack(pos_r)),
+                jnp.asarray(np.stack(neg_r)),
+                jnp.asarray(np.stack(seeds_r)),
+                jnp.asarray(np.stack(pidx_r)),
+                jnp.asarray(np.stack(nidx_r)),
+                jnp.asarray(np.stack(in_r)),
+                [stack_blocks([blocks_r[p][l]
+                               for p in range(self.pg.num_parts)])
+                 for l in range(len(self.sampler.fanouts))],
+            )
+
+
+__all__ += ["DistEdgeDataLoader"]

@@ -228,3 +228,131 @@ def test_reverse_types_exclusion():
     np.testing.assert_array_equal(out[("v", "followed-by", "u")], [0, 2])
     with pytest.raises(Exception):
         find_exclude_eids(hg, {"follows": [0]}, "reverse_types")
+
+
+def test_tensorized_dataset():
+    ds = dataloading.TensorizedDataset(np.arange(10), 3)
+    batches = list(ds)
+    assert len(batches) == len(ds) == 4
+    assert np.concatenate(batches).tolist() == list(range(10))
+    ds2 = dataloading.TensorizedDataset(np.arange(10), 3, drop_last=True)
+    assert len(list(ds2)) == len(ds2) == 3
+    # hetero flattening
+    dsd = dataloading.TensorizedDataset(
+        {"a": np.arange(2), "b": np.arange(3)}, 2
+    )
+    items = [it for b in dsd for it in b]
+    assert ("a", 0) in items and ("b", 2) in items and len(items) == 5
+
+
+def test_ddp_tensorized_dataset():
+    # 10 items over 3 ranks: padded by wrap-around to 4 each
+    per_rank = [
+        list(dataloading.DDPTensorizedDataset(
+            np.arange(10), 2, rank=r, world_size=3))
+        for r in range(3)
+    ]
+    lens = [len(b) for b in per_rank]
+    assert lens == [2, 2, 2]  # equal step counts
+    seen = np.concatenate([np.concatenate(b) for b in per_rank])
+    assert set(seen.tolist()) == set(range(10))
+    # factory
+    ds = dataloading.create_tensorized_dataset(
+        np.arange(8), 2, use_ddp=True, rank=1, world_size=2
+    )
+    assert isinstance(ds, dataloading.DDPTensorizedDataset)
+
+
+def test_node_collator(g):
+    sampler = dataloading.NeighborSampler([3, 3], seed=0)
+    coll = dataloading.NodeCollator(g, np.arange(10), sampler)
+    input_nodes, output_nodes, blocks = coll.collate([0, 1, 2])
+    assert np.asarray(output_nodes).tolist() == [0, 1, 2]
+    assert len(blocks) == 2
+    assert blocks[-1].num_dst_nodes() == 3
+
+
+def test_edge_collator(g):
+    sampler = dataloading.NeighborSampler([3], seed=0)
+    coll = dataloading.EdgeCollator(
+        g, np.arange(g.num_edges()), sampler, exclude="self",
+        negative_sampler=dataloading.Uniform(2, seed=0),
+    )
+    out = coll.collate([0, 5, 9])
+    input_nodes, pair_graph, neg_graph, blocks = out
+    assert pair_graph.num_edges() == 3
+    assert neg_graph.num_edges() == 6
+
+
+def test_graph_collator():
+    gs = [
+        dgl.graph((np.array([0]), np.array([1])), num_nodes=3)
+        for _ in range(4)
+    ]
+    labels = np.arange(4.0)
+    coll = dataloading.GraphCollator()
+    bg, bl = coll.collate(list(zip(gs, labels)))
+    assert bg.num_nodes() == 12 and bg.num_edges() == 4
+    np.testing.assert_allclose(np.asarray(bl), labels)
+
+
+def test_spot_target(g):
+    st = dataloading.SpotTarget(g, exclude="self", degree_threshold=1000)
+    seed_edges = np.array([0, 1, 2])
+    excl = st(seed_edges)
+    # threshold higher than any degree: everything excluded
+    assert np.asarray(excl).tolist() == [0, 1, 2]
+    st0 = dataloading.SpotTarget(g, exclude="self", degree_threshold=0)
+    assert np.asarray(st0(seed_edges)).size == 0
+    # as exclusion callable inside the edge-prediction sampler
+    sampler = dataloading.NeighborSampler([3], seed=0)
+    eps = dataloading.as_edge_prediction_sampler(sampler, exclude=st)
+    input_nodes, pair_graph, blocks = eps.sample(g, seed_edges)
+    assert pair_graph.num_edges() == 3
+
+
+def test_capped_neighbor_sampler(g):
+    sampler = dataloading.CappedNeighborSampler(
+        [5, 5], fixed_k=7, upsample_rare_types=False, seed=0
+    )
+    last_seeds, output_nodes, subg = sampler.sample(g, np.arange(4))
+    assert np.asarray(output_nodes).tolist() == [0, 1, 2, 3]
+    # per-layer frontier capped at fixed_k
+    assert np.asarray(last_seeds).shape[0] <= 7
+    # induced subgraph contains all the seeds
+    nid = set(np.asarray(subg.ndata[NID]).tolist())
+    assert {0, 1, 2, 3} <= nid
+
+
+def test_dist_edge_dataloader():
+    from dgl_tpu.distributed import (
+        DistEdgeDataLoader, PartitionedGraphCSC,
+        metis_partition_assignment,
+    )
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    g = dgl.graph((src, dst), num_nodes=40)
+    parts = metis_partition_assignment(g, 2)
+    pg = PartitionedGraphCSC.build(g, parts, 2)
+    # train edges in new-id space
+    new = np.asarray(pg.new_of_old)
+    edges_new = np.stack([new[src[:50]], new[dst[:50]]], 1)
+    loader = DistEdgeDataLoader(
+        pg, edges_new, fanouts=[3], batch_size=4, num_negatives=2, seed=0
+    )
+    steps = 0
+    for pos, neg, seeds, pidx, nidx, in_nodes, blocks in loader:
+        steps += 1
+        P, B = pos.shape[0], pos.shape[1]
+        assert P == 2 and B == 4
+        assert neg.shape == (2, 4, 2)
+        # every non-padding endpoint resolves to its own id via seeds[pidx]
+        pos_np, seeds_np, pidx_np = (np.asarray(x) for x in (pos, seeds, pidx))
+        for p in range(P):
+            valid = pos_np[p] >= 0
+            got = seeds_np[p][pidx_np[p]]
+            assert (got[valid] == pos_np[p][valid]).all()
+        assert len(blocks) == 1
+    assert steps == len(loader) > 0
