@@ -145,7 +145,16 @@ from .transforms.functional import (
     pairwise_squared_distance,
     rcmk_perm,
     metis_perm,
+    knn,
+    is_bidirected,
+    update_graph_structure,
 )
+from .partition_mod import (
+    partition_graph_with_halo,
+    metis_partition,
+    reshuffle_graph,
+)
+from .distributed.partition import metis_partition_assignment
 from .convert import (
     to_networkx,
     bipartite_from_scipy,

@@ -1147,3 +1147,80 @@ def sort_csc_by_tag(g: Graph, tag, tag_offset_name: str = "_TAG_OFFSET"):
 
 
 __all__ += ["sort_csr_by_tag", "sort_csc_by_tag"]
+
+
+def knn(k: int, x, x_segs, y=None, y_segs=None,
+        algorithm: str = "bruteforce", dist: str = "euclidean"):
+    """Segmented k-nearest-neighbor query (reference
+    ``transforms/functional.py:641`` / C++ ``_CAPI_DGLKNN``): for each point
+    in each segment of ``y``, the ``k`` nearest points in the SAME segment of
+    ``x``. Returns an int array of shape (2, len(y)*k): row 0 = x indices
+    (neighbors), row 1 = y indices (queries). ``y=None`` self-queries ``x``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x_segs = np.asarray(x_segs, dtype=np.int64)
+    if y is None:
+        y, y_segs = x, x_segs
+    else:
+        y = np.asarray(y, dtype=np.float64)
+        y_segs = np.asarray(y_segs, dtype=np.int64)
+    if x_segs.shape != y_segs.shape:
+        raise DGLError("x_segs and y_segs must have the same length")
+    if dist == "cosine":
+        x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-5)
+        y = y / (np.linalg.norm(y, axis=1, keepdims=True) + 1e-5)
+    elif dist != "euclidean":
+        raise DGLError(f"unknown dist {dist!r}")
+    x_off = np.concatenate([[0], np.cumsum(x_segs)])
+    y_off = np.concatenate([[0], np.cumsum(y_segs)])
+    src = np.empty(y.shape[0] * k, dtype=np.int64)
+    dst = np.empty(y.shape[0] * k, dtype=np.int64)
+    for s in range(x_segs.shape[0]):
+        xs = x[x_off[s]: x_off[s + 1]]
+        ys = y[y_off[s]: y_off[s + 1]]
+        if xs.shape[0] < k:
+            raise DGLError(
+                f"segment {s} has {xs.shape[0]} x-points < k={k}"
+            )
+        d = ((ys[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+        nn = np.argsort(d, axis=1, kind="stable")[:, :k] + x_off[s]
+        lo = y_off[s] * k
+        hi = y_off[s + 1] * k
+        src[lo:hi] = nn.reshape(-1)
+        dst[lo:hi] = np.repeat(
+            np.arange(y_off[s], y_off[s + 1], dtype=np.int64), k
+        )
+    return np.stack([src, dst])
+
+
+def is_bidirected(g: Graph) -> bool:
+    """True iff for every edge (u, v) there is a matching (v, u), with
+    multiplicity (reference ``transforms/module.py:1294``)."""
+    src, dst = (np.asarray(a) for a in g.edges())
+    n = g.num_nodes()
+    fwd = np.sort(src.astype(np.int64) * n + dst)
+    bwd = np.sort(dst.astype(np.int64) * n + src)
+    return bool(np.array_equal(fwd, bwd))
+
+
+def update_graph_structure(g: Graph, data_dict, copy_edata: bool = True) -> Graph:
+    """Rebuild the graph with new structure, carrying node (and optionally
+    edge) features over (reference ``transforms/module.py:60``)."""
+    from .. import convert
+
+    num_nodes_dict = {nt: g.num_nodes(nt) for nt in g.ntypes}
+    new_g = convert.heterograph(
+        data_dict, num_nodes_dict=num_nodes_dict, idtype=g.idtype
+    )
+    for nt in g.ntypes:
+        for key, feat in g._node_frames.get(nt, {}).items():
+            new_g._node_frames.setdefault(nt, {})[key] = feat
+    if copy_edata:
+        for cet in g.canonical_etypes:
+            if cet in new_g._relations:
+                for key, feat in g._edge_frames.get(cet, {}).items():
+                    new_g._edge_frames.setdefault(cet, {})[key] = feat
+    return new_g
+
+
+__all__ += ["knn", "is_bidirected", "update_graph_structure"]

@@ -308,3 +308,119 @@ def test_module_transform_wrappers():
     out = T.AddMetaPaths({"aba": ["ab", "ba"]})(hg)
     assert ("a", "aba", "a") in out.canonical_etypes
     assert ("a", "ab", "b") in out.canonical_etypes
+
+
+def test_knn_segmented_query():
+    import dgl_tpu as dgl
+
+    rng = np.random.default_rng(0)
+    # two segments of x, self-query
+    x = rng.normal(size=(12, 3))
+    segs = np.array([7, 5])
+    out = dgl.knn(2, x, segs)
+    assert out.shape == (2, 24)
+    src, dst = out
+    # queries in segment 0 only match x points in segment 0
+    assert (src[dst < 7] < 7).all() and (src[dst >= 7] >= 7).all()
+    # nearest neighbor of each self-query point is itself
+    self_hits = src[::2]
+    np.testing.assert_array_equal(self_hits, np.arange(12))
+    # separate y query
+    y = x[:4] + 1e-9
+    yout = dgl.knn(1, x, segs, y=y, y_segs=np.array([4, 0]))
+    np.testing.assert_array_equal(yout[0], np.arange(4))
+    # brute-force check vs scipy on one segment
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(x[:7])
+    _, idx = tree.query(x[:7], k=2)
+    got = src[dst < 7].reshape(7, 2)
+    assert set(map(tuple, np.sort(got, 1))) == set(
+        map(tuple, np.sort(idx, 1))
+    )
+
+
+def test_is_bidirected():
+    import dgl_tpu as dgl
+
+    g1 = dgl.graph((np.array([0, 1]), np.array([1, 0])), num_nodes=2)
+    assert dgl.is_bidirected(g1)
+    g2 = dgl.graph((np.array([0, 1]), np.array([1, 2])), num_nodes=3)
+    assert not dgl.is_bidirected(g2)
+    # multiplicity matters
+    g3 = dgl.graph(
+        (np.array([0, 0, 1]), np.array([1, 1, 0])), num_nodes=2
+    )
+    assert not dgl.is_bidirected(g3)
+
+
+def test_update_graph_structure():
+    import dgl_tpu as dgl
+
+    g = dgl.graph((np.array([0, 1]), np.array([1, 2])), num_nodes=4)
+    g.ndata["h"] = jnp.arange(4.0)
+    g.edata["w"] = jnp.arange(2.0)
+    nt, et = g.ntypes[0], g.canonical_etypes[0]
+    new_g = dgl.update_graph_structure(
+        g, {et: (np.array([2, 3]), np.array([0, 1]))}
+    )
+    assert new_g.num_nodes() == 4 and new_g.num_edges() == 2
+    np.testing.assert_allclose(np.asarray(new_g.ndata["h"]), np.arange(4.0))
+    u, v = (np.asarray(a) for a in new_g.edges())
+    assert u.tolist() == [2, 3] and v.tolist() == [0, 1]
+
+
+def test_partition_graph_with_halo():
+    import dgl_tpu as dgl
+    from dgl_tpu.base import NID
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(0, 30, 200)
+    g = dgl.graph((src, dst), num_nodes=30)
+    node_part = (np.arange(30) >= 15).astype(np.int64)
+    parts, orig_nids, orig_eids = dgl.partition_graph_with_halo(
+        g, node_part, extra_cached_hops=1
+    )
+    assert orig_nids is None and set(parts) == {0, 1}
+    # inner nodes of part p are exactly the assigned ones
+    for p in (0, 1):
+        sub = parts[p]
+        nid = np.asarray(sub.ndata[NID])
+        inner = np.asarray(sub.ndata["inner_node"]).astype(bool)
+        assert set(nid[inner].tolist()) == set(
+            np.nonzero(node_part == p)[0].tolist()
+        )
+        # halo nodes are 1-hop in-neighbors of inner nodes
+        halo = set(nid[~inner].tolist())
+        expect_halo = set(src[np.isin(dst, nid[inner])].tolist()) - set(
+            nid[inner].tolist()
+        )
+        assert halo == expect_halo
+        # inner edges point at inner nodes
+        _, d = sub.edges()
+        ie = np.asarray(sub.edata["inner_edge"]).astype(bool)
+        assert set(np.asarray(d)[ie].tolist()) <= set(
+            np.nonzero(inner)[0].tolist()
+        )
+    # reshuffle round-trips ids
+    parts_r, orig_n, orig_e = dgl.partition_graph_with_halo(
+        g, node_part, 1, reshuffle=True
+    )
+    assert orig_n is not None and np.sort(orig_n).tolist() == list(range(30))
+    assert np.sort(orig_e).tolist() == list(range(200))
+
+
+def test_metis_partition_subgraphs():
+    import dgl_tpu as dgl
+
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 50, 400)
+    g = dgl.graph((src, dst), num_nodes=50)
+    parts = dgl.metis_partition(g, 3, extra_cached_hops=1)
+    assert set(parts) == {0, 1, 2}
+    inner_total = sum(
+        int(np.asarray(p.ndata["inner_node"]).sum()) for p in parts.values()
+    )
+    assert inner_total == 50
