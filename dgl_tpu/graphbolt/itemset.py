@@ -6,7 +6,7 @@ from typing import Dict, Tuple, Union
 
 import numpy as np
 
-__all__ = ["ItemSet", "ItemSetDict"]
+__all__ = ["ItemSet", "ItemSetDict", "HeteroItemSet"]
 
 
 class ItemSet:
@@ -59,3 +59,9 @@ class ItemSetDict:
 
     def items(self):
         return self._sets.items()
+
+
+class HeteroItemSet(ItemSetDict):
+    """Reference name for the per-type item set collection
+    (``python/dgl/graphbolt/itemset.py`` HeteroItemSet, the successor of
+    ItemSetDict). Iteration/indexing semantics are inherited."""

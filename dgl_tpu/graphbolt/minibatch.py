@@ -20,6 +20,7 @@ class MiniBatch:
     edge_features: List[Dict[str, Any]] = field(default_factory=list)
     negative_srcs: Any = None
     negative_dsts: Any = None
+    timestamp: Any = None             # per-seed timestamps (temporal sampling)
 
     def num_seeds(self):
         return None if self.seeds is None else len(self.seeds)

@@ -292,3 +292,206 @@ def test_dataloader_overlap_copy_preserves_batches(g):
         np.testing.assert_array_equal(s0, s1)
         np.testing.assert_array_equal(s0, s2)
         np.testing.assert_allclose(f0, f1)
+
+
+def test_gb_base_index_utils():
+    # expand_indptr / indptr_edge_ids / isin / index_select
+    indptr = np.array([0, 2, 5, 7])
+    np.testing.assert_array_equal(
+        gb.expand_indptr(indptr, dtype=np.int64),
+        [0, 0, 1, 1, 1, 2, 2],
+    )
+    np.testing.assert_array_equal(
+        gb.expand_indptr(indptr, node_ids=np.array([10, 20, 30])),
+        [10, 10, 20, 20, 20, 30, 30],
+    )
+    np.testing.assert_array_equal(
+        gb.indptr_edge_ids(indptr, dtype=np.int64),
+        [0, 1, 0, 1, 2, 0, 1],
+    )
+    np.testing.assert_array_equal(
+        gb.indptr_edge_ids(indptr, offset=np.array([0, 100, 200])),
+        [0, 1, 100, 101, 102, 200, 201],
+    )
+    np.testing.assert_array_equal(
+        gb.isin(np.array([1, 2, 3, 4]), np.array([2, 3])),
+        [False, True, True, False],
+    )
+    np.testing.assert_array_equal(
+        gb.index_select(np.arange(10) * 2, np.array([1, 3])), [2, 6]
+    )
+
+
+def test_gb_etype_codecs():
+    assert gb.etype_tuple_to_str(("user", "like", "item")) == "user:like:item"
+    assert gb.etype_str_to_tuple("user:like:item") == ("user", "like", "item")
+    assert gb.seed_type_str_to_ntypes("user:like:item", 2) == ["user", "item"]
+    assert gb.seed_type_str_to_ntypes("q:u:i", 3) == ["q", "u", "i"]
+
+
+def test_gb_unique_and_compact():
+    nodes = [np.array([5, 2, 5]), np.array([2, 7])]
+    uniq, compacted, offsets = gb.unique_and_compact(nodes)
+    np.testing.assert_array_equal(uniq, [5, 2, 7])  # first-occurrence order
+    np.testing.assert_array_equal(compacted[0], [0, 1, 0])
+    np.testing.assert_array_equal(compacted[1], [1, 2])
+    np.testing.assert_array_equal(offsets, [0, 3])
+    # round-trip: uniq[compacted] == original
+    for orig, comp in zip(nodes, compacted):
+        np.testing.assert_array_equal(uniq[comp], orig)
+    # cooperative layout: rank-rotated owner grouping
+    uniq2, comp2, off2 = gb.unique_and_compact(
+        [np.array([0, 1, 2, 3, 4, 5])], rank=1, world_size=2
+    )
+    # rank-1 owned (odd) ids come first
+    assert (uniq2[: off2[1]] % 2 == 1).all()
+    assert (uniq2[off2[1]:] % 2 == 0).all()
+    np.testing.assert_array_equal(uniq2[comp2[0]], [0, 1, 2, 3, 4, 5])
+    # hetero dict form + async wrapper
+    fut = gb.unique_and_compact({"a": [np.array([3, 3, 1])]}, async_op=True)
+    u, c, o = fut.wait()
+    np.testing.assert_array_equal(u["a"], [3, 1])
+
+
+def test_gb_compact_csc_formats():
+    csc = gb.CSCFormatBase(
+        indptr=np.array([0, 1, 3]), indices=np.array([7, 7, 9])
+    )
+    dst = np.array([1, 2])
+    # compact (no unique): rows renumbered after the dsts, repeats distinct
+    orig_rows, comp = gb.compact_csc_format(csc, dst)
+    np.testing.assert_array_equal(orig_rows, [1, 2, 7, 7, 9])
+    np.testing.assert_array_equal(comp.indices, [2, 3, 4])
+    # with timestamps: dst stamps broadcast to srcs
+    orig_rows2, comp2, src_ts = gb.compact_csc_format(
+        csc, dst, dst_timestamps=np.array([10, 20])
+    )
+    np.testing.assert_array_equal(src_ts, [10, 20, 10, 20, 20])
+    # unique variant: dst first, then unique rows
+    uniq, ucomp, off = gb.unique_and_compact_csc_formats(csc, dst)
+    np.testing.assert_array_equal(uniq, [1, 2, 7, 9])
+    np.testing.assert_array_equal(uniq[ucomp.indices], [7, 7, 9])
+    # temporal compact without unique
+    n, t, c = gb.compact_temporal_nodes(
+        [np.array([4, 5])], [np.array([1, 2])]
+    )
+    np.testing.assert_array_equal(n, [4, 5])
+    np.testing.assert_array_equal(c[0], [0, 1])
+
+
+def test_gb_reflection_utils():
+    mb = gb.MiniBatch(seeds=np.arange(3))
+    attrs = gb.get_attributes(mb)
+    assert "seeds" in attrs and "labels" in attrs
+    assert gb.is_listlike([1]) and not gb.is_listlike(np.arange(2))
+    assert gb.is_scalar(3) and gb.is_scalar(np.float32(1.0))
+    assert not gb.is_scalar(np.arange(2))
+    moved = gb.apply_to({"x": np.arange(3), "s": "keep"}, "cpu")
+    np.testing.assert_array_equal(moved["x"], [0, 1, 2])
+    assert moved["s"] == "keep"
+    out = gb.recursive_apply([{"a": 1}, (2, 3)], lambda v: v * 10)
+    assert out[0]["a"] == 10 and out[1] == (20, 30)
+    assert gb.recursive_apply_reduce_all([1, {"b": 2}], lambda v: v > 0)
+    assert not gb.built_with_cuda()
+    assert gb.bytes_to_number_of_items(100, np.zeros((4, 5), np.float32)) == 5
+
+
+def test_gb_cooperative_helpers():
+    assert gb.count_split(10, 3, 0) == 4
+    assert gb.count_split(10, 3, 2) == 3
+    assert gb.calculate_range(10, 3, 1) == (4, 7)
+    assert gb.revert_to_homo({"_N": 5}) == 5
+    assert gb.revert_to_homo({"a": 5, "b": 6}) == {"a": 5, "b": 6}
+    assert gb.convert_to_hetero(5) == {"_N": 5}
+    # single-process all_to_all is a copy
+    outs = [np.zeros(2), np.zeros(2)]
+    ins = [np.ones(2), 2 * np.ones(2)]
+    gb.all_to_all(outs, ins)
+    np.testing.assert_array_equal(outs[0], [1, 1])
+    np.testing.assert_array_equal(outs[1], [2, 2])
+
+
+def test_gb_sample_compact_per_layer(g):
+    fused = gb.from_dglgraph(g)
+    src = gb.ItemSampler(gb.ItemSet(np.arange(6), "seeds"), batch_size=6)
+    dp = gb.SamplePerLayer(src, fused, fanout=4, seed=0)
+    dp = gb.CompactPerLayer(dp)
+    mbs = list(dp)
+    assert len(mbs) == 1
+    mb = mbs[0]
+    sub = mb.sampled_subgraphs[0]
+    # compacted: dst ids occupy the first 6 slots of the unique space
+    np.testing.assert_array_equal(sub.original_row_node_ids[:6], np.arange(6))
+    assert sub.sampled_csc.indices.max() < len(sub.original_row_node_ids)
+    # reference semantics: uniq[compacted] == original rows
+    raw = gb.SamplePerLayer(
+        gb.ItemSampler(gb.ItemSet(np.arange(6), "seeds"), batch_size=6),
+        fused, fanout=4, seed=0,
+    )
+    raw_mb = list(raw)[0]
+    np.testing.assert_array_equal(
+        sub.original_row_node_ids[sub.sampled_csc.indices],
+        raw_mb.sampled_subgraphs[0].sampled_csc.indices,
+    )
+
+
+def test_gb_distributed_item_sampler():
+    items = gb.ItemSet(np.arange(10), "seeds")
+    per_rank = [
+        np.concatenate([
+            np.asarray(mb.seeds) for mb in gb.DistributedItemSampler(
+                items, batch_size=2, rank=r, world_size=2,
+                drop_uneven_inputs=True,
+            )
+        ])
+        for r in range(2)
+    ]
+    assert len(per_rank[0]) == len(per_rank[1]) == 5
+    assert set(np.concatenate(per_rank).tolist()) == set(range(10))
+    # shuffled variant still partitions without overlap
+    per_rank_s = [
+        set(np.concatenate([
+            np.asarray(mb.seeds) for mb in gb.DistributedItemSampler(
+                items, batch_size=3, shuffle=True, rank=r, world_size=2)
+        ]).tolist())
+        for r in range(2)
+    ]
+    assert per_rank_s[0].isdisjoint(per_rank_s[1])
+    assert per_rank_s[0] | per_rank_s[1] == set(range(10))
+    # HeteroItemSet is the ItemSetDict successor
+    his = gb.HeteroItemSet({"a": gb.ItemSet(np.arange(3), "seeds")})
+    assert len(his) == 3
+
+
+def test_gb_minibatcher_default():
+    mb = gb.minibatcher_default(np.arange(4), ("seeds",))
+    np.testing.assert_array_equal(mb.seeds, np.arange(4))
+    mb2 = gb.minibatcher_default(
+        (np.arange(4), np.ones(4)), ("seeds", "labels")
+    )
+    np.testing.assert_array_equal(mb2.labels, np.ones(4))
+    with pytest.raises(AttributeError):
+        gb.minibatcher_default((np.arange(2),) * 2, ("seeds", "bogus"))
+
+
+def test_gb_temporal_sampler_stage(g):
+    # node timestamps: node i born at time i
+    fused = gb.from_dglgraph(g)
+    fused.node_attributes["ts"] = np.arange(g.num_nodes(), dtype=np.int64)
+    src = gb.ItemSampler(gb.ItemSet(np.array([50, 80]), "seeds"), batch_size=2)
+
+    def attach_ts(mb):
+        mb.timestamp = np.asarray(mb.seeds)
+        return mb
+
+    dp = gb.MiniBatchTransformer(src, attach_ts)
+    dp = gb.TemporalNeighborSampler(
+        dp, fused, fanouts=[5], node_timestamp_attr="ts", seed=0
+    )
+    mb = list(dp)[0]
+    sub = mb.sampled_subgraphs[0]
+    deg = np.diff(sub.sampled_csc.indptr)
+    rows = sub.sampled_csc.indices
+    owners = np.repeat(np.array([50, 80]), deg)
+    # every sampled neighbor is no newer than its seed
+    assert (rows <= owners).all()
