@@ -495,3 +495,115 @@ def test_gb_temporal_sampler_stage(g):
     owners = np.repeat(np.array([50, 80]), deg)
     # every sampled neighbor is no newer than its seed
     assert (rows <= owners).all()
+
+
+def test_gb_datapipe_graph_utils(g):
+    fused = gb.from_dglgraph(g)
+    src = gb.ItemSampler(gb.ItemSet(np.arange(4), "seeds"), batch_size=2)
+    samp = gb.SamplePerLayer(src, fused, fanout=2, seed=0)
+    end = gb.EndMarker(samp)
+    graph = gb.traverse_dps(end)
+    assert len(graph) == 3
+    assert gb.find_dps(graph, gb.SamplePerLayer) == [samp]
+    adj = gb.datapipe_graph_to_adjlist(graph)
+    assert adj[id(end)] == [id(samp)]
+    # replace the sampler with a compacted version
+    samp2 = gb.SamplePerLayer(src, fused, fanout=2, seed=0)
+    comp = gb.CompactPerLayer(samp2)
+    gb.replace_dp(graph, samp, comp)
+    assert end.source is comp
+    mbs = list(end)
+    assert len(mbs) == 2 and mbs[0].sampled_subgraphs
+
+
+def test_gb_bufferer_waiter(g):
+    src = gb.ItemSampler(gb.ItemSet(np.arange(6), "seeds"), batch_size=2)
+    buf = gb.Bufferer(src, buffer_size=2)
+    out = [np.asarray(mb.seeds) for mb in buf]
+    np.testing.assert_array_equal(np.concatenate(out), np.arange(6))
+
+    class _Fut:
+        def __init__(self, v):
+            self.v = v
+
+        def wait(self):
+            return self.v
+
+    waited = list(gb.Waiter([_Fut(1), 2, _Fut(3)]))
+    assert waited == [1, 2, 3]
+    # prefetcher alias behaves like Bufferer
+    out2 = [np.asarray(mb.seeds) for mb in gb.PrefetcherIterDataPipe(
+        gb.ItemSampler(gb.ItemSet(np.arange(6), "seeds"), batch_size=2))]
+    np.testing.assert_array_equal(np.concatenate(out2), np.arange(6))
+
+
+def test_gb_multiprocessing_wrapper(g):
+    fused = gb.from_dglgraph(g)
+
+    def pipe():
+        s = gb.ItemSampler(gb.ItemSet(np.arange(12), "seeds"), batch_size=3)
+        return gb.SamplePerLayer(s, fused, fanout=3, seed=7)
+
+    serial = [mb.sampled_subgraphs[0].sampled_csc.indices
+              for mb in pipe()]
+    wrapped = gb.MultiprocessingWrapper(pipe(), num_workers=3)
+    parallel = [mb.sampled_subgraphs[0].sampled_csc.indices
+                for mb in wrapped]
+    assert len(serial) == len(parallel) == 4
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gb_feature_stores_torch():
+    import torch
+
+    t = torch.arange(12, dtype=torch.float32).reshape(6, 2)
+    feat = gb.TorchBasedFeature(t)
+    np.testing.assert_allclose(feat.read(np.array([1, 3]))[:, 0], [2, 6])
+    assert feat.size() == (2,) and feat.count() == 6
+    feat.update(torch.zeros(1, 2), np.array([0]))
+    np.testing.assert_allclose(feat.read(np.array([0])), [[0, 0]])
+    store = gb.TorchBasedFeatureStore(
+        [{"domain": "node", "type": "_N", "name": "x", "tensor": t}]
+    )
+    assert ("node", "_N", "x") in store
+    keys = gb.get_feature_key_list(store)
+    assert keys[0] == gb.FeatureKey("node", "_N", "x")
+    # BasicFeatureStore accepts plain arrays
+    basic = gb.BasicFeatureStore(
+        {("node", "_N", "y"): np.arange(4.0)[:, None]}
+    )
+    np.testing.assert_allclose(
+        basic.read("node", "_N", "y", np.array([2])), [[2.0]]
+    )
+
+
+def test_gb_cpu_cached_feature():
+    base = gb.NumpyFeature(np.arange(40.0).reshape(10, 4))
+    cf = gb.cpu_cached_feature(base, max_cache_size_in_bytes=4 * 4 * 3)
+    ids = np.array([1, 2, 1, 3, 1])
+    np.testing.assert_allclose(cf.read(ids), np.asarray(base.read(ids)))
+    np.testing.assert_allclose(cf.read(ids), np.asarray(base.read(ids)))
+    assert cf.hit_rate > 0  # second read hits the filled cache
+    # shared cache with offsets (two features, one cache)
+    cache = gb.CPUFeatureCache((4, 4), np.float64)
+    f1 = gb.CPUCachedFeature(base, cache, offset=0)
+    f2 = gb.CPUCachedFeature(base, cache, offset=100)
+    np.testing.assert_allclose(f1.read(np.array([0])), [[0, 1, 2, 3]])
+    np.testing.assert_allclose(f2.read(np.array([0])), [[0, 1, 2, 3]])
+
+
+def test_gb_device_cached_feature():
+    base = gb.NumpyFeature(np.arange(20.0).reshape(10, 2))
+    dc = gb.gpu_cached_feature(base, max_cache_size_in_bytes=2 * 8 * 5)
+    ids = np.array([0, 4, 9, 2])  # 0/4/2 hot (first 5 rows), 9 cold
+    np.testing.assert_allclose(
+        np.asarray(dc.read(ids)), np.asarray(base.read(ids))
+    )
+    assert dc.hits == 3 and dc.misses == 1
+    assert isinstance(dc, gb.GPUCachedFeature)
+    # wrap_with_cached_feature over a dict
+    wrapped = gb.wrap_with_cached_feature(
+        {"a": base}, max_cache_size_in_bytes=64
+    )
+    assert isinstance(wrapped["a"], gb.CPUCachedFeature)
