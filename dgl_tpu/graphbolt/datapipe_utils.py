@@ -165,3 +165,68 @@ class MultiprocessingWrapper(_Stage):
         with ThreadPoolExecutor(self.num_workers) as pool:
             # ordered map of the stage body over its upstream items
             yield from pool.map(dp._apply, dp.source)
+
+
+class Node:
+    """Visualization node for a pipeline stage (reference
+    ``datapipes/visualization.py:26``)."""
+
+    def __init__(self, dp):
+        self.dp = dp
+        self.name = type(dp).__name__
+        self.childs = set()
+
+    def add_child(self, child):
+        self.childs.add(child)
+
+    def __eq__(self, other):
+        return isinstance(other, Node) and other.dp is self.dp
+
+    def __hash__(self):
+        return id(self.dp)
+
+    def __str__(self):
+        return self.name
+
+    def __repr__(self):
+        return f"{self}-{hash(self)}"
+
+
+def to_nodes(dp, *, debug: bool = False):
+    """Set of visualization nodes of a pipeline (reference
+    ``datapipes/visualization.py:67``)."""
+    graph = traverse_dps(dp)
+    by_id = {key: Node(stage) for key, (stage, _) in graph.items()}
+    for key, (stage, inputs) in graph.items():
+        for inp in inputs:
+            if inp in by_id:
+                by_id[inp].add_child(by_id[key])
+    return set(by_id.values())
+
+
+def to_graph(dp, *, debug: bool = False):
+    """Graphviz digraph of a pipeline (reference
+    ``datapipes/visualization.py:140``); returns a DOT source string when
+    the graphviz package is absent (it is not baked into this image)."""
+    nodes = to_nodes(dp, debug=debug)
+    edges = [
+        (str(n), str(c)) for n in nodes for c in n.childs
+    ]
+    try:
+        import graphviz
+
+        dot = graphviz.Digraph()
+        for n in nodes:
+            dot.node(repr(n), str(n))
+        for n in nodes:
+            for c in n.childs:
+                dot.edge(repr(n), repr(c))
+        return dot
+    except ImportError:
+        lines = ["digraph pipeline {"]
+        lines += [f'  "{a}" -> "{b}";' for a, b in sorted(edges)]
+        lines.append("}")
+        return "\n".join(lines)
+
+
+__all__ += ["Node", "to_nodes", "to_graph"]

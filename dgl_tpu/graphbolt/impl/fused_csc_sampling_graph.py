@@ -417,3 +417,95 @@ def from_dglgraph(g, is_homogeneous: bool = True) -> FusedCSCSamplingGraph:
         indices = indices[keep]
         eids = eids[keep]
     return FusedCSCSamplingGraph(indptr, indices, edge_ids=eids)
+
+
+def _shm_write(name: str, arrays: dict):
+    """Serialize named int64/float arrays into one POSIX shared-memory
+    block with a small JSON header."""
+    import json
+    from multiprocessing import shared_memory
+
+    header = {}
+    offset = 0
+    blobs = []
+    for key, arr in arrays.items():
+        if arr is None:
+            continue
+        arr = np.ascontiguousarray(arr)
+        header[key] = {
+            "dtype": str(arr.dtype), "shape": list(arr.shape),
+            "offset": offset,
+        }
+        blobs.append(arr)
+        offset += arr.nbytes
+    hdr = json.dumps(header).encode()
+    total = 8 + len(hdr) + offset
+    try:
+        shm = shared_memory.SharedMemory(name=name, create=True, size=total)
+    except FileExistsError:
+        old = shared_memory.SharedMemory(name=name)
+        old.close()
+        old.unlink()
+        shm = shared_memory.SharedMemory(name=name, create=True, size=total)
+    shm.buf[:8] = len(hdr).to_bytes(8, "little")
+    shm.buf[8:8 + len(hdr)] = hdr
+    base = 8 + len(hdr)
+    for key, arr in zip([k for k in header], blobs):
+        o = base + header[key]["offset"]
+        shm.buf[o:o + arr.nbytes] = arr.tobytes()
+    return shm
+
+
+def _shm_read(name: str):
+    import json
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(name=name)
+    hlen = int.from_bytes(bytes(shm.buf[:8]), "little")
+    header = json.loads(bytes(shm.buf[8:8 + hlen]).decode())
+    base = 8 + hlen
+    out = {}
+    for key, spec in header.items():
+        o = base + spec["offset"]
+        dt = np.dtype(spec["dtype"])
+        count = int(np.prod(spec["shape"])) if spec["shape"] else 1
+        # copy the bytes out first: a live frombuffer view would keep the
+        # shm buffer exported and make close() raise BufferError
+        raw = bytes(shm.buf[o:o + count * dt.itemsize])
+        out[key] = np.frombuffer(raw, dtype=dt).reshape(spec["shape"])
+    shm.close()
+    return out
+
+
+def load_from_shared_memory(shared_memory_name: str) -> FusedCSCSamplingGraph:
+    """Attach a graph previously published with
+    :meth:`FusedCSCSamplingGraph.copy_to_shared_memory` (reference
+    ``fused_csc_sampling_graph.py:1684``) — the reference's server/client
+    shared-partition trick, over POSIX shm."""
+    arrays = _shm_read(shared_memory_name)
+    return FusedCSCSamplingGraph(
+        arrays["csc_indptr"],
+        arrays["indices"],
+        node_type_offset=arrays.get("node_type_offset"),
+        type_per_edge=arrays.get("type_per_edge"),
+        edge_ids=arrays.get("edge_ids"),
+    )
+
+
+def _copy_to_shared_memory(self, shared_memory_name: str):
+    """Publish the structure arrays into POSIX shared memory (reference
+    ``fused_csc_sampling_graph.py:1448``); returns self. The shm block
+    outlives this process until unlinked."""
+    self._shm = _shm_write(shared_memory_name, {
+        "csc_indptr": self.csc_indptr,
+        "indices": self.indices,
+        "node_type_offset": self.node_type_offset,
+        "type_per_edge": self.type_per_edge,
+        "edge_ids": self._eids,
+    })
+    return self
+
+
+FusedCSCSamplingGraph.copy_to_shared_memory = _copy_to_shared_memory
+
+__all__ += ["load_from_shared_memory"]

@@ -36,3 +36,42 @@ class MiniBatch:
         if self.node_features:
             parts.append(f"node_features={list(self.node_features)}")
         return f"MiniBatch({', '.join(parts)})"
+
+
+from collections import namedtuple
+
+# PyG-style per-layer tuples (reference ``minibatch.py`` PyGLayerData /
+# PyGLayerHeteroData, used by MiniBatch.to_pyg_data): (x, edge_index,
+# size) with size = (num_src, num_dst).
+PyGLayerData = namedtuple("PyGLayerData", ["x", "edge_index", "size"])
+PyGLayerHeteroData = namedtuple(
+    "PyGLayerHeteroData", ["x_dict", "edge_index_dict", "size_dict"]
+)
+
+__all__ += ["PyGLayerData", "PyGLayerHeteroData"]
+
+
+def _mb_to_pyg_layers(self):
+    """Convert sampled subgraphs to PyG layer tuples (reference
+    ``minibatch.py`` to_pyg_data): edge_index rows are (src, dst) in the
+    compacted space."""
+    import numpy as np
+
+    layers = []
+    feat = self.node_features.get("feat")
+    for sub in self.sampled_subgraphs or []:
+        indptr = np.asarray(sub.sampled_csc.indptr)
+        indices = np.asarray(sub.sampled_csc.indices)
+        dst = np.repeat(np.arange(indptr.shape[0] - 1), np.diff(indptr))
+        edge_index = np.stack([indices, dst])
+        num_dst = indptr.shape[0] - 1
+        num_src = (
+            len(sub.original_row_node_ids)
+            if sub.original_row_node_ids is not None
+            else (int(indices.max()) + 1 if indices.size else num_dst)
+        )
+        layers.append(PyGLayerData(feat, edge_index, (num_src, num_dst)))
+    return layers
+
+
+MiniBatch.to_pyg_layers = _mb_to_pyg_layers

@@ -23,13 +23,14 @@ from typing import Optional
 import numpy as np
 
 from ..base import DGLError
+from .dataset import Dataset, Task
 from .feature_store import DiskBasedFeature, FeatureStore, NumpyFeature
 from .itemset import ItemSet
 
-__all__ = ["OnDiskDataset"]
+__all__ = ["OnDiskDataset", "OnDiskTask", "BuiltinDataset", "LegacyDataset", "preprocess_ondisk_dataset"]
 
 
-class OnDiskDataset:
+class OnDiskDataset(Dataset):
     def __init__(self, path: str):
         self.path = path
         meta_path = os.path.join(path, "metadata.json")
@@ -103,6 +104,26 @@ class OnDiskDataset:
     def test_set(self):
         return self._itemset("test_set")
 
+    @property
+    def tasks(self):
+        """Dataset interface (reference ``dataset.py:50``): one task built
+        from the metadata's TVT sets."""
+        meta = {
+            k: v for k, v in self.meta.items()
+            if k in ("dataset_name", "num_classes", "name")
+        }
+        return [
+            OnDiskTask(
+                meta, self.train_set, self.validation_set, self.test_set
+            )
+        ]
+
+    @property
+    def all_nodes_set(self):
+        return ItemSet(
+            np.arange(int(self.meta["graph"]["nodes"])), names="seeds"
+        )
+
     @staticmethod
     def write(path: str, *, name: str, src, dst, num_nodes: int,
               features: Optional[dict] = None, train_ids=None,
@@ -150,3 +171,169 @@ class OnDiskDataset:
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
         return OnDiskDataset(path)
+
+
+class OnDiskTask(Task):
+    """A named task over TVT item sets (reference
+    ``impl/ondisk_dataset.py:518``)."""
+
+    def __init__(self, metadata: dict, train_set, validation_set, test_set):
+        self._metadata = dict(metadata or {})
+        self._train_set = train_set
+        self._validation_set = validation_set
+        self._test_set = test_set
+
+    @property
+    def metadata(self):
+        return self._metadata
+
+    @property
+    def train_set(self):
+        return self._train_set
+
+    @property
+    def validation_set(self):
+        return self._validation_set
+
+    @property
+    def test_set(self):
+        return self._test_set
+
+    def __repr__(self):
+        return f"OnDiskTask(metadata={self._metadata})"
+
+
+def preprocess_ondisk_dataset(dataset_dir: str,
+                              include_original_edge_id: bool = False,
+                              force_preprocess: bool = False,
+                              auto_cast_to_optimal_dtype: bool = False) -> str:
+    """Normalize a raw dataset dir into the processed layout (reference
+    ``impl/ondisk_dataset.py:321``): verifies metadata, records the raw
+    hash so a changed input forces re-preprocessing, and returns the
+    metadata path. Our metadata is already the processed layout, so the
+    step is validation + hash recording."""
+    import json as _json
+
+    from .internal_utils import calculate_dir_hash
+
+    meta_path = os.path.join(dataset_dir, "metadata.json")
+    if not os.path.exists(meta_path):
+        raise DGLError(f"metadata.json not found in {dataset_dir}")
+    with open(meta_path) as f:
+        _json.load(f)  # must parse
+    processed = os.path.join(dataset_dir, "preprocessed")
+    os.makedirs(processed, exist_ok=True)
+    record = os.path.join(processed, "dataset_hash.json")
+    if force_preprocess or not os.path.exists(record):
+        hashes = calculate_dir_hash(
+            dataset_dir, ignore=["dataset_hash.json"]
+        )
+        hashes = {
+            k: v for k, v in hashes.items()
+            if not k.startswith("preprocessed")
+        }
+        with open(record, "w") as f:
+            _json.dump(hashes, f)
+    return meta_path
+
+
+class BuiltinDataset(OnDiskDataset):
+    """Named builtin datasets in GraphBolt form (reference
+    ``impl/ondisk_dataset.py:915``, which downloads from the DGL S3
+    bucket). Zero-egress build: the named dataset is materialized locally
+    from the ``dgl_tpu.data`` zoo (real parsers when raw files are
+    pre-populated, calibrated synthetic stand-ins otherwise), written
+    through :meth:`OnDiskDataset.write`, then loaded the same way."""
+
+    _ZOO = {
+        "cora": "CoraGraphDataset",
+        "citeseer": "CiteseerGraphDataset",
+        "pubmed": "PubmedGraphDataset",
+        "reddit": "RedditDataset",
+        "ogbn-arxiv": "OgbnArxivDataset",
+        "ogbn-products": "OgbnProductsDataset",
+    }
+
+    def __init__(self, name: str, root: str = "datasets"):
+        key = name.replace("-seeds", "")
+        if key not in self._ZOO:
+            raise DGLError(
+                f"unknown builtin dataset {name!r}; options "
+                f"{sorted(self._ZOO)}"
+            )
+        path = os.path.join(root, key)
+        if not os.path.exists(os.path.join(path, "metadata.json")):
+            from .. import data as data_zoo
+
+            ds = getattr(data_zoo, self._ZOO[key])()
+            g = ds[0]
+            src, dst = (np.asarray(x) for x in g.edges())
+            masks = {
+                k: np.nonzero(np.asarray(g.ndata[k]))[0]
+                for k in ("train_mask", "val_mask", "test_mask")
+                if k in g.ndata
+            }
+            OnDiskDataset.write(
+                path,
+                name=key,
+                src=src,
+                dst=dst,
+                num_nodes=g.num_nodes(),
+                features={"feat": np.asarray(g.ndata["feat"])},
+                labels=(
+                    np.asarray(g.ndata["label"])
+                    if "label" in g.ndata else None
+                ),
+                train_ids=masks.get("train_mask"),
+                val_ids=masks.get("val_mask"),
+                test_ids=masks.get("test_mask"),
+            )
+            meta_path = os.path.join(path, "metadata.json")
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta["num_classes"] = int(getattr(ds, "num_classes", 0))
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        super().__init__(path)
+
+
+class LegacyDataset(OnDiskDataset):
+    """Wrap a legacy ``DGLDataset`` into the GraphBolt Dataset interface
+    (reference ``impl/legacy_dataset.py:15``). The legacy graph is
+    converted to a FusedCSCSamplingGraph lazily via ``fused_graph``."""
+
+    def __init__(self, legacy_dataset, root: str = "datasets"):
+        self._legacy = legacy_dataset
+        g = legacy_dataset[0]
+        if isinstance(g, tuple):
+            g = g[0]
+        self._g = g
+        path = os.path.join(
+            root, f"legacy_{getattr(legacy_dataset, 'name', 'dataset')}"
+        )
+        if not os.path.exists(os.path.join(path, "metadata.json")):
+            src, dst = (np.asarray(x) for x in g.edges())
+            feats = {}
+            if "feat" in g.ndata:
+                feats["feat"] = np.asarray(g.ndata["feat"])
+            masks = {
+                k: np.nonzero(np.asarray(g.ndata[k]))[0]
+                for k in ("train_mask", "val_mask", "test_mask")
+                if k in g.ndata
+            }
+            OnDiskDataset.write(
+                path,
+                name=getattr(legacy_dataset, "name", "legacy"),
+                src=src,
+                dst=dst,
+                num_nodes=g.num_nodes(),
+                features=feats,
+                labels=(
+                    np.asarray(g.ndata["label"])
+                    if "label" in g.ndata else None
+                ),
+                train_ids=masks.get("train_mask"),
+                val_ids=masks.get("val_mask"),
+                test_ids=masks.get("test_mask"),
+            )
+        super().__init__(path)

@@ -298,3 +298,27 @@ class CooperativeConv:
         return CooperativeConvFunction.apply(
             self.mesh, ranges, table, ids, self.axis
         )
+
+
+# Reference impl alias (``impl/temporal_neighbor_sampler.py``
+# TemporalNeighborSamplerImpl is the stage body class).
+TemporalNeighborSamplerImpl = TemporalNeighborSampler
+
+
+def get_host_to_device_uva_stream():
+    """CUDA-UVA copy stream handle (reference ``base.py``). XLA owns the
+    TPU transfer streams; there is nothing to hand out — returns None so
+    callers can feature-detect."""
+    return None
+
+
+def get_device_to_host_uva_stream():
+    """See :func:`get_host_to_device_uva_stream`."""
+    return None
+
+
+__all__ += [
+    "TemporalNeighborSamplerImpl",
+    "get_host_to_device_uva_stream",
+    "get_device_to_host_uva_stream",
+]

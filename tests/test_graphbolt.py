@@ -607,3 +607,185 @@ def test_gb_device_cached_feature():
         {"a": base}, max_cache_size_in_bytes=64
     )
     assert isinstance(wrapped["a"], gb.CPUCachedFeature)
+
+
+def test_gb_dataset_task_builtin(tmp_path):
+    ds = gb.BuiltinDataset("cora", root=str(tmp_path))
+    assert isinstance(ds, gb.Dataset)
+    tasks = ds.tasks
+    assert len(tasks) == 1 and isinstance(tasks[0], gb.Task)
+    assert len(tasks[0].train_set) > 0
+    assert len(ds.all_nodes_set) == ds.graph.num_nodes()
+    # second construction reuses the materialized directory
+    ds2 = gb.BuiltinDataset("cora", root=str(tmp_path))
+    assert ds2.dataset_name == "cora"
+    with pytest.raises(Exception):
+        gb.BuiltinDataset("not-a-dataset", root=str(tmp_path))
+
+
+def test_gb_legacy_dataset(tmp_path):
+    from dgl_tpu.data import CiteseerGraphDataset
+
+    legacy = CiteseerGraphDataset()
+    ds = gb.LegacyDataset(legacy, root=str(tmp_path))
+    assert isinstance(ds, gb.Dataset)
+    assert ds.graph.num_nodes() == legacy[0].num_nodes()
+    assert len(ds.tasks[0].train_set) > 0
+
+
+def test_gb_ondisk_metadata_and_preprocess(tmp_path):
+    meta = {
+        "dataset_name": "demo",
+        "graph_topology": {"type": "FusedCSCSamplingGraph", "path": "g.npz"},
+        "feature_data": [
+            {"domain": "node", "name": "feat", "format": "numpy",
+             "path": "feat.npy", "in_memory": False}
+        ],
+        "tasks": [{"name": "node_classification", "num_classes": 3,
+                   "custom": 1}],
+    }
+    parsed = gb.OnDiskMetaData.from_dict(meta)
+    assert parsed.dataset_name == "demo"
+    assert parsed.graph_topology.type == \
+        gb.OnDiskGraphTopologyType.FUSED_CSC_SAMPLING
+    assert parsed.feature_data[0].domain == gb.OnDiskFeatureDataDomain.NODE
+    assert parsed.tasks[0].num_classes == 3
+    assert parsed.tasks[0].extra_fields == {"custom": 1}
+    # preprocess records the raw hash; re-running is a no-op
+    d = gb.OnDiskDataset.write(
+        str(tmp_path / "ds"), name="demo",
+        src=np.array([0, 1]), dst=np.array([1, 0]), num_nodes=2,
+        features={"feat": np.eye(2, dtype=np.float32)},
+    )
+    p = gb.preprocess_ondisk_dataset(str(tmp_path / "ds"))
+    assert p.endswith("metadata.json")
+    assert not gb.check_dataset_change(str(tmp_path / "ds"), "preprocessed")
+
+
+def test_gb_io_utils(tmp_path):
+    arr = np.arange(12.0).reshape(3, 4)
+    p = str(tmp_path / "a.npy")
+    gb.save_data(arr, p, "numpy")
+    np.testing.assert_allclose(gb.read_data(p, "numpy"), arr)
+    assert gb.get_npy_dim(p) == 2
+    # aligned save: data offset on a page boundary, loadable
+    ap = gb.numpy_save_aligned(str(tmp_path / "aligned"), arr)
+    loaded = np.load(ap)
+    np.testing.assert_allclose(loaded, arr)
+    with open(ap, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        np.lib.format._read_array_header(f, version)
+        assert f.tell() % 4096 == 0
+    # torch round trip
+    import torch
+
+    tp = str(tmp_path / "t.pt")
+    gb.save_data(torch.arange(3), tp, "torch")
+    assert gb.read_data(tp, "torch").tolist() == [0, 1, 2]
+    # copy_or_convert squeezes (N,1) id columns
+    idp = str(tmp_path / "ids.npy")
+    np.save(idp, np.arange(5)[:, None])
+    outp = str(tmp_path / "out.npy")
+    gb.copy_or_convert_data(idp, outp, "numpy", within_int32=True)
+    out = np.load(outp)
+    assert out.ndim == 1 and out.dtype == np.int32
+    # edges from (2, E) numpy
+    ep = str(tmp_path / "e.npy")
+    np.save(ep, np.array([[0, 1], [1, 2]]))
+    s, d = gb.read_edges(str(tmp_path), "numpy", "e.npy")
+    assert s.tolist() == [0, 1] and d.tolist() == [1, 2]
+    # hashing + archive + gated download
+    h = gb.calculate_file_hash(p)
+    assert len(h) == 32
+    assert gb.check_sha1(p, __import__("hashlib").sha1(
+        open(p, "rb").read()).hexdigest())
+    import zipfile
+
+    zp = str(tmp_path / "z.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(p, "a.npy")
+    gb.extract_archive(zp, str(tmp_path / "out"))
+    assert (tmp_path / "out" / "a.npy").exists()
+    assert gb.download("http://x/a.npy", path=p) == p
+    with pytest.raises(RuntimeError):
+        gb.download("http://x/missing.npy", path=str(tmp_path / "nope"))
+
+
+def test_gb_pipeline_visualization(g):
+    fused = gb.from_dglgraph(g)
+    src = gb.ItemSampler(gb.ItemSet(np.arange(4), "seeds"), batch_size=2)
+    dp = gb.EndMarker(gb.SamplePerLayer(src, fused, fanout=2, seed=0))
+    nodes = gb.to_nodes(dp)
+    assert {str(n) for n in nodes} == {
+        "EndMarker", "SamplePerLayer", "ItemSampler"
+    }
+    dot = gb.to_graph(dp)
+    text = dot if isinstance(dot, str) else dot.source
+    assert "SamplePerLayer" in text
+
+
+def test_gb_shared_memory_graph(g):
+    fused = gb.from_dglgraph(g)
+    fused.copy_to_shared_memory("dgl_tpu_test_shm")
+    try:
+        back = gb.load_from_shared_memory("dgl_tpu_test_shm")
+        np.testing.assert_array_equal(back.csc_indptr, fused.csc_indptr)
+        np.testing.assert_array_equal(back.indices, fused.indices)
+        # the attached copy samples identically
+        a = fused.sample_neighbors(np.arange(5), [3], seed=0)
+        b = back.sample_neighbors(np.arange(5), [3], seed=0)
+        np.testing.assert_array_equal(
+            a.sampled_csc.indices, b.sampled_csc.indices
+        )
+    finally:
+        from multiprocessing import shared_memory
+
+        shm = shared_memory.SharedMemory("dgl_tpu_test_shm")
+        shm.close()
+        shm.unlink()
+
+
+def test_gb_graph_cache_stages(g):
+    fused = gb.from_dglgraph(g)
+    cache = gb.GPUGraphCache(capacity=50)
+
+    def run_epoch():
+        src = gb.ItemSampler(
+            gb.ItemSet(np.arange(20), "seeds"), batch_size=10
+        )
+        dp = gb.FetchCachedInsubgraphData(src, fused, cache)
+        dp = gb.CombineCachedAndFetchedInSubgraph(dp, fused, cache)
+        return list(dp)
+
+    first = run_epoch()
+    assert cache.hit_rate == 0.0
+    second = run_epoch()
+    assert cache.hit_rate == 0.5  # second epoch fully cached
+    # cached result identical to the direct fetch
+    direct = list(gb.FetchInsubgraphData(
+        gb.ItemSampler(gb.ItemSet(np.arange(20), "seeds"), batch_size=10),
+        fused,
+    ))
+    for a, b in zip(second, direct):
+        np.testing.assert_array_equal(
+            a.sampled_subgraphs[0].sampled_csc.indices,
+            b.sampled_subgraphs[0].sampled_csc.indices,
+        )
+        np.testing.assert_array_equal(
+            a.sampled_subgraphs[0].original_edge_ids,
+            b.sampled_subgraphs[0].original_edge_ids,
+        )
+
+
+def test_gb_pyg_layers(g):
+    fused = gb.from_dglgraph(g)
+    src = gb.ItemSampler(gb.ItemSet(np.arange(6), "seeds"), batch_size=6)
+    dp = gb.CompactPerLayer(gb.SamplePerLayer(src, fused, fanout=3, seed=0))
+    mb = list(dp)[0]
+    layers = mb.to_pyg_layers()
+    assert len(layers) == 1
+    x, edge_index, size = layers[0]
+    assert edge_index.shape[0] == 2
+    assert size[1] == 6 and size[0] >= 6
+    assert gb.get_host_to_device_uva_stream() is None
+    assert gb.TemporalNeighborSamplerImpl is gb.TemporalNeighborSampler
