@@ -37,6 +37,25 @@ from .collators import (
 )
 from .spot_target import SpotTarget
 from .capped import CappedNeighborSampler
+from .worker_utils import (
+    remove_parent_storage_columns,
+    restore_parent_storage_columns,
+    CollateWrapper,
+    WorkerInitWrapper,
+)
+# distributed loaders under the reference's legacy names (reference
+# ``dataloading/dataloader.py:1477-1540`` keeps the same shim). Resolved
+# lazily: ``distributed`` imports ``dataloading.DataLoader``, so an eager
+# import here would be circular.
+DistDataLoader = DataLoader
+
+
+def __getattr__(name):
+    if name in ("DistNodeDataLoader", "DistEdgeDataLoader"):
+        from ..distributed import dist_minibatch
+
+        return getattr(dist_minibatch, name)
+    raise AttributeError(name)
 
 __all__ = [
     "EdgePredictionSampler",
@@ -48,6 +67,13 @@ __all__ = [
     "GraphCollator",
     "SpotTarget",
     "CappedNeighborSampler",
+    "remove_parent_storage_columns",
+    "restore_parent_storage_columns",
+    "CollateWrapper",
+    "WorkerInitWrapper",
+    "DistNodeDataLoader",
+    "DistEdgeDataLoader",
+    "DistDataLoader",
     "GraphDataLoader",
     "Sampler",
     "BlockSampler",

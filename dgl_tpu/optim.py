@@ -18,14 +18,30 @@ __all__ = [
 ]
 
 
-class SparseAdagrad:
+class SparseGradOptimizer:
+    """Abstract base of the row-sparse optimizers (reference
+    ``optim/pytorch/sparse_optim.py:24`` SparseGradOptimizer): holds the
+    embedding list and defines the ``step(grads_per_emb)`` contract."""
+
+    def __init__(self, params, lr: float):
+        self.params = list(params)
+        self.lr = lr
+
+    def step(self, grads_per_emb):
+        raise NotImplementedError
+
+    def zero_grad(self):
+        """No-op: gradients are functional (passed into ``step``), not
+        accumulated on parameters."""
+
+
+class SparseAdagrad(SparseGradOptimizer):
     """Class form matching the reference trainer loop (reference
     ``optim/pytorch/sparse_optim.py:509``): holds per-embedding Adagrad
     state and applies row-sparse updates via ``step``."""
 
     def __init__(self, params, lr: float = 0.01, eps: float = 1e-10):
-        self.params = list(params)
-        self.lr = lr
+        super().__init__(params, lr)
         self.eps = eps
         self._state = [sparse_adagrad_init(p.weight) for p in self.params]
 
@@ -41,13 +57,12 @@ class SparseAdagrad:
             )
 
 
-class SparseAdam:
+class SparseAdam(SparseGradOptimizer):
     """(reference ``optim/pytorch/sparse_optim.py:647``)."""
 
     def __init__(self, params, lr: float = 0.001, betas=(0.9, 0.999),
                  eps: float = 1e-8):
-        self.params = list(params)
-        self.lr = lr
+        super().__init__(params, lr)
         self.betas = betas
         self.eps = eps
         self._state = [sparse_adam_init(p.weight) for p in self.params]
@@ -62,4 +77,4 @@ class SparseAdam:
             )
 
 
-__all__ += ["SparseAdagrad", "SparseAdam"]
+__all__ += ["SparseGradOptimizer", "SparseAdagrad", "SparseAdam"]

@@ -356,3 +356,57 @@ def test_dist_edge_dataloader():
             assert (got[valid] == pos_np[p][valid]).all()
         assert len(blocks) == 1
     assert steps == len(loader) > 0
+
+
+def test_worker_storage_columns(g):
+    from dgl_tpu.dataloading import (
+        remove_parent_storage_columns, restore_parent_storage_columns,
+        CollateWrapper,
+    )
+    from dgl_tpu.subgraph import edge_subgraph
+
+    # relabel_nodes=False keeps the node frames SHARED with the parent
+    sub = edge_subgraph(g, np.arange(50), relabel_nodes=False)
+    nt = g.ntypes[0]
+    assert sub._node_frames[nt]["feat"] is g._node_frames[nt]["feat"]
+    stripped = remove_parent_storage_columns(sub, g)
+    assert isinstance(stripped._node_frames[nt]["feat"], tuple)
+    restored = restore_parent_storage_columns(stripped, g)
+    assert restored._node_frames[nt]["feat"] is g._node_frames[nt]["feat"]
+
+    # CollateWrapper runs the sampler and strips shared columns
+    sampler = dataloading.NeighborSampler([3], seed=0)
+
+    def sample(graph, items):
+        return sampler.sample_blocks(graph, np.asarray(items))
+
+    cw = CollateWrapper(sample, g, use_uva=False, device=None)
+    input_nodes, output_nodes, blocks = cw([0, 1, 2])
+    assert len(blocks) == 1
+
+
+def test_dist_loader_aliases():
+    from dgl_tpu import dataloading as dl
+    from dgl_tpu import distributed as dist
+
+    assert dl.DistDataLoader is dl.DataLoader
+    assert dl.DistNodeDataLoader is dist.DistNodeDataLoader
+    assert dl.DistEdgeDataLoader is dist.DistEdgeDataLoader
+
+
+def test_sparse_grad_optimizer_base():
+    import jax
+    import jax.numpy as jnp
+    from dgl_tpu import optim
+    from dgl_tpu.nn.sparse_emb import NodeEmbedding
+
+    emb = NodeEmbedding(10, 4, "e", init_func=lambda arr: arr)
+    opt = optim.SparseAdagrad([emb], lr=0.1)
+    assert isinstance(opt, optim.SparseGradOptimizer)
+    ids = jnp.array([1, 3])
+    grads = jnp.ones((2, 4))
+    before = np.asarray(emb.weight).copy()
+    opt.step([(ids, grads)])
+    after = np.asarray(emb.weight)
+    assert (after[1] != before[1]).all() and (after[0] == before[0]).all()
+    opt.zero_grad()  # no-op, must exist
