@@ -57,6 +57,12 @@ def __getattr__(name):
         return getattr(dist_minibatch, name)
     raise AttributeError(name)
 
+
+def __dir__():
+    return sorted(
+        set(globals()) | {"DistNodeDataLoader", "DistEdgeDataLoader"}
+    )
+
 __all__ = [
     "EdgePredictionSampler",
     "TensorizedDataset",

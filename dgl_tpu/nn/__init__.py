@@ -26,3 +26,37 @@ from .sparse_emb import (  # noqa: F401
     sparse_adam_init,
     sparse_adam_update,
 )
+from .linear import matmul_maybe_select, bmm_maybe_select  # noqa: F401
+from .conv.pna_helpers import (  # noqa: F401
+    aggregate_mean,
+    aggregate_max,
+    aggregate_min,
+    aggregate_sum,
+    aggregate_var,
+    aggregate_std,
+    aggregate_moment_3,
+    aggregate_moment_4,
+    aggregate_moment_5,
+    aggregate_dir_av,
+    aggregate_dir_dx,
+    scale_identity,
+    scale_amplification,
+    scale_attenuation,
+    get_aggregate_fn,
+)
+from .conv.twirlsconv import (  # noqa: F401
+    AX,
+    normalized_AX,
+    D_power_X,
+    D_power_bias_X,
+    Propagate,
+    PropagateNoPrecond,
+    Attention,
+    MLP,
+)
+from .conv.atomicconv import RadialPooling, msg_func, reduce_func  # noqa: F401
+from .conv.grouprevres import InvertibleCheckpoint  # noqa: F401
+from .gt.spatial_encoder import gaussian  # noqa: F401
+from .explain.subgraphx import MCTSNode  # noqa: F401
+from .conv.pnaconv import PNAConvTower  # noqa: F401
+from .conv.dgnconv import DGNConvTower  # noqa: F401

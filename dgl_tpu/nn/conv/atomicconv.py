@@ -63,3 +63,33 @@ class AtomicConv(nn.Module):
             g.edata["e"] = e
             g.update_all(fn.copy_e("e", "x"), fn.sum("x", "out"))
             return g.dstdata["out"]
+
+
+class RadialPooling(nn.Module):
+    """Radial-basis pooling over interatomic distances (reference
+    ``atomicconv.py:8`` RadialPooling): e_k = exp(-gamma (d - rc_mu)^2),
+    gated by the cutoff rc_c."""
+
+    interaction_cutoffs: jnp.ndarray   # (K,)
+    rbf_kernel_means: jnp.ndarray      # (K,)
+    rbf_kernel_scaling: jnp.ndarray    # (K,)
+
+    def __call__(self, distances):
+        d = jnp.asarray(distances)  # (E, 1)
+        mu = jnp.asarray(self.rbf_kernel_means)[:, None, None]
+        gamma = jnp.asarray(self.rbf_kernel_scaling)[:, None, None]
+        rc = jnp.asarray(self.interaction_cutoffs)[:, None, None]
+        rbf = jnp.exp(-gamma * (d[None] - mu) ** 2)
+        gate = jnp.where(d[None] < rc, 1.0, 0.0)
+        return rbf * gate  # (K, E, 1)
+
+
+def msg_func(edges):
+    """Message: distance-weighted source features (reference
+    ``atomicconv.py:100``)."""
+    return {"m": edges.src["hv"] * edges.data["he"]}
+
+
+def reduce_func(nodes):
+    """Reduce: sum the radial messages (reference ``atomicconv.py:126``)."""
+    return {"hv_new": nodes.mailbox["m"].sum(axis=1)}

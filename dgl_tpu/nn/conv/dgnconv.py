@@ -92,3 +92,25 @@ class DGNConv(nn.Module):
             if self.residual and self.in_feats == self.out_feats:
                 out = out + feat[:n_dst]
             return out
+
+
+class DGNConvTower(nn.Module):
+    """One DGN tower (reference ``dgnconv.py`` DGNConvTower): a
+    single-group :class:`DGNConv` without cross-tower mixing."""
+
+    in_size: int
+    out_size: int
+    aggregators: Sequence[str] = ("mean", "dir1-av", "dir1-dx")
+    scalers: Sequence[str] = ("identity",)
+    delta: float = 1.0
+    dropout: float = 0.0
+    edge_feat_size: int = 0
+
+    @nn.compact
+    def __call__(self, graph, feat, eig=None, edge_feat=None,
+                 deterministic: bool = True):
+        return DGNConv(
+            self.in_size, self.out_size, tuple(self.aggregators),
+            tuple(self.scalers), self.delta, self.dropout,
+            edge_feat_size=self.edge_feat_size, residual=False,
+        )(graph, feat, eig, edge_feat, deterministic)

@@ -61,3 +61,14 @@ class GroupRevRes(nn.Module):
             y_in = xs[i] + y_new
             ys.append(y_in)
         return jnp.concatenate(ys, axis=-1)
+
+
+def InvertibleCheckpoint(fn):
+    """Rematerialization wrapper (reference ``grouprevres.py:10``
+    InvertibleCheckpoint, a torch.autograd.Function that recomputes the
+    forward inputs in backward). XLA-native equivalent: ``jax.checkpoint``
+    — identical FLOPs-for-memory trade, derived automatically instead of a
+    hand-written inverse."""
+    import jax
+
+    return jax.checkpoint(fn)

@@ -125,3 +125,27 @@ class PNAConv(nn.Module):
             if self.residual and self.in_feats == self.out_feats:
                 out = out + feat[:n_dst]
             return out
+
+
+class PNAConvTower(nn.Module):
+    """One PNA tower (reference ``pnaconv.py:97`` PNAConvTower): the
+    M -> {aggregate x scale} -> U pipeline over a single feature group —
+    :class:`PNAConv` with one tower and no cross-tower mixing."""
+
+    in_size: int
+    out_size: int
+    aggregators: Sequence[str] = ("mean", "max", "min", "std")
+    scalers: Sequence[str] = ("identity", "amplification", "attenuation")
+    delta: float = 1.0
+    dropout: float = 0.0
+    edge_feat_size: int = 0
+
+    @nn.compact
+    def __call__(self, graph, feat, edge_feat=None,
+                 deterministic: bool = True):
+        return PNAConv(
+            self.in_size, self.out_size, tuple(self.aggregators),
+            tuple(self.scalers), self.delta, self.dropout,
+            num_towers=1, edge_feat_size=self.edge_feat_size,
+            residual=False,
+        )(graph, feat, edge_feat, deterministic)

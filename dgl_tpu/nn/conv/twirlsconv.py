@@ -100,3 +100,116 @@ class TWIRLSConv(nn.Module):
             if i != self.num_mlp_after - 1:
                 h = jax.nn.relu(h)
         return h
+
+
+# -- functional TWIRLS pieces (reference ``twirlsconv.py:228-700``) -----------
+
+
+def AX(graph, X):
+    """Y = AX, optionally edge-weighted by ``edata['w']`` (reference
+    ``twirlsconv.py:442``)."""
+    with graph.local_scope() as g:
+        g.srcdata["h"] = X
+        if "w" in g.edata:
+            g.update_all(fn.u_mul_e("h", "w", "m"), fn.sum("m", "h"))
+        else:
+            g.update_all(fn.copy_u("h", "m"), fn.sum("m", "h"))
+        return g.dstdata["h"]
+
+
+def D_power_X(graph, X, power):
+    """Y = D^{power} X (reference ``twirlsconv.py:455``); degrees read
+    from ``ndata['deg']`` when present (the reference contract), else
+    in-degrees."""
+    degs = graph.ndata.get("deg")
+    if degs is None:
+        degs = graph.in_degrees().astype(X.dtype)
+    norm = jnp.power(jnp.asarray(degs, X.dtype), power)
+    return X * norm[:, None]
+
+
+def D_power_bias_X(graph, X, power, coeff, bias):
+    """Y = (coeff*D + bias*I)^{power} X (reference ``twirlsconv.py:464``)."""
+    degs = graph.ndata.get("deg")
+    if degs is None:
+        degs = graph.in_degrees().astype(X.dtype)
+    norm = jnp.power(coeff * jnp.asarray(degs, X.dtype) + bias, power)
+    return X * norm[:, None]
+
+
+def normalized_AX(graph, X):
+    """Y = D^{-1/2} A D^{-1/2} X (reference ``twirlsconv.py:432``)."""
+    return D_power_X(graph, AX(graph, D_power_X(graph, X, -0.5)), -0.5)
+
+
+class Propagate(nn.Module):
+    """Pre-conditioned propagation step (reference ``twirlsconv.py:228``,
+    eq. 28): Y <- (1-alp(1+lam)) Y + alp X + alp lam A~ Y with
+    A~ = (lam D + (1-lam) I)^{-1/2} A (lam D + (1-lam) I)^{-1/2}."""
+
+    def _prop(self, graph, Y, lam):
+        Y = D_power_bias_X(graph, Y, -0.5, lam, 1 - lam)
+        Y = AX(graph, Y)
+        return D_power_bias_X(graph, Y, -0.5, lam, 1 - lam)
+
+    def __call__(self, graph, Y, X, alp, lam):
+        return (1 - alp) * Y + alp * X + alp * lam * self._prop(
+            graph, Y, lam
+        )
+
+
+class PropagateNoPrecond(nn.Module):
+    """Unconditioned variant (reference ``twirlsconv.py:283``, eq. 30)."""
+
+    def __call__(self, graph, Y, X, alp, lam):
+        return (
+            (1 - alp * (1 + lam)) * Y
+            + alp * X
+            + alp * lam * normalized_AX(graph, Y)
+        )
+
+
+class Attention(nn.Module):
+    """TWIRLS attention reweighting (reference ``twirlsconv.py:326``,
+    eq. 27): w_uv = rho'(||y_u - y_v||) with double thresholding, stored
+    in ``edata['w']``."""
+
+    tau: float
+    T: float
+    p: float
+    attn_dropout: float = 0.0
+
+    def reweighting(self, graph, Y):
+        with graph.local_scope() as g:
+            g.srcdata["y"] = Y
+            g.dstdata["y"] = Y[: g.num_dst_nodes()]
+            g.apply_edges(fn.u_sub_v("y", "y", "d"))
+            dist = jnp.linalg.norm(g.edata["d"], axis=-1)
+        w = jnp.power(jnp.maximum(dist, self.tau), self.p - 2.0)
+        if self.T > 0:
+            w = jnp.minimum(w, jnp.power(
+                jnp.asarray(self.T, w.dtype), self.p - 2.0))
+        return w
+
+    def __call__(self, graph, Y):
+        graph.edata["w"] = self.reweighting(graph, Y)
+        return graph
+
+
+class MLP(nn.Module):
+    """Plain MLP used around the TWIRLS unfolding (reference
+    ``twirlsconv.py:607``)."""
+
+    hidden_sizes: tuple
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i, h in enumerate(self.hidden_sizes):
+            x = nn.Dense(h)(x)
+            if i < len(self.hidden_sizes) - 1:
+                x = jax.nn.relu(x)
+                x = nn.Dropout(self.dropout)(
+                    x, deterministic=deterministic
+                )
+        return x

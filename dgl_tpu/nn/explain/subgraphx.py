@@ -11,7 +11,7 @@ import numpy as np
 
 
 
-class _MCTSNode:
+class MCTSNode:
     __slots__ = ("nodes", "W", "N", "P", "children")
 
     def __init__(self, nodes, P=0.0):
@@ -91,7 +91,7 @@ class SubgraphX:
         out = jnp.atleast_2d(self.model_fn(graph, feat))
         if target is None:
             target = int(jnp.argmax(out[0]))
-        root = _MCTSNode(frozenset(range(graph.num_nodes())))
+        root = MCTSNode(frozenset(range(graph.num_nodes())))
         best_nodes, best_score = None, -math.inf
 
         def rollout(node):
@@ -106,7 +106,7 @@ class SubgraphX:
                 return score
             if node.children is None:
                 node.children = [
-                    _MCTSNode(c) for c in self._prune_candidates(graph, node.nodes)
+                    MCTSNode(c) for c in self._prune_candidates(graph, node.nodes)
                 ]
             if not node.children:
                 node.N += 1
@@ -127,3 +127,7 @@ class SubgraphX:
             best_nodes = root.nodes
             best_score = 0.0
         return np.array(sorted(best_nodes)), best_score
+
+
+# backwards-compatible private alias
+_MCTSNode = MCTSNode

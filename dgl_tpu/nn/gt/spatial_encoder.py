@@ -67,3 +67,10 @@ class SpatialEncoder3d(nn.Module):
         h = nn.Dense(K, name="proj1")(gauss)
         h = jax.nn.gelu(h)
         return nn.Dense(self.num_heads, name="proj2")(h)
+
+
+def gaussian(x, mean, std):
+    """Gaussian basis value (reference ``gt/spatial_encoder.py:8``)."""
+    const = 0.3989422804014327  # 1/sqrt(2*pi)
+    std = std + 1e-2
+    return jnp.exp(-0.5 * (((x - mean) / std) ** 2)) * (const / std)

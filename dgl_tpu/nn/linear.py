@@ -81,3 +81,28 @@ class HeteroEmbedding(nn.Module):
             )
             out[typ] = emb(idx)
         return out
+
+
+def matmul_maybe_select(A, B):
+    """A @ B, or an embedding-style row-select when A is an int index
+    vector (reference ``python/dgl/nn/pytorch/utils.py:14``)."""
+    A = jnp.asarray(A)
+    if jnp.issubdtype(A.dtype, jnp.integer):
+        return jnp.asarray(B)[A]
+    return A @ jnp.asarray(B)
+
+
+def bmm_maybe_select(A, B, index):
+    """Batched per-type matmul A[i] @ B[index[i]], with the int-A
+    row-select fast path (reference ``nn/pytorch/utils.py:54``)."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    index = jnp.asarray(index)
+    if jnp.issubdtype(A.dtype, jnp.integer):
+        # gather one weight ROW per (type, id) pair
+        return B[index, A]
+    BB = B[index]  # (N, D_in, D_out)
+    return jnp.einsum("nd,ndo->no", A, BB)
+
+
+__all__ = ["TypedLinear", "HeteroLinear", "HeteroEmbedding", "matmul_maybe_select", "bmm_maybe_select"]

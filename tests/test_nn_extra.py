@@ -230,3 +230,110 @@ def test_egnn_equivariance(g):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(h2r), np.asarray(h2),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_pna_helper_functions():
+    import numpy as np
+    from dgl_tpu import nn as dglnn
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(4, 5, 3)))
+    np.testing.assert_allclose(
+        np.asarray(dglnn.aggregate_mean(h)), np.asarray(h).mean(1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglnn.aggregate_var(h)),
+        np.asarray(h).var(1), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglnn.aggregate_std(h)),
+        np.asarray(h).std(1), rtol=1e-4, atol=1e-5,
+    )
+    m3 = dglnn.aggregate_moment_3(h)
+    assert m3.shape == (4, 3)
+    D = jnp.asarray([2.0, 3.0, 4.0, 5.0])
+    delta = 1.3
+    hs = dglnn.aggregate_sum(h)
+    amp = dglnn.scale_amplification(hs, D, delta)
+    np.testing.assert_allclose(
+        np.asarray(amp),
+        np.asarray(hs) * (np.log(np.asarray(D) + 1) / delta)[:, None],
+        rtol=1e-6,
+    )
+    assert dglnn.get_aggregate_fn("mean") is dglnn.aggregate_mean
+    f = dglnn.get_aggregate_fn("dir_av-1")
+    eig = jnp.asarray(rng.normal(size=(4, 5, 2)))
+    out = f(h, eig, eig * 0.5)
+    assert out.shape == (4, 3)
+
+
+def test_twirls_functional_helpers():
+    import numpy as np
+    import dgl_tpu as dgl
+    from dgl_tpu import nn as dglnn
+
+    src = np.array([0, 1, 2, 2])
+    dst = np.array([1, 2, 0, 1])
+    g = dgl.graph((src, dst), num_nodes=3)
+    X = jnp.asarray(np.eye(3, dtype=np.float32))
+    # AX = adjacency matmul
+    A = np.zeros((3, 3), np.float32)
+    for s, d in zip(src, dst):
+        A[d, s] += 1
+    np.testing.assert_allclose(np.asarray(dglnn.AX(g, X)), A @ np.eye(3))
+    # D^p X scales rows by in-degree^p
+    deg = A.sum(1)
+    np.testing.assert_allclose(
+        np.asarray(dglnn.D_power_X(g, X, -1.0)),
+        np.eye(3) / deg[:, None], rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dglnn.normalized_AX(g, X)),
+        (A @ np.diag(deg ** -0.5)) * (deg ** -0.5)[:, None],
+        rtol=1e-6,
+    )
+    # propagation steps run and keep shape
+    prop = dglnn.PropagateNoPrecond()
+    Y = prop(g, X, X, 0.2, 1.0)
+    assert Y.shape == X.shape
+    prop2 = dglnn.Propagate()
+    Y2 = prop2(g, X, X, 0.2, 0.5)
+    assert Y2.shape == X.shape
+    # attention writes edge weights
+    att = dglnn.Attention(tau=0.1, T=2.0, p=1.0)
+    g2 = att(g, X)
+    assert g2.edata["w"].shape == (4,)
+
+
+def test_misc_nn_helpers():
+    import numpy as np
+    from dgl_tpu import nn as dglnn
+
+    # matmul_maybe_select / bmm_maybe_select
+    W = jnp.asarray(np.arange(12.0).reshape(4, 3))
+    np.testing.assert_allclose(
+        np.asarray(dglnn.matmul_maybe_select(jnp.array([1, 3]), W)),
+        np.asarray(W)[[1, 3]],
+    )
+    A = jnp.asarray(np.ones((2, 4)))
+    np.testing.assert_allclose(
+        np.asarray(dglnn.matmul_maybe_select(A, W)), np.asarray(A @ W)
+    )
+    B = jnp.stack([W, 2 * W])
+    out = dglnn.bmm_maybe_select(A, B, jnp.array([0, 1]))
+    np.testing.assert_allclose(out[1], np.asarray(A[1] @ (2 * W)))
+    # gaussian basis
+    val = dglnn.gaussian(jnp.array(0.0), jnp.array(0.0), jnp.array(1.0))
+    assert abs(float(val) - 0.3989 / 1.01) < 1e-3
+    # RadialPooling shape
+    rp = dglnn.RadialPooling(
+        interaction_cutoffs=jnp.array([12.0]),
+        rbf_kernel_means=jnp.array([0.0]),
+        rbf_kernel_scaling=jnp.array([1.0]),
+    )
+    e = rp(jnp.ones((5, 1)))
+    assert e.shape == (1, 5, 1)
+    # InvertibleCheckpoint wraps a function with remat
+    f = dglnn.InvertibleCheckpoint(lambda x: x * 2)
+    np.testing.assert_allclose(np.asarray(f(jnp.ones(3))), 2.0)
+    assert dglnn.MCTSNode is not None
