@@ -6,8 +6,13 @@ air-gapped TPU pods); every built-in dataset supports a deterministic
 ``synthetic=True`` fallback that generates a structurally-similar graph with
 planted class structure, so examples/tests/benchmarks run hermetically.
 """
-from .dgl_dataset import DGLDataset, download, extract_archive
-from .serialize import save_graphs, load_graphs, save_info, load_info
+from .dgl_dataset import DGLDataset, download, extract_archive, get_download_dir
+from .serialize import (
+    save_graphs, load_graphs, save_info, load_info,
+    StorageMetaData, load_graph_v1, load_graph_v2,
+    load_labels, load_labels_v1, load_labels_v2,
+    load_tensors, save_tensors, storage_metadata,
+)
 from .citation import (
     CitationGraphDataset,
     CoraGraphDataset,
@@ -59,6 +64,38 @@ from .named_extra import (
     BitcoinOTCDataset, SSTDataset, MovieLensDataset,
     FakeNewsDataset, TUDataset, LegacyTUDataset, LegacyPPIDataset,
 )
+from .named_extra import (
+    SuperPixelDataset,
+    PeptidesFunctionalDataset, PeptidesStructuralDataset,
+    VOCSuperpixelsDataset, COCOSuperpixelsDataset,
+    RDFGraphDataset, Entity,
+    GNNBenchmarkDataset, AmazonCoBuy, Coauthor, CoraFull,
+    GeomGCNDataset, CoraBinary,
+)
+from .heterophilous import (
+    HeterophilousGraphDataset,
+    RomanEmpireDataset, AmazonRatingsDataset, MinesweeperDataset,
+    TolokersDataset, QuestionsDataset,
+)
+from .generators import BACommunityDataset, BA2MotifDataset
+from .csv_dataset import (
+    MetaYaml, MetaNode, MetaEdge, MetaGraph,
+    BaseData, NodeData, EdgeData, GraphData, HeteroGraphData,
+    DefaultDataParser, DGLGraphConstructor,
+)
+from .utils import (
+    idx2mask, generate_mask_tensor, Subset,
+    add_nodepred_split, add_node_property_split,
+    eliminate_self_loops, build_knowledge_graph,
+    compute_adjacency_matrix_images, compute_edges_list,
+    check_sha1, check_local_file_exists, is_local_path, check_pytorch,
+    deprecate_function, deprecate_class, deprecate_property,
+    load_data, load_cora, load_citeseer, load_pubmed,
+    makedirs, loadtxt, sigma, sbm, negative_sample,
+    mask_nodes_by_property, tensor_dict_to_ndarray_dict,
+    save_heterographs, load_yaml_with_sanity_check,
+)
+from . import utils
 from . import named_extra
 
 # short aliases the reference also exports (``data/__init__.py``)

@@ -116,3 +116,207 @@ class CSVDataset(DGLDataset):
 
     def __len__(self):
         return len(self._graphs)
+
+
+# -- CSV schema + data classes (reference ``data/csv_dataset_base.py``) -------
+
+
+class MetaNode:
+    """Node-file schema entry (reference ``csv_dataset_base.py:15``)."""
+
+    def __init__(self, file_name: str, ntype: str = "_V", **kwargs):
+        self.file_name = file_name
+        self.ntype = ntype
+
+
+class MetaEdge:
+    """Edge-file schema entry (reference ``csv_dataset_base.py:24``)."""
+
+    def __init__(self, file_name: str, etype=None, **kwargs):
+        self.file_name = file_name
+        self.etype = tuple(etype) if etype else ("_V", "_E", "_V")
+
+
+class MetaGraph:
+    """Graph-file schema entry (reference ``csv_dataset_base.py:34``)."""
+
+    def __init__(self, file_name: str, **kwargs):
+        self.file_name = file_name
+
+
+class MetaYaml:
+    """Top-level schema (reference ``csv_dataset_base.py:41``); parsed
+    from ``meta.json``/``meta.yaml`` dicts."""
+
+    def __init__(self, version: str = "1.0.0", dataset_name: str = "csv",
+                 node_data=None, edge_data=None, graph_data=None, **kwargs):
+        self.version = version
+        self.dataset_name = dataset_name
+        self.node_data = [
+            m if isinstance(m, MetaNode) else MetaNode(**m)
+            for m in (node_data or [])
+        ]
+        self.edge_data = [
+            m if isinstance(m, MetaEdge) else MetaEdge(**m)
+            for m in (edge_data or [])
+        ]
+        self.graph_data = (
+            graph_data if isinstance(graph_data, (MetaGraph, type(None)))
+            else MetaGraph(**graph_data)
+        )
+
+
+class BaseData:
+    """Shared csv-column logic (reference ``csv_dataset_base.py:108``)."""
+
+    RESERVED = ("node_id", "src_id", "dst_id", "graph_id", "label",
+                "train_mask", "val_mask", "test_mask")
+
+    @staticmethod
+    def split_data(cols: Dict[str, list]):
+        """Split raw columns into (ids/masks, feature dict)."""
+        special = {k: v for k, v in cols.items() if k in BaseData.RESERVED}
+        feats = {
+            k: v for k, v in cols.items() if k not in BaseData.RESERVED
+        }
+        return special, feats
+
+
+class NodeData(BaseData):
+    """Parsed nodes.csv (reference ``csv_dataset_base.py:128``)."""
+
+    def __init__(self, node_id, data, ntype: str = "_V",
+                 graph_id=None):
+        self.id = np.asarray(node_id, dtype=np.int64)
+        self.data = data
+        self.type = ntype
+        self.graph_id = (
+            np.asarray(graph_id, dtype=np.int64) if graph_id is not None
+            else np.zeros(self.id.shape[0], np.int64)
+        )
+
+    @staticmethod
+    def load_from_csv(meta: MetaNode, base_dir: str, data_parser=None):
+        cols = _read_csv(os.path.join(base_dir, meta.file_name))
+        parser = data_parser or DefaultDataParser()
+        special, feats = BaseData.split_data(cols)
+        return NodeData(
+            special["node_id"], parser(feats), ntype=meta.ntype,
+            graph_id=special.get("graph_id"),
+        )
+
+
+class EdgeData(BaseData):
+    """Parsed edges.csv (reference ``csv_dataset_base.py:194``)."""
+
+    def __init__(self, src_id, dst_id, data, etype=("_V", "_E", "_V"),
+                 graph_id=None):
+        self.src = np.asarray(src_id, dtype=np.int64)
+        self.dst = np.asarray(dst_id, dtype=np.int64)
+        self.data = data
+        self.type = tuple(etype)
+        self.graph_id = (
+            np.asarray(graph_id, dtype=np.int64) if graph_id is not None
+            else np.zeros(self.src.shape[0], np.int64)
+        )
+
+    @staticmethod
+    def load_from_csv(meta: MetaEdge, base_dir: str, data_parser=None):
+        cols = _read_csv(os.path.join(base_dir, meta.file_name))
+        parser = data_parser or DefaultDataParser()
+        special, feats = BaseData.split_data(cols)
+        return EdgeData(
+            special["src_id"], special["dst_id"], parser(feats),
+            etype=meta.etype, graph_id=special.get("graph_id"),
+        )
+
+
+class GraphData(BaseData):
+    """Parsed graphs.csv (reference ``csv_dataset_base.py:271``)."""
+
+    def __init__(self, graph_id, data):
+        self.graph_id = np.asarray(graph_id, dtype=np.int64)
+        self.data = data
+
+    @staticmethod
+    def load_from_csv(meta: MetaGraph, base_dir: str, data_parser=None):
+        cols = _read_csv(os.path.join(base_dir, meta.file_name))
+        parser = data_parser or DefaultDataParser()
+        special, feats = BaseData.split_data(cols)
+        gid = special.get("graph_id", cols.get("graph_id"))
+        return GraphData(gid, parser(feats))
+
+
+# single-graph alias used by the hetero path (reference
+# ``csv_dataset_base.py`` HeteroGraphData role)
+HeteroGraphData = GraphData
+
+
+class DefaultDataParser:
+    """Column dict -> numpy feature dict (reference
+    ``csv_dataset_base.py:367``): numeric columns stack to arrays,
+    comma-separated cells become float vectors."""
+
+    def __call__(self, df: Dict[str, list]) -> Dict[str, np.ndarray]:
+        out = {}
+        for k, v in df.items():
+            out[k] = np.asarray(v)
+        return out
+
+
+class DGLGraphConstructor:
+    """Assemble Graph objects from Node/Edge/GraphData (reference
+    ``csv_dataset_base.py:321``)."""
+
+    @staticmethod
+    def construct_graphs(node_data, edge_data, graph_data=None):
+        from .. import convert
+
+        if not isinstance(node_data, (list, tuple)):
+            node_data = [node_data]
+        if not isinstance(edge_data, (list, tuple)):
+            edge_data = [edge_data]
+        graph_ids = sorted(
+            set(np.concatenate([nd.graph_id for nd in node_data]).tolist())
+        )
+        graphs = []
+        for gid in graph_ids:
+            data_dict = {}
+            num_nodes_dict = {}
+            for nd in node_data:
+                sel = nd.graph_id == gid
+                num_nodes_dict[nd.type] = int(sel.sum())
+            for ed in edge_data:
+                sel = ed.graph_id == gid
+                data_dict[ed.type] = (ed.src[sel], ed.dst[sel])
+            g = convert.heterograph(
+                data_dict, num_nodes_dict=num_nodes_dict
+            )
+            for nd in node_data:
+                sel = nd.graph_id == gid
+                order = np.argsort(nd.id[sel])
+                for k, v in nd.data.items():
+                    g._node_frames.setdefault(nd.type, {})[k] = jnp.asarray(
+                        np.asarray(v)[sel][order]
+                    )
+            for ed in edge_data:
+                sel = ed.graph_id == gid
+                for k, v in ed.data.items():
+                    g._edge_frames.setdefault(ed.type, {})[k] = jnp.asarray(
+                        np.asarray(v)[sel]
+                    )
+            graphs.append(g)
+        gdata = {}
+        if graph_data is not None:
+            gdata = {
+                k: jnp.asarray(np.asarray(v))
+                for k, v in graph_data.data.items()
+            }
+        return graphs, gdata
+
+
+__all__ += [
+    "MetaYaml", "MetaNode", "MetaEdge", "MetaGraph",
+    "BaseData", "NodeData", "EdgeData", "GraphData", "HeteroGraphData",
+    "DefaultDataParser", "DGLGraphConstructor",
+]

@@ -291,3 +291,123 @@ class SBMMixtureDataset(DGLDataset):
 
     def __len__(self):
         return len(self._graphs)
+
+
+class BACommunityDataset(_MotifDataset):
+    """Two BA-shape communities joined by random inter-community edges
+    (reference ``data/synthetic.py`` BACommunityDataset): 8 classes —
+    the 4 BAShape roles per community — and community-indicating
+    features."""
+
+    num_motifs = 80
+
+    def __init__(self, **kwargs):
+        super().__init__("ba_community", **kwargs)
+
+    def process(self):
+        from .. import convert
+
+        rng = np.random.default_rng(self._seed)
+        halves = []
+        offset = 0
+        all_src, all_dst, labels = [], [], []
+        for comm in range(2):
+            base_edges = _barabasi_albert(300, 5, rng)
+            num_base = 300
+            edges = list(base_edges)
+            comm_labels = [0] * num_base
+            n = num_base
+            house = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (1, 4)]
+            for _ in range(self.num_motifs):
+                attach = int(rng.integers(0, num_base))
+                for a, b in house:
+                    edges.append((n + a, n + b))
+                edges.append((n, attach))
+                comm_labels.extend([1, 1, 2, 2, 3])
+                n += 5
+            src = np.array(
+                [a for a, b in edges] + [b for a, b in edges]
+            ) + offset
+            dst = np.array(
+                [b for a, b in edges] + [a for a, b in edges]
+            ) + offset
+            all_src.append(src)
+            all_dst.append(dst)
+            labels.extend([l + 4 * comm for l in comm_labels])
+            halves.append((offset, offset + n))
+            offset += n
+        # sparse random inter-community edges (reference: 0.01 * N)
+        k = max(offset // 100, 1)
+        inter_a = rng.integers(halves[0][0], halves[0][1], k)
+        inter_b = rng.integers(halves[1][0], halves[1][1], k)
+        all_src.append(np.concatenate([inter_a, inter_b]))
+        all_dst.append(np.concatenate([inter_b, inter_a]))
+        g = convert.graph(
+            (np.concatenate(all_src), np.concatenate(all_dst)),
+            num_nodes=offset,
+        )
+        lab = np.asarray(labels, np.int32)
+        g.ndata["label"] = jnp.asarray(lab)
+        # community-indicating gaussian features (reference uses two
+        # means)
+        feat = rng.normal(size=(offset, 10)).astype(np.float32)
+        feat[halves[1][0]:] += 1.0
+        g.ndata["feat"] = jnp.asarray(feat)
+        self._g = g
+
+    @property
+    def num_classes(self):
+        return 8
+
+
+class BA2MotifDataset(DGLDataset):
+    """Graph-classification BA-2motif (reference ``data/synthetic.py``
+    BA2MotifDataset): 1000 BA base graphs, half attached with a house
+    motif, half with a 5-cycle; label = motif type."""
+
+    def __init__(self, num_graphs: int = 1000, seed: int = 0,
+                 transform=None, **kwargs):
+        self._cfg = (num_graphs, seed)
+        super().__init__(name="ba_2motif", transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        num_graphs, seed = self._cfg
+        rng = np.random.default_rng(seed)
+        house = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (1, 4)]
+        cycle = [(i, (i + 1) % 5) for i in range(5)]
+        self._graphs = []
+        self._labels = np.zeros(num_graphs, np.int32)
+        for i in range(num_graphs):
+            label = int(rng.integers(0, 2))
+            motif = house if label == 0 else cycle
+            base = _barabasi_albert(20, 1, rng)
+            edges = list(base)
+            n = 20
+            attach = int(rng.integers(0, 20))
+            for a, b in motif:
+                edges.append((n + a, n + b))
+            edges.append((n, attach))
+            n += 5
+            src = np.array([a for a, b in edges] + [b for a, b in edges])
+            dst = np.array([b for a, b in edges] + [a for a, b in edges])
+            g = convert.graph((src, dst), num_nodes=n)
+            g.ndata["feat"] = jnp.asarray(
+                rng.normal(size=(n, 10)).astype(np.float32)
+            )
+            self._graphs.append(g)
+            self._labels[i] = label
+
+    def __getitem__(self, idx):
+        return self._apply_transform(self._graphs[idx]), self._labels[idx]
+
+    def __len__(self):
+        return len(self._graphs)
+
+    @property
+    def num_classes(self):
+        return 2
+
+
+__all__ += ["BACommunityDataset", "BA2MotifDataset"]

@@ -16,6 +16,8 @@ from .synthetic import (
     FraudDataset,
     GraphClassificationDataset,
     KnowledgeGraphDataset,
+    SyntheticDataset,
+    synthetic_classification_graph,
     synthetic_hetero_graph,
 )
 
@@ -730,3 +732,297 @@ class LegacyPPIDataset(DGLDataset):
         from .synthetic import PPIDataset
 
         return PPIDataset(*args, **kwargs)
+
+
+# reference public name of the superpixel base (``data/superpixel.py``
+# SuperPixelDataset, the torch Dataset MNIST/CIFAR build on)
+SuperPixelDataset = _SuperPixelDataset
+
+
+# -- LRGB long-range benchmark (reference ``data/lrgb.py:23,295,543,802``) ---
+
+
+class PeptidesFunctionalDataset(GraphClassificationDataset):
+    """Peptides-func (reference ``lrgb.py:295``): molecular graphs with
+    10-way MULTILABEL targets. Stand-in follows the published statistics
+    (15,535 peptides, ~150 nodes each) at reduced count; ``labels`` are
+    (num_graphs, 10) float multi-hot."""
+
+    def __init__(self, num_graphs=400, transform=None, **kwargs):
+        self._nt = 10
+        super().__init__(
+            name="PeptidesFunctionalDataset", num_graphs=num_graphs,
+            num_classes=10, feat_dim=9, transform=transform,
+        )
+        # convert integer labels to multi-hot + extra random positives
+        rng = np.random.default_rng(7)
+        multi = np.zeros((len(self._graphs), 10), np.float32)
+        for i, l in enumerate(np.asarray(self._labels)):
+            multi[i, int(l)] = 1.0
+            extra = rng.integers(0, 10, rng.integers(0, 3))
+            multi[i, extra] = 1.0
+        self._labels = jnp.asarray(multi)
+        self.labels = self._labels
+
+    @property
+    def num_tasks(self):
+        return self._nt
+
+
+class PeptidesStructuralDataset(GraphClassificationDataset):
+    """Peptides-struct (reference ``lrgb.py:23``): 11 REGRESSION targets
+    per molecular graph."""
+
+    def __init__(self, num_graphs=400, transform=None, **kwargs):
+        self._nt = 11
+        super().__init__(
+            name="PeptidesStructuralDataset", num_graphs=num_graphs,
+            num_classes=11, feat_dim=9, transform=transform,
+        )
+        rng = np.random.default_rng(11)
+        self._labels = jnp.asarray(
+            rng.normal(size=(len(self._graphs), 11)).astype(np.float32)
+        )
+        self.labels = self._labels
+
+    @property
+    def num_tasks(self):
+        return self._nt
+
+
+class _SuperpixelNodeDataset(DGLDataset):
+    """Node-classification over superpixel graphs (reference
+    ``lrgb.py:543,802`` VOC/COCO-SP): many graphs, each node labeled with
+    a semantic class."""
+
+    def __init__(self, name, num_graphs, num_classes, feat_dim=14,
+                 seed=0, transform=None, **kwargs):
+        self._cfg = (num_graphs, num_classes, feat_dim, seed)
+        self._num_classes = num_classes
+        super().__init__(name=name, transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        nb, c, d, s = self._cfg
+        rng = np.random.default_rng(s)
+        self._graphs = []
+        for i in range(nb):
+            n = int(rng.integers(80, 200))
+            # superpixel rag: knn over random 2d coords (the real VOC/COCO
+            # graphs are 8-nn region adjacency graphs)
+            coord = rng.random((n, 2))
+            d2 = ((coord[:, None, :] - coord[None, :, :]) ** 2).sum(-1)
+            nn_idx = np.argsort(d2, axis=1)[:, 1:9]
+            src = np.repeat(np.arange(n), 8)
+            dst = nn_idx.reshape(-1)
+            g = convert.graph(
+                (np.concatenate([src, dst]), np.concatenate([dst, src])),
+                num_nodes=n,
+            )
+            labels = rng.integers(0, c, n).astype(np.int32)
+            feat = rng.normal(size=(n, d)).astype(np.float32)
+            feat[:, 0] = labels / c  # learnable signal
+            g.ndata["feat"] = jnp.asarray(feat)
+            g.ndata["label"] = jnp.asarray(labels)
+            self._graphs.append(g)
+
+    def __getitem__(self, idx):
+        return self._apply_transform(self._graphs[idx])
+
+    def __len__(self):
+        return len(self._graphs)
+
+    @property
+    def num_classes(self):
+        return self._num_classes
+
+
+class VOCSuperpixelsDataset(_SuperpixelNodeDataset):
+    """(reference ``lrgb.py:543``: 21 semantic classes)."""
+
+    def __init__(self, num_graphs=200, transform=None, **kwargs):
+        super().__init__(
+            "VOCSuperpixelsDataset", num_graphs, 21, feat_dim=14,
+            transform=transform,
+        )
+
+
+class COCOSuperpixelsDataset(_SuperpixelNodeDataset):
+    """(reference ``lrgb.py:802``: 81 semantic classes)."""
+
+    def __init__(self, num_graphs=200, transform=None, **kwargs):
+        super().__init__(
+            "COCOSuperpixelsDataset", num_graphs, 81, feat_dim=14,
+            transform=transform,
+        )
+
+
+__all__ += [
+    "SuperPixelDataset",
+    "PeptidesFunctionalDataset",
+    "PeptidesStructuralDataset",
+    "VOCSuperpixelsDataset",
+    "COCOSuperpixelsDataset",
+]
+
+
+# -- reference base-class and legacy-alias names ------------------------------
+
+
+# base of the RDF entity-classification sets (reference ``data/rdf.py``
+# RDFGraphDataset; AIFB/MUTAG/BGS/AM subclass it here as in the reference)
+RDFGraphDataset = _RDFDataset
+
+
+class Entity:
+    """RDF entity (reference ``data/rdf.py:39``)."""
+
+    def __init__(self, e_id, cls):
+        self.id = e_id
+        self.cls = cls
+
+    def __str__(self):
+        return f"{self.id}, {self.cls}"
+
+
+class GNNBenchmarkDataset(SyntheticDataset):
+    """Base of the Amazon/Coauthor co-purchase suites (reference
+    ``data/gnn_benchmark.py`` GNNBenchmarkDataset): constructed by name."""
+
+    _STATS = {
+        "amazon_co_buy_computer": (13752, 491722, 10, 767),
+        "amazon_co_buy_photo": (7650, 238162, 8, 745),
+        "coauthor_cs": (18333, 163788, 15, 300),
+        "coauthor_physics": (34493, 495924, 5, 400),
+    }
+
+    def __init__(self, name, transform=None, **kwargs):
+        key = name.lower().replace("-", "_")
+        if key not in self._STATS:
+            raise ValueError(f"unknown GNN benchmark dataset {name!r}")
+        n, e, c, d = self._STATS[key]
+        super().__init__(
+            name=key, num_nodes=n, num_edges=e, num_classes=c, feat_dim=d,
+            seed=abs(hash(key)) % 2**31, transform=transform,
+        )
+
+
+class AmazonCoBuy(GNNBenchmarkDataset):
+    """Deprecated alias (reference ``data/gnn_benchmark.py`` AmazonCoBuy):
+    name in {'computer'|'computers', 'photo'}."""
+
+    def __init__(self, name, transform=None, **kwargs):
+        key = {"computer": "amazon_co_buy_computer",
+               "computers": "amazon_co_buy_computer",
+               "photo": "amazon_co_buy_photo"}[name.lower()]
+        super().__init__(key, transform=transform)
+
+
+class Coauthor(GNNBenchmarkDataset):
+    """Deprecated alias (reference ``gnn_benchmark.py`` Coauthor): name in
+    {'cs', 'physics'}."""
+
+    def __init__(self, name, transform=None, **kwargs):
+        super().__init__(f"coauthor_{name.lower()}", transform=transform)
+
+
+class CoraFull(SyntheticDataset):
+    """Deprecated alias of CoraFullDataset (reference
+    ``data/citation_graph.py`` CoraFull)."""
+
+    def __init__(self, transform=None, **kwargs):
+        super().__init__(
+            name="cora_full", num_nodes=19793, num_edges=126842,
+            num_classes=70, feat_dim=512,
+            seed=abs(hash("CoraFullDataset")) % 2**31, transform=transform,
+        )
+
+
+class GeomGCNDataset(SyntheticDataset):
+    """Base of the Geom-GCN heterophilous suite (reference
+    ``data/geom_gcn.py`` GeomGCNDataset: chameleon/squirrel/actor/
+    cornell/texas/wisconsin by name)."""
+
+    _STATS = {
+        "chameleon": (2277, 36101, 5, 2325),
+        "squirrel": (5201, 217073, 5, 2089),
+        "actor": (7600, 33544, 5, 931),
+        "cornell": (183, 295, 5, 1703),
+        "texas": (183, 309, 5, 1703),
+        "wisconsin": (251, 499, 5, 1703),
+    }
+
+    def __init__(self, name, transform=None, **kwargs):
+        key = name.lower()
+        if key not in self._STATS:
+            raise ValueError(f"unknown Geom-GCN dataset {name!r}")
+        n, e, c, d = self._STATS[key]
+        super().__init__(
+            name=key, num_nodes=n, num_edges=e, num_classes=c, feat_dim=d,
+            seed=abs(hash(key)) % 2**31, transform=transform,
+        )
+
+    def process(self):
+        n, e, c, d, s = self._cfg
+        self._g = synthetic_classification_graph(
+            n, e, c, d, homophily=0.25, seed=s
+        )
+
+
+class CoraBinary(DGLDataset):
+    """Graph-classification pairs over cora-like subgraphs (reference
+    ``data/citation_graph.py`` CoraBinary: (graph1, pmpd, label)
+    triplets; here (graph, line-graph-coupling, label))."""
+
+    def __init__(self, num_pairs: int = 100, seed: int = 0, transform=None,
+                 **kwargs):
+        self._cfg = (num_pairs, seed)
+        super().__init__(name="cora_binary", transform=transform)
+
+    def process(self):
+        from .. import convert
+
+        nb, s = self._cfg
+        rng = np.random.default_rng(s)
+        self.graphs, self.pmpds, self.labels = [], [], []
+        for i in range(nb):
+            n = int(rng.integers(20, 60))
+            g = synthetic_classification_graph(
+                n, n * 4, 2, 16, seed=int(rng.integers(2**31))
+            )
+            self.graphs.append(g)
+            # incidence-style coupling matrix as scipy coo (reference pmpd)
+            src, dst = (np.asarray(a) for a in g.edges())
+            import scipy.sparse as sp
+
+            e = src.shape[0]
+            pm = sp.coo_matrix(
+                (np.ones(2 * e), (np.concatenate([src, dst]),
+                                  np.tile(np.arange(e), 2))),
+                shape=(n, e),
+            )
+            self.pmpds.append(pm)
+            self.labels.append(int(rng.integers(0, 2)))
+
+    def __getitem__(self, idx):
+        return (
+            self._apply_transform(self.graphs[idx]),
+            self.pmpds[idx],
+            self.labels[idx],
+        )
+
+    def __len__(self):
+        return len(self.graphs)
+
+
+__all__ += [
+    "RDFGraphDataset",
+    "Entity",
+    "GNNBenchmarkDataset",
+    "AmazonCoBuy",
+    "Coauthor",
+    "CoraFull",
+    "GeomGCNDataset",
+    "CoraBinary",
+]

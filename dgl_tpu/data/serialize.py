@@ -154,3 +154,86 @@ def save_info(path: str, info: dict):
 def load_info(path: str) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+# -- versioned-loader surface (reference ``data/graph_serialize.py:83-200``
+#    load_graph_v1/v2 and ``tensor_serialize.py`` load_tensors) --------------
+
+
+class StorageMetaData:
+    """Metadata record of a serialized file (reference
+    ``graph_serialize.py`` StorageMetaData): num_graphs + per-graph meta +
+    optional labels."""
+
+    def __init__(self, num_graphs: int, metadata: list, labels=None):
+        self.num_graphs = num_graphs
+        self.metadata = metadata
+        self.labels = labels or {}
+
+    def __repr__(self):
+        return f"StorageMetaData(num_graphs={self.num_graphs})"
+
+
+def load_graph_v2(filename: str, idx_list: Optional[List[int]] = None):
+    """Current-format loader (reference ``graph_serialize.py:149``
+    load_graph_v2): our npz container is the only on-disk version."""
+    return load_graphs(filename, idx_list)
+
+
+def load_graph_v1(filename: str, idx_list: Optional[List[int]] = None):
+    """Legacy-format loader name (reference ``graph_serialize.py:83``).
+    There is no legacy npz layout; delegates to the current reader so old
+    call sites keep working."""
+    return load_graphs(filename, idx_list)
+
+
+def load_labels(filename: str) -> Dict:
+    """Labels dict of a saved graph file (reference
+    ``graph_serialize.py`` load_labels)."""
+    with np.load(filename, allow_pickle=True) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode("utf-8"))
+        out = {}
+        for k in meta.get("labels", []):
+            out[k] = jnp.asarray(z[f"label_{k}"])
+        return out
+
+
+def load_labels_v2(filename: str) -> Dict:
+    """(reference ``graph_serialize.py`` load_labels_v2)."""
+    return load_labels(filename)
+
+
+def load_labels_v1(filename: str) -> Dict:
+    """(reference ``graph_serialize.py`` load_labels_v1)."""
+    return load_labels(filename)
+
+
+def load_tensors(filename: str) -> Dict:
+    """Load a dict of named tensors (reference ``tensor_serialize.py``
+    load_tensors; counterpart of ``save_info``/npz)."""
+    with np.load(filename, allow_pickle=False) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files
+                if not k.startswith("__")}
+
+
+def save_tensors(filename: str, tensors: Dict):
+    """(reference ``tensor_serialize.py`` save_tensors)."""
+    np.savez(filename, **{k: np.asarray(v) for k, v in tensors.items()})
+
+
+def storage_metadata(filename: str) -> StorageMetaData:
+    """Inspect a saved file without materializing graphs."""
+    with np.load(filename, allow_pickle=True) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode("utf-8"))
+    return StorageMetaData(
+        num_graphs=len(meta["graphs"]),
+        metadata=meta["graphs"],
+        labels={k: None for k in meta.get("labels", [])},
+    )
+
+
+__all__ += [
+    "StorageMetaData", "load_graph_v1", "load_graph_v2",
+    "load_labels", "load_labels_v1", "load_labels_v2",
+    "load_tensors", "save_tensors", "storage_metadata",
+]
