@@ -42,6 +42,31 @@ from .hetero_shard import (
     dist_hetero_copy_u_sum_delayed,
 )
 from .dist_tensor import DistTensor, DistEmbedding
+from .kvstore import (
+    PartitionPolicy,
+    NodePartitionPolicy,
+    EdgePartitionPolicy,
+    HeteroDataName,
+    parse_hetero_data_name,
+    IdMap,
+    KVServer,
+    KVClient,
+    DistConnectError,
+)
+from .server import (
+    DistGraphServer,
+    CustomPool,
+    MpCommand,
+    NodeDataView,
+    EdgeDataView,
+    HeteroNodeView,
+    HeteroEdgeView,
+    PlaceHolder,
+)
+from . import optim
+from .optim import DistSparseGradOptimizer
+# collators live here in the reference (``distributed/dist_dataloader.py``)
+from ..dataloading.collators import NodeCollator, EdgeCollator
 from .dist_context import initialize, get_rank, get_world_size
 from .cooperative import sparse_all_to_all_pull, sparse_all_to_all_push
 from .dist_minibatch import (
@@ -62,6 +87,27 @@ __all__ = [
     "edge_split",
     "exit_client",
     "DistDataLoader",
+    "PartitionPolicy",
+    "NodePartitionPolicy",
+    "EdgePartitionPolicy",
+    "HeteroDataName",
+    "parse_hetero_data_name",
+    "IdMap",
+    "KVServer",
+    "KVClient",
+    "DistConnectError",
+    "DistGraphServer",
+    "CustomPool",
+    "MpCommand",
+    "NodeDataView",
+    "EdgeDataView",
+    "HeteroNodeView",
+    "HeteroEdgeView",
+    "PlaceHolder",
+    "optim",
+    "DistSparseGradOptimizer",
+    "NodeCollator",
+    "EdgeCollator",
     "metis_partition_assignment",
     "random_partition_assignment",
     "partition_graph",

@@ -616,3 +616,137 @@ def test_dist_graph_sample_neighbors(tmp_path):
             with pytest.raises(Exception):
                 dg.sample_neighbors(np.array([other]), 3)
     assert seen > 0
+
+
+def test_partition_policies_and_idmap():
+    from dgl_tpu.distributed import (
+        RangePartitionBook, NodePartitionPolicy, EdgePartitionPolicy,
+        IdMap, HeteroDataName, parse_hetero_data_name,
+    )
+
+    book = RangePartitionBook([0, 10, 25], 2)
+    pol = NodePartitionPolicy(book, "_N")
+    assert pol.policy_str == "node~_N"
+    np.testing.assert_array_equal(pol.to_partid([3, 12]), [0, 1])
+    np.testing.assert_array_equal(pol.to_local([3, 12]), [3, 2])
+    assert pol.get_size() == 25
+    ep = EdgePartitionPolicy(book, ("_N", "_E", "_N"))
+    assert ep.policy_str.startswith("edge~")
+    # IdMap: 2 types x 2 partitions, contiguous homogeneous ranges
+    id_ranges = {
+        "A": np.array([[0, 100], [200, 300]]),
+        "B": np.array([[100, 200], [300, 400]]),
+    }
+    im = IdMap(id_ranges)
+    tid, twid = im(np.array([0, 90, 201, 150, 399]))
+    np.testing.assert_array_equal(tid, [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(twid, [0, 90, 101, 50, 199])
+    # data-name codec round trip
+    name = HeteroDataName(True, "_N", "feat")
+    parsed = parse_hetero_data_name(str(name))
+    assert parsed.is_node() and parsed.get_name() == "feat"
+    ename = HeteroDataName(False, ("u", "r", "v"), "w")
+    p2 = parse_hetero_data_name(str(ename))
+    assert p2.is_edge() and p2.get_type() == ("u", "r", "v")
+
+
+def test_kvstore_push_pull():
+    from dgl_tpu.distributed import (
+        KVClient, KVServer, RangePartitionBook, NodePartitionPolicy,
+    )
+
+    book = RangePartitionBook([0, 5, 10], 2)
+    server = KVServer(0)
+    client = KVClient(server)
+    client.init_data(
+        "emb", (10, 3), part_policy=NodePartitionPolicy(book),
+        init_func=lambda shape, dtype: np.zeros(shape, dtype),
+    )
+    assert client.data_name_list() == ["emb"]
+    client.push("emb", np.array([1, 4]), np.ones((2, 3)))
+    out = client.pull("emb", np.array([0, 1, 4]))
+    np.testing.assert_allclose(out, [[0, 0, 0], [1, 1, 1], [1, 1, 1]])
+    # UDF push handler (reference kvstore.py:732 register_push_handler)
+    client.register_push_handler(
+        "emb", lambda store, name, ids, vals: np.add.at(
+            store[name], ids, vals
+        )
+    )
+    client.push("emb", np.array([1, 1]), np.ones((2, 3)))
+    np.testing.assert_allclose(client.pull("emb", np.array([1]))[0], 3.0)
+    dtype, shape, policy = client.get_data_meta("emb")
+    assert shape == (10, 3) and policy is not None
+    client.delete_data("emb")
+    assert client.data_name_list() == []
+
+
+def test_dist_sparse_grad_optimizer():
+    import jax.numpy as jnp
+    from dgl_tpu.distributed import DistEmbedding, DistSparseGradOptimizer
+    from dgl_tpu.distributed.optim import SparseAdagrad, SparseAdam
+
+    emb = DistEmbedding(8, 4, "w", seed=0)
+    opt = SparseAdagrad([emb], lr=0.5)
+    assert isinstance(opt, DistSparseGradOptimizer)
+    before = np.asarray(emb.data).copy()
+    opt.step([(jnp.array([2, 5]), jnp.ones((2, 4)))])
+    after = np.asarray(emb.data)
+    assert (after[2] != before[2]).all() and (after[0] == before[0]).all()
+    opt2 = SparseAdam([emb], lr=0.1)
+    opt2.step([(jnp.array([0]), jnp.ones((1, 4)))])
+    assert (np.asarray(emb.data)[0] != after[0]).all()
+
+
+def test_custom_pool_and_views(tmp_path):
+    import dgl_tpu as dgl
+    from dgl_tpu.distributed import (
+        CustomPool, DistGraph, HeteroNodeView, NodeDataView,
+        partition_graph,
+    )
+
+    pool = CustomPool(2)
+    pool.set_collate_fn(lambda items: sum(items), "dl")
+    pool.submit_task("dl", 0, [1, 2, 3])
+    assert pool.get_result("dl", timeout=30) == 6
+    pool.close()
+    pool.join()
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph(
+        (rng.integers(0, 30, 200), rng.integers(0, 30, 200)), num_nodes=30
+    )
+    g.ndata["feat"] = jnp.asarray(rng.normal(size=(30, 4)), jnp.float32)
+    partition_graph(g, "viewtest", 2, str(tmp_path))
+    dg = DistGraph(str(tmp_path), part_id=0)
+    view = NodeDataView(dg)
+    assert "feat" in view and len(view) >= 1
+    hv = HeteroNodeView(dg)
+    nt = dg.local_partition.ntypes[0]
+    assert hv[nt].data["feat"].shape[1] == 4
+
+
+def test_dist_graph_server_shared_memory(tmp_path):
+    import dgl_tpu as dgl
+    from dgl_tpu.distributed import DistGraphServer, partition_graph
+    from dgl_tpu.graphbolt import load_from_shared_memory
+
+    rng = np.random.default_rng(1)
+    g = dgl.graph(
+        (rng.integers(0, 20, 100), rng.integers(0, 20, 100)), num_nodes=20
+    )
+    g.ndata["feat"] = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+    partition_graph(g, "srvtest", 2, str(tmp_path))
+    server = DistGraphServer(
+        0, part_config=str(tmp_path), graph_name="srvtest"
+    )
+    try:
+        assert server.shared_memory_name is not None
+        attached = load_from_shared_memory(server.shared_memory_name)
+        assert attached.csc_indptr.shape[0] == \
+            server.local_partition.num_nodes() + 1
+        # features are served through the kvstore
+        nt = server.local_partition.ntypes[0]
+        rows = server.kvstore.pull(f"node~{nt}~feat", np.array([0, 1]))
+        assert rows.shape == (2, 3)
+    finally:
+        server.shutdown()
