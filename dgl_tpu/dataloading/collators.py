@@ -186,3 +186,25 @@ class GraphCollator:
 
         arr = np.asarray(items)
         return jnp.asarray(arr)
+
+
+class Collator:
+    """Abstract collator (reference
+    ``distributed/dist_dataloader.py:276``): ``dataset`` + ``collate``."""
+
+    @property
+    def dataset(self):
+        raise NotImplementedError
+
+    def collate(self, items):
+        raise NotImplementedError
+
+    @staticmethod
+    def add_edge_attribute_to_graph(g, prob, padding=1):
+        """Reference hook that materializes prob/mask edge attributes on
+        GraphBolt partitions; our graphs carry edata directly, so this is
+        a no-op kept for API parity."""
+        return g
+
+
+__all__.append("Collator")

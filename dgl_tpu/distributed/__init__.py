@@ -66,7 +66,38 @@ from .server import (
 from . import optim
 from .optim import DistSparseGradOptimizer
 # collators live here in the reference (``distributed/dist_dataloader.py``)
-from ..dataloading.collators import NodeCollator, EdgeCollator
+from ..dataloading.collators import NodeCollator, EdgeCollator, Collator
+from . import graph_services
+from .graph_services import (
+    merge_graphs,
+    find_edges,
+    in_degrees,
+    out_degrees,
+    load_partition_feats,
+    dgl_partition_to_graphbolt,
+    gb_convert_single_dgl_partition,
+    process_partitions,
+    default_push_handler,
+    default_pull_handler,
+    ServerState,
+)
+from .role import (
+    init_role,
+    get_role,
+    init_kvstore,
+    get_kvstore,
+    close_kvstore,
+    get_trainer_rank,
+    get_num_trainers,
+    get_global_rank,
+    read_ip_config,
+    get_local_usable_addr,
+    local_ip4_addr_list,
+    alltoall,
+    alltoall_cpu,
+    alltoallv,
+    alltoallv_cpu,
+)
 from .dist_context import initialize, get_rank, get_world_size
 from .cooperative import sparse_all_to_all_pull, sparse_all_to_all_push
 from .dist_minibatch import (
@@ -108,6 +139,33 @@ __all__ = [
     "DistSparseGradOptimizer",
     "NodeCollator",
     "EdgeCollator",
+    "Collator",
+    "merge_graphs",
+    "find_edges",
+    "in_degrees",
+    "out_degrees",
+    "load_partition_feats",
+    "dgl_partition_to_graphbolt",
+    "gb_convert_single_dgl_partition",
+    "process_partitions",
+    "default_push_handler",
+    "default_pull_handler",
+    "ServerState",
+    "init_role",
+    "get_role",
+    "init_kvstore",
+    "get_kvstore",
+    "close_kvstore",
+    "get_trainer_rank",
+    "get_num_trainers",
+    "get_global_rank",
+    "read_ip_config",
+    "get_local_usable_addr",
+    "local_ip4_addr_list",
+    "alltoall",
+    "alltoall_cpu",
+    "alltoallv",
+    "alltoallv_cpu",
     "metis_partition_assignment",
     "random_partition_assignment",
     "partition_graph",

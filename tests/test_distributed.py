@@ -750,3 +750,74 @@ def test_dist_graph_server_shared_memory(tmp_path):
         assert rows.shape == (2, 3)
     finally:
         server.shutdown()
+
+
+def test_graph_services(tmp_path):
+    import dgl_tpu as dgl
+    from dgl_tpu import distributed as dist
+    from dgl_tpu.base import EID
+
+    rng = np.random.default_rng(2)
+    g = dgl.graph(
+        (rng.integers(0, 40, 300), rng.integers(0, 40, 300)), num_nodes=40
+    )
+    dist.partition_graph(g, "svc", 2, str(tmp_path))
+    dg = dist.DistGraph(str(tmp_path), part_id=0)
+    book = dg.get_partition_book()
+    owned = book.partid2nids(0)[:5]
+    # in_degrees on owned nodes are non-negative and owner-local exact
+    indeg = dist.in_degrees(dg, owned)
+    assert (indeg >= 0).all()
+    # merge_graphs combines per-part samples into one global edge set
+    s1 = (np.array([0, 1]), np.array([2, 3]), np.array([10, 11]))
+    s2 = (np.array([4]), np.array([5]), np.array([12]))
+    merged = dist.merge_graphs([s1, s2], book.num_nodes())
+    assert merged.num_edges() == 3
+    assert np.asarray(merged.edata[EID]).tolist() == [10, 11, 12]
+    excl = dist.merge_graphs(
+        [s1, s2], book.num_nodes(), exclude_edges=np.array([11])
+    )
+    assert excl.num_edges() == 2
+    # find_edges round-trips owned edges
+    eids = np.asarray(dg.local_partition.edata[EID])[:4]
+    src, dst = dist.find_edges(dg, eids)
+    new_ids = np.asarray(dg.local_partition.ndata["_new_id"])
+    ls, ld = (np.asarray(a) for a in dg.local_partition.edges())
+    np.testing.assert_array_equal(src, new_ids[ls[:4]])
+    np.testing.assert_array_equal(dst, new_ids[ld[:4]])
+    # partition -> graphbolt conversion
+    outs = dist.dgl_partition_to_graphbolt(str(tmp_path))
+    assert len(outs) == 2
+    data = np.load(outs[0])
+    assert data["csc_indptr"].shape[0] == \
+        dg.local_partition.num_nodes() + 1
+    # feats loader
+    nf, ef = dist.load_partition_feats(str(tmp_path), 0)
+    assert any(k.endswith("_new_id") for k in nf)
+
+
+def test_role_registry_and_net_utils(tmp_path):
+    from dgl_tpu import distributed as dist
+
+    dist.init_role("trainer")
+    assert dist.get_role() == "trainer"
+    kv = dist.init_kvstore()
+    assert dist.get_kvstore() is kv
+    kv.init_data("x", (4, 2))
+    kv.push("x", np.array([1]), np.ones((1, 2)))
+    np.testing.assert_allclose(dist.get_kvstore().pull("x", [1]), 1.0)
+    dist.close_kvstore()
+    assert dist.get_kvstore() is None
+    assert dist.get_trainer_rank() == 0 and dist.get_num_trainers() == 1
+    # ip config parsing
+    p = tmp_path / "ip_config.txt"
+    p.write_text("10.0.0.1 30050\n10.0.0.2\n")
+    cfg = dist.read_ip_config(str(p))
+    assert cfg[0] == ("10.0.0.1", 30050) and cfg[1][0] == "10.0.0.2"
+    addr = dist.get_local_usable_addr()
+    assert ":" in addr
+    assert "127.0.0.1" in dist.local_ip4_addr_list()
+    # host alltoall single-process copy semantics
+    outs = [np.zeros(2)]
+    dist.alltoall(outs, [np.ones(2)])
+    np.testing.assert_allclose(outs[0], 1.0)
