@@ -343,3 +343,70 @@ def wrap_with_cached_feature(features, device: bool = False,
     if isinstance(features, dict):
         return {k: one(v) for k, v in features.items()}
     return one(features)
+
+
+class ParquetFeature(Feature):
+    """Feature backed by a parquet file (ROADMAP round-2 item: parquet
+    shard loaders; plays the role of the reference's on-disk npy store,
+    ``graphbolt/src/cnumpy.h``, for columnar data lakes). 2-D features
+    are stored as a FixedSizeList column ``data``; reads memory-map the
+    file and gather rows with arrow ``take`` (no full materialization)."""
+
+    def __init__(self, path: str, column: str = "data"):
+        import pyarrow.parquet as pq
+
+        self._table = pq.read_table(path, memory_map=True)
+        self._column = column
+        col = self._table.column(column)
+        self._width = (
+            col.type.list_size
+            if hasattr(col.type, "list_size") else None
+        )
+
+    @staticmethod
+    def write(path: str, array, column: str = "data"):
+        """Materialize an array as a parquet feature file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        array = np.asarray(array)
+        if array.ndim == 1:
+            table = pa.table({column: pa.array(array)})
+        elif array.ndim == 2:
+            flat = pa.array(array.reshape(-1))
+            col = pa.FixedSizeListArray.from_arrays(flat, array.shape[1])
+            table = pa.table({column: col})
+        else:
+            raise ValueError("ParquetFeature stores 1-D or 2-D arrays")
+        pq.write_table(table, path)
+        return path
+
+    def _to_numpy(self, chunked):
+        import pyarrow as pa
+
+        arr = chunked.combine_chunks() if hasattr(
+            chunked, "combine_chunks"
+        ) else chunked
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if self._width is not None:
+            return np.asarray(arr.flatten()).reshape(-1, self._width)
+        return np.asarray(arr)
+
+    def read(self, ids=None):
+        col = self._table.column(self._column)
+        if ids is None:
+            return self._to_numpy(col)
+        import pyarrow.compute as pc
+
+        taken = pc.take(col, np.asarray(ids, dtype=np.int64))
+        return self._to_numpy(taken)
+
+    def size(self):
+        return (self._width,) if self._width is not None else ()
+
+    def count(self):
+        return self._table.num_rows
+
+
+__all__.append("ParquetFeature")

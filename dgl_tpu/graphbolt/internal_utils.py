@@ -75,6 +75,10 @@ def read_data(path: str, fmt: str, in_memory: bool = True):
         import torch
 
         return torch.load(path, weights_only=False)
+    if fmt == "parquet":
+        from .impl.feature_stores import ParquetFeature
+
+        return ParquetFeature(path).read()
     raise ValueError(f"unsupported format {fmt!r}")
 
 
@@ -87,6 +91,11 @@ def save_data(data, path: str, fmt: str):
         import torch
 
         torch.save(data, path)
+        return
+    if fmt == "parquet":
+        from .impl.feature_stores import ParquetFeature
+
+        ParquetFeature.write(path, np.asarray(data))
         return
     raise ValueError(f"unsupported format {fmt!r}")
 
@@ -134,6 +143,14 @@ def read_edges(dataset_dir: str, edge_fmt: str, edge_path: str):
         assert arr.ndim == 2 and arr.shape[0] == 2, \
             "numpy edges must be (2, E)"
         return arr[0], arr[1]
+    if edge_fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path, memory_map=True)
+        return (
+            np.asarray(table.column("src").combine_chunks()),
+            np.asarray(table.column("dst").combine_chunks()),
+        )
     raise ValueError(f"unsupported edge format {edge_fmt!r}")
 
 

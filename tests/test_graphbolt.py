@@ -789,3 +789,39 @@ def test_gb_pyg_layers(g):
     assert size[1] == 6 and size[0] >= 6
     assert gb.get_host_to_device_uva_stream() is None
     assert gb.TemporalNeighborSamplerImpl is gb.TemporalNeighborSampler
+
+
+def test_parquet_feature(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(20, 6)).astype(np.float32)
+    p = str(tmp_path / "feat.parquet")
+    gb.ParquetFeature.write(p, arr)
+    feat = gb.ParquetFeature(p)
+    assert feat.count() == 20 and feat.size() == (6,)
+    np.testing.assert_allclose(feat.read(np.array([3, 7, 3])),
+                               arr[[3, 7, 3]], rtol=1e-6)
+    np.testing.assert_allclose(feat.read(), arr, rtol=1e-6)
+    # 1-D labels
+    lp = str(tmp_path / "lab.parquet")
+    gb.ParquetFeature.write(lp, np.arange(20))
+    lab = gb.ParquetFeature(lp)
+    assert lab.read(np.array([5]))[0] == 5
+    # read_data/save_data format plumbing
+    sp = str(tmp_path / "x.parquet")
+    gb.save_data(arr, sp, "parquet")
+    np.testing.assert_allclose(gb.read_data(sp, "parquet"), arr, rtol=1e-6)
+    # parquet edge shards
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ep = str(tmp_path / "edges.parquet")
+    pq.write_table(
+        pa.table({"src": np.array([0, 1]), "dst": np.array([2, 3])}), ep
+    )
+    s, d = gb.read_edges(str(tmp_path), "parquet", "edges.parquet")
+    assert s.tolist() == [0, 1] and d.tolist() == [2, 3]
+    # ParquetFeature inside a feature store + fetch stage
+    store = gb.FeatureStore()
+    store[("node", "_N", "feat")] = feat
+    out = store.read("node", "_N", "feat", np.array([1, 2]))
+    np.testing.assert_allclose(out, arr[[1, 2]], rtol=1e-6)
