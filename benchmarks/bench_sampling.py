@@ -118,5 +118,43 @@ def main():
     )
 
 
+def bench_worker_scaling():
+    """Threaded sampler-worker scaling (ROADMAP item 4: input-pipeline
+    throughput): SamplePerLayer over a FusedCSCSamplingGraph, serial vs
+    MultiprocessingWrapper(num_workers). The pick kernels are numpy/
+    native (GIL-releasing), so thread workers overlap."""
+    import numpy as np
+
+    import dgl_tpu
+    from dgl_tpu import graphbolt as gb
+
+    rng = np.random.default_rng(0)
+    N, E = 200_000, 2_000_000
+    g = dgl_tpu.graph(
+        (rng.integers(0, N, E), rng.integers(0, N, E)), num_nodes=N
+    )
+    fused = gb.from_dglgraph(g)
+    seeds = np.arange(100_000)
+
+    def pipe():
+        src = gb.ItemSampler(gb.ItemSet(seeds, "seeds"), batch_size=1024)
+        return gb.SamplePerLayer(src, fused, fanout=10, seed=0)
+
+    t0 = time.perf_counter()
+    n_serial = sum(1 for _ in pipe())
+    dt_serial = time.perf_counter() - t0
+    out = {"bench": "sampler_worker_scaling", "batches": n_serial,
+           "serial_s": round(dt_serial, 3)}
+    for w in (2, 4):
+        t0 = time.perf_counter()
+        n = sum(1 for _ in gb.MultiprocessingWrapper(pipe(), num_workers=w))
+        dt = time.perf_counter() - t0
+        assert n == n_serial
+        out[f"workers{w}_s"] = round(dt, 3)
+        out[f"workers{w}_speedup"] = round(dt_serial / dt, 2)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    bench_worker_scaling()
