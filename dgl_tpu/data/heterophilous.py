@@ -14,6 +14,8 @@ import os
 from typing import Optional
 
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 
 from .dgl_dataset import DGLDataset
@@ -97,7 +99,7 @@ class HeterophilousGraphDataset(DGLDataset):
         # this suite
         g = synthetic_classification_graph(
             n, e, c, d, homophily=0.25,
-            seed=abs(hash(self.name)) % 2**31,
+            seed=zlib.crc32(self.name.encode()) % 2**31,
         )
         self._g = g
 

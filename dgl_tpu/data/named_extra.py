@@ -9,6 +9,8 @@ dropped into ``raw_dir`` where a parser exists.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 
 from .dgl_dataset import DGLDataset
@@ -42,7 +44,7 @@ def _kg(name, ents, rels, triples):
         def __init__(self, transform=None, **kwargs):
             super().__init__(
                 name=name, num_entities=ents, num_rels=rels,
-                num_triples=triples, seed=abs(hash(name)) % 2**31,
+                num_triples=triples, seed=zlib.crc32(name.encode()) % 2**31,
                 transform=transform, **kwargs,
             )
 
@@ -422,7 +424,7 @@ class _TemporalKG(KnowledgeGraphDataset):
         self._num_ts = num_ts
         super().__init__(name=name, num_entities=ents, num_rels=rels,
                          num_triples=triples,
-                         seed=abs(hash(name)) % 2**31, transform=transform)
+                         seed=zlib.crc32(name.encode()) % 2**31, transform=transform)
 
     def process(self):
         super().process()
@@ -904,7 +906,7 @@ class GNNBenchmarkDataset(SyntheticDataset):
         n, e, c, d = self._STATS[key]
         super().__init__(
             name=key, num_nodes=n, num_edges=e, num_classes=c, feat_dim=d,
-            seed=abs(hash(key)) % 2**31, transform=transform,
+            seed=zlib.crc32(key.encode()) % 2**31, transform=transform,
         )
 
 
@@ -935,7 +937,7 @@ class CoraFull(SyntheticDataset):
         super().__init__(
             name="cora_full", num_nodes=19793, num_edges=126842,
             num_classes=70, feat_dim=512,
-            seed=abs(hash("CoraFullDataset")) % 2**31, transform=transform,
+            seed=zlib.crc32(b"CoraFullDataset") % 2**31, transform=transform,
         )
 
 
@@ -960,7 +962,7 @@ class GeomGCNDataset(SyntheticDataset):
         n, e, c, d = self._STATS[key]
         super().__init__(
             name=key, num_nodes=n, num_edges=e, num_classes=c, feat_dim=d,
-            seed=abs(hash(key)) % 2**31, transform=transform,
+            seed=zlib.crc32(key.encode()) % 2**31, transform=transform,
         )
 
     def process(self):

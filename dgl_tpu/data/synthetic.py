@@ -10,6 +10,8 @@ from __future__ import annotations
 
 
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 
 from .dgl_dataset import DGLDataset
@@ -450,7 +452,7 @@ def _make_named_dataset(name, n, e, c, d, homophily=0.8):
         def __init__(self, transform=None, **kwargs):
             super().__init__(
                 name=name, num_nodes=n, num_edges=e, num_classes=c,
-                feat_dim=d, seed=abs(hash(name)) % 2**31,
+                feat_dim=d, seed=zlib.crc32(name.encode()) % 2**31,
                 transform=transform,
             )
 

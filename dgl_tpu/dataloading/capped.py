@@ -93,7 +93,17 @@ class CappedNeighborSampler(Sampler):
         subg = node_subgraph(g, merged)
         if exclude_eids is not None:
             subg = EidExcluder(exclude_eids)(subg)
+        # input_nodes = the parent ids backing the subgraph, in the
+        # subgraph's node order — feat[input_nodes] aligns with subg rows
+        # (the contract our ShaDowKHopSampler also follows; the reference
+        # returns the last capped frontier, which does NOT line up with
+        # the subgraph it returns)
+        from ..base import NID
+
         if len(g.ntypes) == 1:
             nt = g.ntypes[0]
-            return indices.get(nt), output_nodes[nt], subg
-        return indices, output_nodes, subg
+            return np.asarray(subg.ndata[NID]), output_nodes[nt], subg
+        input_nodes = {
+            nt: np.asarray(subg.nodes[nt].data[NID]) for nt in subg.ntypes
+        }
+        return input_nodes, output_nodes, subg

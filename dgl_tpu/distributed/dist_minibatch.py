@@ -383,11 +383,15 @@ class DistEdgeDataLoader:
                 valid = np.concatenate([pos[:nb].ravel(), neg[:nb].ravel()])
                 uniq = np.unique(valid)
                 cur, _, blks = self.sampler.sample_blocks(uniq)
-                # positions of endpoints within the sampler's seed slots
-                lookup = np.full(n_total, 0, dtype=np.int64)
-                lookup[uniq] = np.arange(uniq.shape[0], dtype=np.int64)
-                pidx = np.where(pos >= 0, lookup[np.maximum(pos, 0)], 0)
-                nidx = lookup[neg]
+                # positions of endpoints within the sampler's seed slots:
+                # uniq is sorted, so searchsorted beats an O(num_nodes)
+                # lookup table per step
+                pidx = np.where(
+                    pos >= 0,
+                    np.searchsorted(uniq, np.maximum(pos, 0)),
+                    0,
+                )
+                nidx = np.searchsorted(uniq, neg)
                 S = self.sampler.batch_size + 1
                 seeds_pad = np.full(S, -1, dtype=np.int64)
                 seeds_pad[: uniq.shape[0]] = uniq

@@ -216,12 +216,10 @@ def gb_convert_single_dgl_partition(part_config: str, part_id: int,
 def process_partitions(part_config: str, num_parts: Optional[int] = None,
                        **kwargs):
     """Convert every partition (reference ``partition.py``
-    process_partitions helper of dgl_partition_to_graphbolt)."""
+    process_partitions helper of dgl_partition_to_graphbolt).
+    ``part_config`` may be the partition directory or its json file."""
     if num_parts is None:
-        cfgs = [
-            f for f in os.listdir(part_config) if f.endswith(".json")
-        ]
-        with open(os.path.join(part_config, cfgs[0])) as f:
+        with open(_find_config(part_config)) as f:
             num_parts = json.load(f)["num_parts"]
     return [
         gb_convert_single_dgl_partition(part_config, p, **kwargs)

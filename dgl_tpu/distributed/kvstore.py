@@ -42,14 +42,21 @@ class DistConnectError(Exception):
 
 class PartitionPolicy:
     """Maps global ids to owner partitions / local ids (reference
-    ``graph_partition_book.py:1100`` PartitionPolicy)."""
+    ``graph_partition_book.py:1100`` PartitionPolicy). ``ranges``
+    overrides the id ranges the policy operates on (node policies use the
+    book's node ranges; edge policies must supply EDGE ranges)."""
 
-    def __init__(self, policy_str: str, partition_book: RangePartitionBook):
+    def __init__(self, policy_str: str, partition_book: RangePartitionBook,
+                 ranges=None):
         assert policy_str.split(POLICY_DELIMITER)[0] in (
             NODE_PART_POLICY, EDGE_PART_POLICY,
         ), f"bad policy {policy_str!r}"
         self._policy_str = policy_str
         self._book = partition_book
+        self._ranges = (
+            np.asarray(ranges, dtype=np.int64)
+            if ranges is not None else partition_book._ranges
+        )
 
     @property
     def policy_str(self) -> str:
@@ -63,20 +70,21 @@ class PartitionPolicy:
     def partition_book(self) -> RangePartitionBook:
         return self._book
 
+    def to_partid(self, ids):
+        ids = np.asarray(ids)
+        return np.searchsorted(self._ranges, ids, side="right") - 1
+
     def to_local(self, ids):
         """Global -> local ids on their owner part."""
         ids = np.asarray(ids)
-        owner = self._book.nid2partid(ids)
-        return ids - self._book._ranges[owner]
-
-    def to_partid(self, ids):
-        return self._book.nid2partid(ids)
+        return ids - self._ranges[self.to_partid(ids)]
 
     def get_part_size(self) -> int:
-        return self._book.num_nodes(self._book.partid)
+        p = self._book.partid
+        return int(self._ranges[p + 1] - self._ranges[p])
 
     def get_size(self) -> int:
-        return self._book.num_nodes()
+        return int(self._ranges[-1])
 
 
 class NodePartitionPolicy(PartitionPolicy):
@@ -89,16 +97,29 @@ class NodePartitionPolicy(PartitionPolicy):
 
 
 class EdgePartitionPolicy(PartitionPolicy):
-    """(reference ``graph_partition_book.py`` EdgePartitionPolicy)."""
+    """(reference ``graph_partition_book.py`` EdgePartitionPolicy).
 
-    def __init__(self, partition_book, etype=("_N", "_E", "_N")):
+    Edge ids live in their own range space: pass ``edge_ranges``
+    explicitly, or store them in the book's ``meta['edge_ranges']``
+    (``partition_graph`` writes per-part edge counts there)."""
+
+    def __init__(self, partition_book, etype=("_N", "_E", "_N"),
+                 edge_ranges=None):
         from ..graphbolt.base import etype_tuple_to_str
 
         key = (
             etype_tuple_to_str(etype) if isinstance(etype, tuple) else etype
         )
+        if edge_ranges is None:
+            edge_ranges = partition_book.meta.get("edge_ranges")
+        if edge_ranges is None:
+            raise ValueError(
+                "EdgePartitionPolicy needs edge_ranges (per-part edge id "
+                "range starts); the book only carries node ranges"
+            )
         super().__init__(
-            EDGE_PART_POLICY + POLICY_DELIMITER + key, partition_book
+            EDGE_PART_POLICY + POLICY_DELIMITER + key, partition_book,
+            ranges=edge_ranges,
         )
 
 

@@ -120,12 +120,20 @@ class CustomPool:
 
     def __init__(self, num_workers: int, rpc_config=None):
         import queue as _q
+        from collections import deque
 
         self.num_workers = num_workers
         self.result_queue: "_q.Queue" = _q.Queue()
         self.task_queues = [_q.Queue() for _ in range(num_workers)]
         self._collate = {}
         self.current_proc_id = 0
+        # per-dataloader submission order + completed-but-not-consumed
+        # results: workers finish out of order and several dataloaders can
+        # share the pool, so results are keyed by (name, idx) and handed
+        # back in each dataloader's submission order
+        self._pending = {}           # name -> deque of submitted idx
+        self._done = {}              # (name, idx) -> result
+        self._deque = deque
         self._threads = [
             threading.Thread(target=self._worker, args=(i,), daemon=True)
             for i in range(num_workers)
@@ -158,12 +166,34 @@ class CustomPool:
             q.put((MpCommand.SET_COLLATE_FN, (dataloader_name, func)))
 
     def submit_task(self, dataloader_name: str, idx, items):
+        self._pending.setdefault(dataloader_name, self._deque()).append(idx)
         q = self.task_queues[self.current_proc_id]
         self.current_proc_id = (self.current_proc_id + 1) % self.num_workers
         q.put((MpCommand.CALL_COLLATE_FN, (dataloader_name, idx, items)))
 
     def get_result(self, dataloader_name: str, timeout: float = 1800):
-        name, idx, out = self.result_queue.get(timeout=timeout)
+        """Next result of THIS dataloader in submission order (results of
+        other dataloaders / later tasks are buffered, not dropped)."""
+        pending = self._pending.get(dataloader_name)
+        if not pending:
+            raise RuntimeError(
+                f"no submitted tasks for dataloader {dataloader_name!r}"
+            )
+        want = pending[0]
+        key = (dataloader_name, want)
+        import time as _time
+
+        end = _time.monotonic() + timeout
+        while key not in self._done:
+            remaining = end - _time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"get_result({dataloader_name!r}) timed out"
+                )
+            name, idx, out = self.result_queue.get(timeout=remaining)
+            self._done[(name, idx)] = out
+        pending.popleft()
+        out = self._done.pop(key)
         if isinstance(out, BaseException):
             raise out
         return out

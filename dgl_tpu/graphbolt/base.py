@@ -300,9 +300,10 @@ def compact_csc_format(
             ),
         )
         if src_timestamps is not None:
-            # broadcast each dst's timestamp to its in-edges
+            # broadcast each dst's timestamp to its in-edges; a src type
+            # that is never a seed type starts with no entries
             deg = np.diff(np.asarray(csc.indptr))
-            src_timestamps[src_t].append(
+            src_timestamps.setdefault(src_t, []).append(
                 np.repeat(np.asarray(dst_timestamps[dst_t]), deg)
             )
     original_row_ids = {

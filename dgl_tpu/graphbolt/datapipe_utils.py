@@ -162,9 +162,28 @@ class MultiprocessingWrapper(_Stage):
         if self.num_workers <= 0 or not isinstance(dp, _Stage):
             yield from dp
             return
+        # bounded submit-ahead window: Executor.map would drain the whole
+        # upstream eagerly and buffer every sampled batch in RAM; keeping
+        # at most 2*num_workers futures in flight streams the epoch with
+        # the same parallelism
+        from collections import deque
+
+        window = 2 * self.num_workers
         with ThreadPoolExecutor(self.num_workers) as pool:
-            # ordered map of the stage body over its upstream items
-            yield from pool.map(dp._apply, dp.source)
+            futures = deque()
+            upstream = iter(dp.source)
+            exhausted = False
+            while True:
+                while not exhausted and len(futures) < window:
+                    try:
+                        item = next(upstream)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    futures.append(pool.submit(dp._apply, item))
+                if not futures:
+                    return
+                yield futures.popleft().result()
 
 
 class Node:

@@ -102,16 +102,32 @@ class TorchBasedFeatureStore(BasicFeatureStore):
         super().__init__()
         import torch
 
+        def field(spec, key, default=None):
+            # specs may be OnDiskFeatureData dataclasses OR plain dicts;
+            # dataclass attributes can legitimately be None
+            if isinstance(spec, dict):
+                return spec.get(key, default)
+            val = getattr(spec, key, None)
+            return default if val is None else val
+
         for spec in feat_data or []:
-            domain = getattr(spec, "domain", None) or spec["domain"]
-            type_ = getattr(spec, "type", None) or spec.get("type", "_N")
-            name = getattr(spec, "name", None) or spec["name"]
-            source = getattr(spec, "path", None) or spec.get("path")
+            domain = field(spec, "domain")
+            type_ = field(spec, "type", "_N")
+            name = field(spec, "name")
+            source = field(spec, "path")
+            if domain is None or name is None:
+                raise ValueError(f"feature spec needs domain+name: {spec}")
+            if hasattr(domain, "value"):
+                domain = domain.value  # OnDiskFeatureDataDomain enum
             if source is not None:
                 arr = np.load(source, mmap_mode="r")
                 feat = NumpyFeature(np.asarray(arr))
             else:
-                tensor = spec["tensor"]
+                tensor = field(spec, "tensor")
+                if tensor is None:
+                    raise ValueError(
+                        f"feature spec needs a path or tensor: {spec}"
+                    )
                 feat = (
                     TorchBasedFeature(tensor)
                     if isinstance(tensor, torch.Tensor)

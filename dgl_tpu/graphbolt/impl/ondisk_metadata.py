@@ -140,6 +140,9 @@ class OnDiskMetaData:
                 OnDiskTaskData(
                     name=t.get("name"),
                     num_classes=t.get("num_classes"),
+                    train_set=_parse_tvt(t.get("train_set")),
+                    validation_set=_parse_tvt(t.get("validation_set")),
+                    test_set=_parse_tvt(t.get("test_set")),
                     extra_fields={
                         k: v for k, v in t.items()
                         if k not in (
@@ -151,3 +154,25 @@ class OnDiskMetaData:
                 for t in meta.get("tasks", [])
             ],
         )
+
+
+def _parse_tvt(entries) -> List[OnDiskTVTSet]:
+    """Parse a task's train/validation/test_set list into OnDiskTVTSet
+    objects (each entry: {type, data: [{format, path, in_memory, type}]})."""
+    out = []
+    for e in entries or []:
+        out.append(OnDiskTVTSet(
+            type=e.get("type"),
+            data=[
+                OnDiskTVTSetData(
+                    format=OnDiskFeatureDataFormat(
+                        d.get("format", "numpy")
+                    ),
+                    path=d.get("path"),
+                    in_memory=d.get("in_memory", True),
+                    type=d.get("type"),
+                )
+                for d in e.get("data", [])
+            ],
+        ))
+    return out

@@ -92,6 +92,7 @@ class DistributedItemSampler(ItemSampler):
         if shuffle and seed is None:
             seed = 0
         super().__init__(item_set, batch_size, shuffle, drop_last, seed)
+        self._seed_value = seed
         if rank is None or world_size is None:
             import jax
 
@@ -102,12 +103,28 @@ class DistributedItemSampler(ItemSampler):
         self.rank = int(rank)
         self.world_size = int(world_size)
         self.drop_uneven_inputs = drop_uneven_inputs
+        self._epoch = 0
+
+    def _num_mine(self) -> int:
+        n = len(self.item_set)
+        if self.drop_uneven_inputs:
+            return n // self.world_size
+        # strided slice rank::world
+        return (n - self.rank + self.world_size - 1) // self.world_size
 
     def _my_indices(self):
         n = len(self.item_set)
-        # all ranks draw the same permutation (same seed discipline as the
-        # reference's shared generator), then take a strided slice
-        idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        # all ranks draw the same permutation (same (seed, epoch)
+        # discipline as the reference's shared generator), then take a
+        # strided slice. A FRESH generator per epoch keeps __len__ and
+        # other calls from consuming shared rng state (ranks would
+        # otherwise desynchronize if one calls len() first), while
+        # successive epochs still reshuffle in lockstep.
+        rng = np.random.default_rng(
+            None if self._seed_value is None
+            else (self._seed_value, self._epoch)
+        )
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
         mine = idx[self.rank::self.world_size]
         if self.drop_uneven_inputs:
             per = n // self.world_size
@@ -116,6 +133,7 @@ class DistributedItemSampler(ItemSampler):
 
     def __iter__(self):
         mine = self._my_indices()
+        self._epoch += 1
         for lo in range(0, mine.shape[0], self.batch_size):
             sel = mine[lo: lo + self.batch_size]
             if self.drop_last and sel.shape[0] < self.batch_size:
@@ -135,7 +153,7 @@ class DistributedItemSampler(ItemSampler):
             yield mb
 
     def __len__(self):
-        n = self._my_indices().shape[0]
+        n = self._num_mine()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -231,10 +231,16 @@ def all_to_all(outputs, inputs, group=None, async_op: bool = False):
     """
     import jax
 
+    for o in outputs:
+        if not (isinstance(o, np.ndarray) and o.flags.writeable):
+            raise TypeError(
+                "all_to_all outputs must be writeable numpy arrays "
+                "(jax arrays are immutable; pass np buffers)"
+            )
     world = jax.process_count()
     if world == 1:
         for o, i in zip(outputs, inputs):
-            np.copyto(np.asarray(o), np.asarray(i))
+            np.copyto(o, np.asarray(i))
 
         class _Done:
             def wait(self):

@@ -315,13 +315,18 @@ def test_capped_neighbor_sampler(g):
     sampler = dataloading.CappedNeighborSampler(
         [5, 5], fixed_k=7, upsample_rare_types=False, seed=0
     )
-    last_seeds, output_nodes, subg = sampler.sample(g, np.arange(4))
+    input_nodes, output_nodes, subg = sampler.sample(g, np.arange(4))
     assert np.asarray(output_nodes).tolist() == [0, 1, 2, 3]
-    # per-layer frontier capped at fixed_k
-    assert np.asarray(last_seeds).shape[0] <= 7
+    # input_nodes align with the subgraph rows: feat[input_nodes] works
+    np.testing.assert_array_equal(
+        np.asarray(input_nodes), np.asarray(subg.ndata[NID])
+    )
+    assert np.asarray(input_nodes).shape[0] == subg.num_nodes()
     # induced subgraph contains all the seeds
     nid = set(np.asarray(subg.ndata[NID]).tolist())
     assert {0, 1, 2, 3} <= nid
+    # capping bounds growth: at most seeds + fixed_k per layer
+    assert subg.num_nodes() <= 4 + 7 * 2
 
 
 def test_dist_edge_dataloader():

@@ -630,8 +630,17 @@ def test_partition_policies_and_idmap():
     np.testing.assert_array_equal(pol.to_partid([3, 12]), [0, 1])
     np.testing.assert_array_equal(pol.to_local([3, 12]), [3, 2])
     assert pol.get_size() == 25
-    ep = EdgePartitionPolicy(book, ("_N", "_E", "_N"))
+    ep = EdgePartitionPolicy(
+        book, ("_N", "_E", "_N"), edge_ranges=[0, 40, 100]
+    )
     assert ep.policy_str.startswith("edge~")
+    np.testing.assert_array_equal(ep.to_partid([10, 60]), [0, 1])
+    np.testing.assert_array_equal(ep.to_local([10, 60]), [10, 20])
+    assert ep.get_size() == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        EdgePartitionPolicy(book)  # no edge ranges anywhere
     # IdMap: 2 types x 2 partitions, contiguous homogeneous ranges
     id_ranges = {
         "A": np.array([[0, 100], [200, 300]]),
@@ -821,3 +830,32 @@ def test_role_registry_and_net_utils(tmp_path):
     outs = [np.zeros(2)]
     dist.alltoall(outs, [np.ones(2)])
     np.testing.assert_allclose(outs[0], 1.0)
+
+
+def test_custom_pool_result_routing():
+    """Results are routed per dataloader in submission order even when
+    another loader's task finishes first (review regression)."""
+    import time as _t
+
+    from dgl_tpu.distributed import CustomPool
+
+    pool = CustomPool(2)
+    pool.set_collate_fn(lambda items: ("A", sum(items)), "A")
+    pool.set_collate_fn(
+        lambda items: (_t.sleep(0.2), ("B", sum(items)))[1], "B"
+    )
+    # B submitted first but is slow; A must still get ITS result
+    pool.submit_task("B", 0, [1])
+    pool.submit_task("A", 0, [2, 3])
+    assert pool.get_result("A", timeout=30) == ("A", 5)
+    assert pool.get_result("B", timeout=30) == ("B", 1)
+    # out-of-order completion within one loader returns submission order
+    pool.set_collate_fn(
+        lambda items: (_t.sleep(0.2 if items == [0] else 0), items)[1], "C"
+    )
+    pool.submit_task("C", 0, [0])
+    pool.submit_task("C", 1, [1])
+    assert pool.get_result("C", timeout=30) == [0]
+    assert pool.get_result("C", timeout=30) == [1]
+    pool.close()
+    pool.join()

@@ -825,3 +825,87 @@ def test_parquet_feature(tmp_path):
     store[("node", "_N", "feat")] = feat
     out = store.read("node", "_N", "feat", np.array([1, 2]))
     np.testing.assert_allclose(out, arr[[1, 2]], rtol=1e-6)
+
+
+def test_gb_distributed_item_sampler_len_sync():
+    """len() must not consume shared rng state: a rank that checks len()
+    first still agrees with the others on the epoch permutation (review
+    regression)."""
+    items = gb.ItemSet(np.arange(11), "seeds")
+
+    def collect(rank, peek_len):
+        s = gb.DistributedItemSampler(
+            items, batch_size=4, shuffle=True, rank=rank, world_size=2
+        )
+        if peek_len:
+            _ = len(s)
+            _ = len(s)
+        return set(np.concatenate(
+            [np.asarray(mb.seeds) for mb in s]
+        ).tolist())
+
+    a = collect(0, peek_len=True)
+    b = collect(1, peek_len=False)
+    assert a.isdisjoint(b)
+    assert a | b == set(range(11))
+    # successive epochs reshuffle but stay disjoint across ranks
+    s0 = gb.DistributedItemSampler(
+        items, batch_size=4, shuffle=True, rank=0, world_size=2
+    )
+    s1 = gb.DistributedItemSampler(
+        items, batch_size=4, shuffle=True, rank=1, world_size=2
+    )
+    e0_r0 = [np.asarray(mb.seeds) for mb in s0]
+    e0_r1 = [np.asarray(mb.seeds) for mb in s1]
+    e1_r0 = [np.asarray(mb.seeds) for mb in s0]
+    e1_r1 = [np.asarray(mb.seeds) for mb in s1]
+    assert set(np.concatenate(e1_r0).tolist()).isdisjoint(
+        set(np.concatenate(e1_r1).tolist())
+    )
+    assert [a.tolist() for a in e0_r0] != [a.tolist() for a in e1_r0]
+
+
+def test_gb_compact_csc_temporal_bipartite():
+    """Temporal compaction where a src type is never a seed type (review
+    regression: KeyError on src_timestamps)."""
+    csc = {
+        "user:follows:item": gb.CSCFormatBase(
+            indptr=np.array([0, 2]), indices=np.array([7, 8])
+        )
+    }
+    rows, comp, ts = gb.compact_csc_format(
+        csc, {"item": np.array([3])},
+        dst_timestamps={"item": np.array([42])},
+    )
+    np.testing.assert_array_equal(rows["user"], [7, 8])
+    np.testing.assert_array_equal(ts["user"], [42, 42])
+
+
+def test_gb_ondisk_metadata_tvt_parse():
+    meta = gb.OnDiskMetaData.from_dict({
+        "dataset_name": "d",
+        "tasks": [{
+            "name": "nc",
+            "train_set": [{"type": None, "data": [
+                {"format": "numpy", "path": "train.npy"}
+            ]}],
+        }],
+    })
+    t = meta.tasks[0]
+    assert len(t.train_set) == 1
+    assert t.train_set[0].data[0].path == "train.npy"
+    assert t.validation_set == []
+
+
+def test_gb_torch_store_dataclass_spec(tmp_path):
+    import numpy as np
+
+    p = str(tmp_path / "f.npy")
+    np.save(p, np.ones((4, 2), np.float32))
+    spec = gb.OnDiskFeatureData(
+        domain=gb.OnDiskFeatureDataDomain.NODE, name="feat", path=p,
+        type=None,
+    )
+    store = gb.TorchBasedFeatureStore([spec])
+    out = store.read("node", "_N", "feat", np.array([1]))
+    np.testing.assert_allclose(out, [[1, 1]])
