@@ -76,6 +76,18 @@ def _pick(
         if res is not None:
             _, eid, mask = res
             return eid[mask]
+    if fanout < 0 and prob is None and seeds.size:
+        # keep-all: one vectorized ragged range gather instead of a
+        # per-seed loop (the MultiLayerFullNeighborSampler hot path)
+        starts = indptr[seeds]
+        lens = indptr[seeds + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, dtype=eids.dtype)
+        reps = np.repeat(
+            starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        return eids[np.arange(total) + reps]
     out = []
     for s in seeds:
         lo, hi = int(indptr[s]), int(indptr[s + 1])
