@@ -105,6 +105,7 @@ from .dist_minibatch import (
     DistNeighborSampler,
     DistNodeDataLoader,
     DistEdgeDataLoader,
+    DistEtypeNeighborSampler,
     pull_rows_in_shard_map,
     stack_blocks,
 )
@@ -192,6 +193,7 @@ __all__ = [
     "DistNeighborSampler",
     "DistNodeDataLoader",
     "DistEdgeDataLoader",
+    "DistEtypeNeighborSampler",
     "pull_rows_in_shard_map",
     "stack_blocks",
 ]

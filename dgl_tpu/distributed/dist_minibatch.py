@@ -416,3 +416,122 @@ class DistEdgeDataLoader:
 
 
 __all__ += ["DistEdgeDataLoader"]
+
+
+class DistEtypeNeighborSampler(DistNeighborSampler):
+    """Per-edge-type fanout sampling over the homogenized partitioned graph
+    (reference ``graph_services.py`` sample_etype_neighbors driving the
+    DistDGL HETERO minibatch workflow, e.g. R-GCN/ogbn-mag).
+
+    The graph is homogenized (``convert.to_homogeneous``), partitioned like
+    :class:`PartitionedGraphCSC`, and each layer picks ``fanouts[t]``
+    in-edges of each type per seed. Blocks keep STATIC shapes with a
+    static per-slot etype layout: slot ``[seed, offs[t] + k]`` always
+    holds a type-``t`` edge (masked when fewer exist), so the (E,) etypes
+    array :class:`~dgl_tpu.nn.RelGraphConv` consumes is a constant.
+    """
+
+    def __init__(self, pg: PartitionedGraphCSC, type_per_edge,
+                 etype_fanouts: Sequence[Sequence[int]], batch_size: int,
+                 replace: bool = False, seed: Optional[int] = None):
+        fanouts = [int(np.sum(f)) for f in etype_fanouts]
+        super().__init__(pg, fanouts, batch_size, replace, seed)
+        self.etype_fanouts = [np.asarray(f, np.int64) for f in etype_fanouts]
+        self.type_per_edge = np.asarray(type_per_edge, np.int64)
+
+    def slot_etypes(self, layer: int, cap_dst: Optional[int] = None):
+        """The static (Ecap,) per-slot etype array of one layer's block."""
+        f = self.etype_fanouts[layer]
+        if cap_dst is None:
+            cap_dst = self.batch_size + 1
+        per_seed = np.repeat(np.arange(f.shape[0], dtype=np.int64), f)
+        return np.tile(per_seed, cap_dst)
+
+    def _sample_layer_etype(self, seed_ids: np.ndarray, fanouts):
+        from ..dataloading.neighbor_sampler import _finalize_block
+
+        pg = self.pg
+        fanouts = np.asarray(fanouts, np.int64)
+        F_total = int(fanouts.sum())
+        offs = np.concatenate([[0], np.cumsum(fanouts)])
+        cap_dst = seed_ids.shape[0]
+        cap_src = cap_dst * (1 + F_total)
+        sink = cap_dst - 1
+        src_ids = np.full(cap_src, -1, dtype=np.int64)
+        src_ids[:cap_dst] = seed_ids
+        lookup = {int(s): i for i, s in enumerate(seed_ids) if s >= 0}
+        nxt = cap_dst
+        Ecap = cap_dst * F_total
+        esrc = np.full(Ecap, sink, dtype=np.int64)
+        edst = np.full(Ecap, sink, dtype=np.int64)
+        eids_out = np.zeros(Ecap, dtype=np.int64)
+        emask = np.zeros(Ecap, dtype=bool)
+
+        real_slots = np.nonzero(seed_ids >= 0)[0]
+        owners = (
+            np.searchsorted(pg.ranges, seed_ids[real_slots], side="right") - 1
+        )
+        for p in np.unique(owners):
+            for slot in real_slots[owners == p]:
+                node = int(seed_ids[slot])
+                nbrs, neids = pg.in_neighbors(node)
+                if nbrs.shape[0] == 0:
+                    continue
+                et = self.type_per_edge[neids]
+                for t in range(fanouts.shape[0]):
+                    f = int(fanouts[t])
+                    if f == 0:
+                        continue
+                    cand = np.nonzero(et == t)[0]
+                    if cand.size == 0:
+                        continue
+                    if self.replace or cand.size > f:
+                        pick = cand[self._rng.choice(
+                            cand.size, size=min(f, cand.size),
+                            replace=self.replace,
+                        )]
+                    else:
+                        pick = cand
+                    for j, q in enumerate(pick):
+                        u = int(nbrs[q])
+                        loc = lookup.get(u)
+                        if loc is None:
+                            loc = nxt
+                            lookup[u] = loc
+                            src_ids[loc] = u
+                            nxt += 1
+                        pos = slot * F_total + int(offs[t]) + j
+                        esrc[pos] = loc
+                        edst[pos] = slot
+                        eids_out[pos] = neids[q]
+                        emask[pos] = True
+
+        class _IdtypeShim:
+            idtype = jnp.int32
+
+        block = _finalize_block(
+            _IdtypeShim(), seed_ids, cap_dst, cap_src, src_ids,
+            esrc, edst, eids_out, emask,
+        )
+        return block, src_ids
+
+    def sample_blocks(self, seed_nodes):
+        seed_nodes = np.asarray(seed_nodes).astype(np.int64)
+        if seed_nodes.shape[0] > self.batch_size:
+            raise DGLError(
+                f"{seed_nodes.shape[0]} seeds > batch_size {self.batch_size}"
+            )
+        cap0 = self.batch_size + 1
+        cur = np.full(cap0, -1, dtype=np.int64)
+        cur[: seed_nodes.shape[0]] = seed_nodes
+        output_nodes = seed_nodes
+        blocks = []
+        for layer in range(len(self.etype_fanouts) - 1, -1, -1):
+            block, cur = self._sample_layer_etype(
+                cur, self.etype_fanouts[layer]
+            )
+            blocks.insert(0, block)
+        return cur, output_nodes, blocks
+
+
+__all__ += ["DistEtypeNeighborSampler"]

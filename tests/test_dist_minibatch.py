@@ -231,3 +231,75 @@ def test_dist_minibatch_training_parity():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
         params_d, params_s,
     )
+
+
+def test_dist_etype_neighbor_sampler():
+    """Per-etype fanouts on the homogenized partitioned graph: per-seed
+    type-t in-edges bounded by fanouts[t], static slot-type layout, blocks
+    consumable by RelGraphConv (the DistDGL hetero minibatch workflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    import dgl_tpu as dgl
+    from dgl_tpu import convert
+    from dgl_tpu.base import EID, ETYPE, NID
+    from dgl_tpu.distributed import (
+        DistEtypeNeighborSampler, PartitionedGraphCSC,
+        metis_partition_assignment,
+    )
+
+    rng = np.random.default_rng(0)
+    n_user, n_item = 30, 20
+    hg = convert.heterograph({
+        ("user", "follows", "user"): (
+            rng.integers(0, n_user, 120), rng.integers(0, n_user, 120)
+        ),
+        ("user", "rates", "item"): (
+            rng.integers(0, n_user, 150), rng.integers(0, n_item, 150)
+        ),
+        ("item", "rev_rates", "user"): (
+            rng.integers(0, n_item, 150), rng.integers(0, n_user, 150)
+        ),
+    })
+    homo = convert.to_homogeneous(hg)
+    type_per_edge = np.asarray(homo.edata[ETYPE])
+    parts = metis_partition_assignment(homo, 2)
+    pg = PartitionedGraphCSC.build(homo, parts, 2)
+    # etype array must be mapped into the ORIGINAL edge order pg.eids uses
+    fanouts = [[2, 3, 1]]
+    sampler = DistEtypeNeighborSampler(
+        pg, type_per_edge, fanouts, batch_size=8, seed=0
+    )
+    seeds = pg.new_of_old[np.arange(8)]
+    input_nodes, output_nodes, blocks = sampler.sample_blocks(seeds)
+    (blk,) = blocks
+    # static per-slot etype layout
+    slot_et = sampler.slot_etypes(0, cap_dst=9)
+    assert slot_et.shape[0] == blk.num_edges()
+    em = np.asarray(blk.edata["_mask"])
+    eid = np.asarray(blk.edata[EID])
+    # every REAL sampled edge's true type matches its slot's static type
+    np.testing.assert_array_equal(
+        type_per_edge[eid[em]], slot_et[em]
+    )
+    # per-seed per-type counts bounded by the fanout vector
+    edst = np.asarray(blk._relation(None).dst)
+    for s in range(8):
+        for t, f in enumerate(fanouts[0]):
+            cnt = int(((edst == s) & em & (slot_et == t)).sum())
+            assert cnt <= f
+    # RelGraphConv consumes the block + static etypes under jit
+    from dgl_tpu.nn import RelGraphConv
+
+    conv = RelGraphConv(6, 4, num_rels=3, self_loop=False)
+    x = jnp.asarray(
+        rng.normal(size=(int(blk.num_src_nodes()), 6)), jnp.float32
+    )
+    params = conv.init(
+        jax.random.PRNGKey(0), blk, x, jnp.asarray(slot_et)
+    )
+    out = jax.jit(
+        lambda p, b, xx, et: conv.apply(p, b, xx, et)
+    )(params, blk, x, jnp.asarray(slot_et))
+    assert out.shape == (9, 4)
+    assert np.isfinite(np.asarray(out)).all()
