@@ -439,11 +439,22 @@ class DistEtypeNeighborSampler(DistNeighborSampler):
         self.etype_fanouts = [np.asarray(f, np.int64) for f in etype_fanouts]
         self.type_per_edge = np.asarray(type_per_edge, np.int64)
 
+    def layer_caps(self):
+        """cap_dst of each layer's block: the innermost (last) layer seeds
+        ``batch_size + 1`` slots; each outer layer's dst set is the inner
+        layer's src capacity ``cap * (1 + sum(fanouts))``."""
+        caps = [0] * len(self.etype_fanouts)
+        cap = self.batch_size + 1
+        for layer in range(len(self.etype_fanouts) - 1, -1, -1):
+            caps[layer] = cap
+            cap = cap * (1 + int(self.etype_fanouts[layer].sum()))
+        return caps
+
     def slot_etypes(self, layer: int, cap_dst: Optional[int] = None):
         """The static (Ecap,) per-slot etype array of one layer's block."""
         f = self.etype_fanouts[layer]
         if cap_dst is None:
-            cap_dst = self.batch_size + 1
+            cap_dst = self.layer_caps()[layer]
         per_seed = np.repeat(np.arange(f.shape[0], dtype=np.int64), f)
         return np.tile(per_seed, cap_dst)
 
