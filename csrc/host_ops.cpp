@@ -373,4 +373,80 @@ void hem_match(const int32_t* rows, const int32_t* cols, int64_t num_edges,
     if (matched[v] < 0) matched[v] = v;
 }
 
+
+
+// Per-edge-type fixed-fanout pick (reference src/array/cpu/rowwise_pick.h
+// CSRRowWisePerEtypePick, graph_services.py sample_etype_neighbors): for
+// each seed and edge type t, sample up to fanouts[t] in-edges of type t
+// without replacement. Slot layout per seed: [offs[t] + j] where offs is
+// the exclusive prefix sum of fanouts — the STATIC slot-etype layout the
+// hetero distributed sampler exposes to RelGraphConv. type_per_edge is
+// indexed by EDGE ID (type_per_edge[eids[pos]]).
+void sample_neighbors_etype(const int64_t* indptr, const int64_t* indices,
+                            const int64_t* eids,
+                            const int64_t* type_per_edge, int64_t num_types,
+                            const int64_t* fanouts, const int64_t* seeds,
+                            int64_t num_seeds, int replace, uint64_t seed,
+                            int64_t* out_nbr, int64_t* out_eid,
+                            uint8_t* out_mask) {
+  std::vector<int64_t> offs(num_types + 1, 0);
+  for (int64_t t = 0; t < num_types; ++t) offs[t + 1] = offs[t] + fanouts[t];
+  const int64_t F_total = offs[num_types];
+#pragma omp parallel
+  {
+    std::vector<std::vector<int64_t>> buckets(num_types);
+#pragma omp for schedule(dynamic, 32)
+    for (int64_t i = 0; i < num_seeds; ++i) {
+      const int64_t s = seeds[i];
+      int64_t* nbr = out_nbr + i * F_total;
+      int64_t* eid = out_eid + i * F_total;
+      uint8_t* msk = out_mask + i * F_total;
+      std::fill(nbr, nbr + F_total, 0);
+      std::fill(eid, eid + F_total, 0);
+      std::fill(msk, msk + F_total, 0);
+      if (s < 0) continue;
+      const int64_t lo = indptr[s], hi = indptr[s + 1];
+      if (hi <= lo) continue;
+      for (auto& b : buckets) b.clear();
+      for (int64_t pos = lo; pos < hi; ++pos) {
+        const int64_t e = eids ? eids[pos] : pos;
+        const int64_t t = type_per_edge[e];
+        if (t >= 0 && t < num_types) buckets[t].push_back(pos);
+      }
+      std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(s + 1)));
+      for (int64_t t = 0; t < num_types; ++t) {
+        const int64_t f = fanouts[t];
+        auto& cand = buckets[t];
+        const int64_t deg = (int64_t)cand.size();
+        if (f == 0 || deg == 0) continue;
+        int64_t* tn = nbr + offs[t];
+        int64_t* te = eid + offs[t];
+        uint8_t* tm = msk + offs[t];
+        if (deg <= f && !replace) {
+          for (int64_t j = 0; j < deg; ++j) {
+            tn[j] = indices[cand[j]];
+            te[j] = eids ? eids[cand[j]] : cand[j];
+            tm[j] = 1;
+          }
+        } else if (replace) {
+          for (int64_t j = 0; j < f; ++j) {
+            int64_t k = (int64_t)(rng() % (uint64_t)deg);
+            tn[j] = indices[cand[k]];
+            te[j] = eids ? eids[cand[k]] : cand[k];
+            tm[j] = 1;
+          }
+        } else {
+          for (int64_t j = 0; j < f; ++j) {
+            int64_t k = j + (int64_t)(rng() % (uint64_t)(deg - j));
+            std::swap(cand[j], cand[k]);
+            tn[j] = indices[cand[j]];
+            te[j] = eids ? eids[cand[j]] : cand[j];
+            tm[j] = 1;
+          }
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -77,6 +77,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.hem_match.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.sample_neighbors_etype.argtypes = [
+        i64p, i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, i64p, i64p, u8p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -226,3 +230,30 @@ def hem_match(rows, cols, num_nodes):
     matched = np.empty(num_nodes, np.int64)
     lib.hem_match(rows, cols, rows.shape[0], num_nodes, matched)
     return matched
+
+
+def sample_neighbors_etype(indptr, indices, eids, type_per_edge, fanouts,
+                           seeds, replace, seed):
+    """Per-etype fixed-fanout pick: (num_seeds, F_total) nbr/eid/mask with
+    the static [offs[t]+j] slot layout, or None when native is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    eids = np.ascontiguousarray(eids, np.int64)
+    type_per_edge = np.ascontiguousarray(type_per_edge, np.int64)
+    fanouts = np.ascontiguousarray(fanouts, np.int64)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    n = seeds.shape[0]
+    F_total = int(fanouts.sum())
+    nbr = np.zeros((n, F_total), np.int64)
+    eid = np.zeros((n, F_total), np.int64)
+    mask = np.zeros((n, F_total), np.uint8)
+    lib.sample_neighbors_etype(
+        indptr, indices, eids, type_per_edge, fanouts.shape[0], fanouts,
+        seeds, n, int(replace), seed, nbr.reshape(-1), eid.reshape(-1),
+        mask.reshape(-1),
+    )
+    return nbr, eid, mask.astype(bool)

@@ -468,20 +468,70 @@ class DistEtypeNeighborSampler(DistNeighborSampler):
         cap_dst = seed_ids.shape[0]
         cap_src = cap_dst * (1 + F_total)
         sink = cap_dst - 1
-        src_ids = np.full(cap_src, -1, dtype=np.int64)
-        src_ids[:cap_dst] = seed_ids
-        lookup = {int(s): i for i, s in enumerate(seed_ids) if s >= 0}
-        nxt = cap_dst
         Ecap = cap_dst * F_total
-        esrc = np.full(Ecap, sink, dtype=np.int64)
-        edst = np.full(Ecap, sink, dtype=np.int64)
-        eids_out = np.zeros(Ecap, dtype=np.int64)
-        emask = np.zeros(Ecap, dtype=bool)
 
         real_slots = np.nonzero(seed_ids >= 0)[0]
         owners = (
             np.searchsorted(pg.ranges, seed_ids[real_slots], side="right") - 1
         )
+
+        native = self._sample_layer_etype_native(
+            seed_ids, fanouts, real_slots, owners
+        )
+        if native is not None:
+            res_nbr, res_eid, res_mask = native
+            from .. import _native
+
+            # relabel: seeds keep their slots (padding -1s get per-slot
+            # sentinels so the hash map can't merge them), sampled nbrs
+            # take first-appearance order after the seeds
+            sent = np.where(
+                seed_ids >= 0, seed_ids,
+                -(np.arange(cap_dst, dtype=np.int64) + 2),
+            )
+            flat_nbr = res_nbr[res_mask]
+            uniq, inv = _native.unique_and_compact(
+                np.concatenate([sent, flat_nbr])
+            )
+            if uniq.shape[0] < cap_dst or not np.array_equal(
+                uniq[:cap_dst], sent
+            ):
+                # duplicate seeds would break the slot alignment; the
+                # per-seed fallback below handles them via the dict lookup
+                native = None
+        if native is not None:
+            src_ids = np.full(cap_src, -1, dtype=np.int64)
+            src_ids[: uniq.shape[0]] = uniq
+            src_ids[:cap_dst] = seed_ids  # restore -1 padding slots
+            esrc = np.full(Ecap, sink, dtype=np.int64)
+            edst = np.full(Ecap, sink, dtype=np.int64)
+            eids_out = np.zeros(Ecap, dtype=np.int64)
+            emask = np.zeros(Ecap, dtype=bool)
+            rows, cols = np.nonzero(res_mask)
+            pos = rows * F_total + cols
+            esrc[pos] = inv[cap_dst:]
+            edst[pos] = rows
+            eids_out[pos] = res_eid[res_mask]
+            emask[pos] = True
+
+            class _IdtypeShimN:
+                idtype = jnp.int32
+
+            block = _finalize_block(
+                _IdtypeShimN(), seed_ids, cap_dst, cap_src, src_ids,
+                esrc, edst, eids_out, emask,
+            )
+            return block, src_ids
+
+        src_ids = np.full(cap_src, -1, dtype=np.int64)
+        src_ids[:cap_dst] = seed_ids
+        lookup = {int(s): i for i, s in enumerate(seed_ids) if s >= 0}
+        nxt = cap_dst
+        esrc = np.full(Ecap, sink, dtype=np.int64)
+        edst = np.full(Ecap, sink, dtype=np.int64)
+        eids_out = np.zeros(Ecap, dtype=np.int64)
+        emask = np.zeros(Ecap, dtype=bool)
+
         for p in np.unique(owners):
             for slot in real_slots[owners == p]:
                 node = int(seed_ids[slot])
@@ -525,6 +575,36 @@ class DistEtypeNeighborSampler(DistNeighborSampler):
             esrc, edst, eids_out, emask,
         )
         return block, src_ids
+
+    def _sample_layer_etype_native(self, seed_ids, fanouts, real_slots,
+                                   owners):
+        """Owner-grouped native per-etype pick: (cap_dst, F_total)
+        nbr/eid/mask, or None when the native lib is unavailable."""
+        from .. import _native
+
+        if not _native.available():
+            return None
+        pg = self.pg
+        cap_dst = seed_ids.shape[0]
+        F_total = int(np.asarray(fanouts).sum())
+        res_nbr = np.zeros((cap_dst, F_total), np.int64)
+        res_eid = np.zeros((cap_dst, F_total), np.int64)
+        res_mask = np.zeros((cap_dst, F_total), bool)
+        for p in np.unique(owners):
+            slots = real_slots[owners == p]
+            local = seed_ids[slots] - pg.ranges[p]
+            r = _native.sample_neighbors_etype(
+                pg.indptr[p], pg.indices[p], pg.eids[p],
+                self.type_per_edge, np.asarray(fanouts, np.int64), local,
+                self.replace, int(self._rng.integers(2**63)),
+            )
+            if r is None:
+                return None
+            nbr, eid, mask = r
+            res_nbr[slots] = nbr
+            res_eid[slots] = eid
+            res_mask[slots] = mask
+        return res_nbr, res_eid, res_mask
 
     def sample_blocks(self, seed_nodes):
         seed_nodes = np.asarray(seed_nodes).astype(np.int64)

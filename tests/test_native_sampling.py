@@ -140,3 +140,50 @@ def test_biased_native_respects_tags():
     E2 = g2.num_edges()
     gsrc = np.asarray(g2._relation(None).src)[:E2]
     assert (tag[gsrc[eids]] == 1).all()
+
+
+def test_native_etype_pick_matches_python():
+    """Native per-etype pick respects per-type fanouts, slot layout, and
+    only returns edges of the slot's type."""
+    from dgl_tpu import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    n, e, T = 200, 3000, 3
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    tpe = rng.integers(0, T, e).astype(np.int64)
+    order = np.argsort(dst, kind="stable")
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, dst + 1, 1)
+    indptr = np.cumsum(indptr)
+    indices = src[order].astype(np.int64)
+    eids = order.astype(np.int64)
+    fanouts = np.array([2, 0, 3], np.int64)
+    seeds = np.arange(50, dtype=np.int64)
+    nbr, eid, mask = _native.sample_neighbors_etype(
+        indptr, indices, eids, tpe, fanouts, seeds, 0, 7
+    )
+    F = int(fanouts.sum())
+    assert nbr.shape == (50, F)
+    offs = np.concatenate([[0], np.cumsum(fanouts)])
+    for i, s in enumerate(seeds):
+        lo, hi = indptr[s], indptr[s + 1]
+        row_t = tpe[eids[lo:hi]]
+        for t in range(T):
+            sl = slice(int(offs[t]), int(offs[t + 1]))
+            m = mask[i, sl]
+            # picked edges really have type t and come from s's in-edges
+            assert (tpe[eid[i, sl][m]] == t).all()
+            assert m.sum() == min(int(fanouts[t]), int((row_t == t).sum()))
+            picked = eid[i, sl][m]
+            assert np.isin(picked, eids[lo:hi]).all()
+            assert np.unique(picked).shape[0] == picked.shape[0]  # no dup
+    # deterministic in the seed
+    nbr2, eid2, _ = _native.sample_neighbors_etype(
+        indptr, indices, eids, tpe, fanouts, seeds, 0, 7
+    )
+    np.testing.assert_array_equal(eid, eid2)
