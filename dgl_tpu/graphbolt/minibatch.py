@@ -75,3 +75,50 @@ def _mb_to_pyg_layers(self):
 
 
 MiniBatch.to_pyg_layers = _mb_to_pyg_layers
+
+
+def _mb_to_dgl_blocks(self):
+    """Convert compacted ``sampled_subgraphs`` into DGL MFG blocks
+    (reference ``minibatch.py:172-194`` ``MiniBatch.blocks``): each
+    layer's CSC (rows compacted against ``original_row_node_ids``)
+    becomes a bipartite block whose ``srcdata[NID]``/``dstdata[NID]``
+    carry the ORIGINAL graph ids and ``edata[EID]`` the original edge
+    ids. Outermost layer first (feed ``model(blocks, x)`` directly)."""
+    import numpy as np
+
+    from .. import convert
+    from ..base import EID, NID
+
+    blocks = []
+    for sub in self.sampled_subgraphs or []:
+        indptr = np.asarray(sub.sampled_csc.indptr)
+        indices = np.asarray(sub.sampled_csc.indices)
+        if sub.original_row_node_ids is None:
+            raise ValueError(
+                "to_dgl_blocks needs COMPACTED subgraphs; chain a "
+                "CompactPerLayer stage after each SamplePerLayer"
+            )
+        rows = np.asarray(sub.original_row_node_ids)
+        num_dst = indptr.shape[0] - 1
+        dst = np.repeat(np.arange(num_dst, dtype=np.int64),
+                        np.diff(indptr))
+        blk = convert.create_block(
+            (indices.astype(np.int64), dst),
+            num_src_nodes=rows.shape[0],
+            num_dst_nodes=num_dst,
+        )
+        import jax.numpy as jnp
+
+        blk.srcdata[NID] = jnp.asarray(rows)
+        blk.dstdata[NID] = jnp.asarray(
+            np.asarray(sub.original_column_node_ids)
+        )
+        if sub.original_edge_ids is not None:
+            blk.edata[EID] = jnp.asarray(
+                np.asarray(sub.original_edge_ids)
+            )
+        blocks.append(blk)
+    return blocks
+
+
+MiniBatch.to_dgl_blocks = _mb_to_dgl_blocks

@@ -909,3 +909,42 @@ def test_gb_torch_store_dataclass_spec(tmp_path):
     store = gb.TorchBasedFeatureStore([spec])
     out = store.read("node", "_N", "feat", np.array([1]))
     np.testing.assert_allclose(out, [[1, 1]])
+
+
+def test_gb_minibatch_to_dgl_blocks(g):
+    """SamplePerLayer + CompactPerLayer subgraphs convert to trainable DGL
+    blocks (reference MiniBatch.blocks, minibatch.py:172-194)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgl_tpu import function as fn
+    from dgl_tpu.base import EID, NID
+
+    fused = gb.from_dglgraph(g)
+    src = gb.ItemSampler(gb.ItemSet(np.arange(8), "seeds"), batch_size=8)
+    dp = gb.CompactPerLayer(gb.SamplePerLayer(src, fused, fanout=4, seed=0))
+    mb = list(dp)[0]
+    (blk,) = mb.to_dgl_blocks()
+    assert blk.num_dst_nodes() == 8
+    # aggregation over the block matches a manual per-seed neighbor sum
+    x = jnp.asarray(
+        np.arange(g.num_nodes(), dtype=np.float32)[:, None]
+    )
+    src_nid = np.asarray(blk.srcdata[NID])
+    h = x[src_nid]
+    blk.srcdata["h"] = h
+    blk.update_all(fn.copy_u("h", "m"), fn.sum("m", "out"))
+    out = np.asarray(blk.dstdata["out"])[:, 0]
+    sub = mb.sampled_subgraphs[0]
+    indptr = np.asarray(sub.sampled_csc.indptr)
+    rows = np.asarray(sub.original_row_node_ids)
+    comp = np.asarray(sub.sampled_csc.indices)
+    expect = np.zeros(8)
+    for i in range(8):
+        expect[i] = rows[comp[indptr[i]:indptr[i + 1]]].sum()
+    np.testing.assert_allclose(out, expect)
+    # edge ids refer to the parent graph
+    eid = np.asarray(blk.edata[EID])
+    gsrc, gdst = (np.asarray(a) for a in g.edges())
+    esrc = src_nid[np.asarray(blk._relation(None).src)]
+    np.testing.assert_array_equal(gsrc[eid], esrc)
