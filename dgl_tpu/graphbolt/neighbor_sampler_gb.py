@@ -299,22 +299,27 @@ def exclude_seed_edges(mb: MiniBatch, include_reverse_edges: bool = False):
     seeds = np.asarray(mb.seeds)
     if seeds.ndim != 2 or seeds.shape[1] != 2:
         raise ValueError("exclude_seed_edges needs (N, 2) seed pairs")
-    pairs = {(int(s), int(d)) for s, d in seeds}
+    # (u, v) pairs packed into one int64 key (ids are < 2^31): vectorized
+    # membership instead of a per-edge Python loop
+    key = seeds[:, 0].astype(np.int64) * (1 << 32) + seeds[:, 1]
     if include_reverse_edges:
-        pairs |= {(d, s) for s, d in pairs}
+        key = np.concatenate(
+            [key, seeds[:, 1].astype(np.int64) * (1 << 32) + seeds[:, 0]]
+        )
     for blk in mb.blocks or ():
         rel = blk._relation(None)
         src_nid = np.asarray(blk.srcdata[NID])
         dst_nid = np.asarray(blk.dstdata[NID])
         esrc = np.asarray(rel.src)
         edst = np.asarray(rel.dst)
-        mask = np.asarray(blk.edata["_mask"]).copy()
-        for i in np.nonzero(mask)[0]:
-            if (int(src_nid[esrc[i]]), int(dst_nid[edst[i]])) in pairs:
-                mask[i] = False
+        mask = np.asarray(blk.edata["_mask"])
+        ekey = (
+            src_nid[esrc].astype(np.int64) * (1 << 32) + dst_nid[edst]
+        )
+        banned = np.isin(ekey, key)
         import jax.numpy as jnp
 
-        blk.edata["_mask"] = jnp.asarray(mask)
+        blk.edata["_mask"] = jnp.asarray(mask & ~banned)
     return mb
 
 
