@@ -140,31 +140,108 @@ class DistNeighborSampler:
         self.replace = replace
         self._rng = np.random.default_rng(seed)
 
+    def _assemble_block(self, seed_ids, res_nbr, res_eid, res_mask,
+                        F_total: int):
+        """Vectorized relabel + block build from per-seed (cap_dst,
+        F_total) pick results; returns None when the native relabel is
+        unavailable or seeds are duplicated (caller falls back)."""
+        from .. import _native
+        from ..dataloading.neighbor_sampler import _finalize_block
+
+        cap_dst = seed_ids.shape[0]
+        cap_src = cap_dst * (1 + F_total)
+        sink = cap_dst - 1
+        Ecap = cap_dst * F_total
+        sent = np.where(
+            seed_ids >= 0, seed_ids,
+            -(np.arange(cap_dst, dtype=np.int64) + 2),
+        )
+        flat_nbr = res_nbr[res_mask]
+        res = _native.unique_and_compact(np.concatenate([sent, flat_nbr]))
+        if res is None:
+            return None
+        uniq, inv = res
+        if uniq.shape[0] < cap_dst or not np.array_equal(
+            uniq[:cap_dst], sent
+        ):
+            return None  # duplicate seeds: per-seed fallback handles them
+        src_ids = np.full(cap_src, -1, dtype=np.int64)
+        src_ids[: uniq.shape[0]] = uniq
+        src_ids[:cap_dst] = seed_ids
+        esrc = np.full(Ecap, sink, dtype=np.int64)
+        edst = np.full(Ecap, sink, dtype=np.int64)
+        eids_out = np.zeros(Ecap, dtype=np.int64)
+        emask = np.zeros(Ecap, dtype=bool)
+        rows, cols = np.nonzero(res_mask)
+        pos = rows * F_total + cols
+        esrc[pos] = inv[cap_dst:]
+        edst[pos] = rows
+        eids_out[pos] = res_eid[res_mask]
+        emask[pos] = True
+
+        class _IdtypeShimA:
+            idtype = jnp.int32
+
+        block = _finalize_block(
+            _IdtypeShimA(), seed_ids, cap_dst, cap_src, src_ids,
+            esrc, edst, eids_out, emask,
+        )
+        return block, src_ids
+
     def _sample_layer(self, seed_ids: np.ndarray, fanout: int):
         """One padded block like ``neighbor_sampler._build_padded_block``,
         with owner-grouped neighbor lookups."""
-        from .. import convert
+        from .. import _native, convert
         from ..dataloading.neighbor_sampler import _finalize_block
 
         pg = self.pg
         cap_dst = seed_ids.shape[0]
         cap_src = cap_dst * (1 + fanout)
         sink = cap_dst - 1
-        src_ids = np.full(cap_src, -1, dtype=np.int64)
-        src_ids[:cap_dst] = seed_ids
-        lookup = {int(s): i for i, s in enumerate(seed_ids) if s >= 0}
-        nxt = cap_dst
         Ecap = cap_dst * fanout
-        esrc = np.full(Ecap, sink, dtype=np.int64)
-        edst = np.full(Ecap, sink, dtype=np.int64)
-        eids_out = np.zeros(Ecap, dtype=np.int64)
-        emask = np.zeros(Ecap, dtype=bool)
 
         # group the frontier by owner part (the _distributed_access pattern)
         real_slots = np.nonzero(seed_ids >= 0)[0]
         owners = (
             np.searchsorted(pg.ranges, seed_ids[real_slots], side="right") - 1
         )
+
+        if _native.available():
+            res_nbr = np.zeros((cap_dst, fanout), np.int64)
+            res_eid = np.zeros((cap_dst, fanout), np.int64)
+            res_mask = np.zeros((cap_dst, fanout), bool)
+            ok = True
+            for p in np.unique(owners):
+                slots = real_slots[owners == p]
+                local = seed_ids[slots] - pg.ranges[p]
+                r = _native.sample_neighbors_fixed(
+                    pg.indptr[p], pg.indices[p], pg.eids[p], local,
+                    int(fanout), self.replace,
+                    int(self._rng.integers(2**63)),
+                )
+                if r is None:
+                    ok = False
+                    break
+                nbr, eid, mask = r
+                res_nbr[slots] = nbr
+                res_eid[slots] = eid
+                res_mask[slots] = mask
+            if ok:
+                out = self._assemble_block(
+                    seed_ids, res_nbr, res_eid, res_mask, int(fanout)
+                )
+                if out is not None:
+                    return out
+
+        src_ids = np.full(cap_src, -1, dtype=np.int64)
+        src_ids[:cap_dst] = seed_ids
+        lookup = {int(s): i for i, s in enumerate(seed_ids) if s >= 0}
+        nxt = cap_dst
+        esrc = np.full(Ecap, sink, dtype=np.int64)
+        edst = np.full(Ecap, sink, dtype=np.int64)
+        eids_out = np.zeros(Ecap, dtype=np.int64)
+        emask = np.zeros(Ecap, dtype=bool)
+
         for p in np.unique(owners):
             for slot in real_slots[owners == p]:
                 node = int(seed_ids[slot])
@@ -479,49 +556,11 @@ class DistEtypeNeighborSampler(DistNeighborSampler):
             seed_ids, fanouts, real_slots, owners
         )
         if native is not None:
-            res_nbr, res_eid, res_mask = native
-            from .. import _native
-
-            # relabel: seeds keep their slots (padding -1s get per-slot
-            # sentinels so the hash map can't merge them), sampled nbrs
-            # take first-appearance order after the seeds
-            sent = np.where(
-                seed_ids >= 0, seed_ids,
-                -(np.arange(cap_dst, dtype=np.int64) + 2),
+            out = self._assemble_block(
+                seed_ids, native[0], native[1], native[2], F_total
             )
-            flat_nbr = res_nbr[res_mask]
-            uniq, inv = _native.unique_and_compact(
-                np.concatenate([sent, flat_nbr])
-            )
-            if uniq.shape[0] < cap_dst or not np.array_equal(
-                uniq[:cap_dst], sent
-            ):
-                # duplicate seeds would break the slot alignment; the
-                # per-seed fallback below handles them via the dict lookup
-                native = None
-        if native is not None:
-            src_ids = np.full(cap_src, -1, dtype=np.int64)
-            src_ids[: uniq.shape[0]] = uniq
-            src_ids[:cap_dst] = seed_ids  # restore -1 padding slots
-            esrc = np.full(Ecap, sink, dtype=np.int64)
-            edst = np.full(Ecap, sink, dtype=np.int64)
-            eids_out = np.zeros(Ecap, dtype=np.int64)
-            emask = np.zeros(Ecap, dtype=bool)
-            rows, cols = np.nonzero(res_mask)
-            pos = rows * F_total + cols
-            esrc[pos] = inv[cap_dst:]
-            edst[pos] = rows
-            eids_out[pos] = res_eid[res_mask]
-            emask[pos] = True
-
-            class _IdtypeShimN:
-                idtype = jnp.int32
-
-            block = _finalize_block(
-                _IdtypeShimN(), seed_ids, cap_dst, cap_src, src_ids,
-                esrc, edst, eids_out, emask,
-            )
-            return block, src_ids
+            if out is not None:
+                return out
 
         src_ids = np.full(cap_src, -1, dtype=np.int64)
         src_ids[:cap_dst] = seed_ids
