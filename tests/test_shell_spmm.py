@@ -254,3 +254,64 @@ def test_high_degree_capped_shells():
     np.testing.assert_allclose(
         ops.edge_softmax(gw, lg, norm_by="src"),
         ops.edge_softmax(g0, lg, norm_by="src"), rtol=1e-5, atol=1e-6)
+
+
+def test_star_graph_single_dst():
+    """All edges into one dst (max cold in-degree = E): capped shells must
+    still match classic exactly."""
+    import dgl_tpu as dgl
+    from dgl_tpu import function as fn
+
+    n = 64
+    src = np.arange(1, n)
+    dst = np.zeros(n - 1, np.int64)
+    g0 = dgl.graph((src, dst), num_nodes=n)
+    gw = g0.with_spmm_plans(num_hubs=4, weighted=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 8)),
+                    jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).random(n - 1), jnp.float32)
+    for g in (g0, gw):
+        g.srcdata["h"] = x
+        g.edata["w"] = w
+        g.update_all(fn.u_mul_e("h", "w", "m"), fn.sum("m", "o"))
+    np.testing.assert_allclose(
+        np.asarray(gw.dstdata["o"]), np.asarray(g0.dstdata["o"]),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_zero_in_degree_rows_with_plans():
+    """Isolated dsts return exact zeros (sum) under the shell plan."""
+    import dgl_tpu as dgl
+    from dgl_tpu import function as fn
+
+    src = np.array([0, 1, 2])
+    dst = np.array([3, 3, 4])
+    g = dgl.graph((src, dst), num_nodes=8).with_spmm_plans(
+        num_hubs=2, weighted=True
+    )
+    x = jnp.ones((8, 4), jnp.float32)
+    g.srcdata["h"] = x
+    g.update_all(fn.copy_u("h", "m"), fn.sum("m", "o"))
+    out = np.asarray(g.dstdata["o"])
+    np.testing.assert_allclose(out[[0, 1, 2, 5, 6, 7]], 0.0)
+    np.testing.assert_allclose(out[3], 2.0, rtol=2e-2)
+
+
+def test_self_loop_only_graph_plans():
+    """Pure self-loop graph: every edge is (i, i)."""
+    import dgl_tpu as dgl
+    from dgl_tpu import function as fn
+
+    n = 32
+    g0 = dgl.graph((np.arange(n), np.arange(n)), num_nodes=n)
+    gw = g0.with_spmm_plans(num_hubs=8, weighted=True)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(n, 4)),
+                    jnp.float32)
+    for g in (g0, gw):
+        g.srcdata["h"] = x
+        g.update_all(fn.copy_u("h", "m"), fn.sum("m", "o"))
+    np.testing.assert_allclose(
+        np.asarray(gw.dstdata["o"]), np.asarray(g0.dstdata["o"]),
+        rtol=2e-2, atol=2e-2,
+    )
