@@ -1039,7 +1039,41 @@ class Graph:
         """Move all arrays to a device (reference ``heterograph.py:5658``)."""
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), self)
 
-    def with_spmm_plans(self, num_hubs: int = 2048,
+    @staticmethod
+    def _auto_num_hubs(rel) -> int:
+        """Pick the hub-table size from the out-degree distribution:
+        smallest power-of-two H (128..4096) whose top-H sources cover
+        >= 50% of edges; below that, the coverage elbow (the measured v5e
+        hub matmul cost moves little across this H range, so coverage is
+        the operative variable — docs/performance.md)."""
+        import numpy as np
+
+        src = np.asarray(rel.csc_indices)
+        dst = np.asarray(rel.csc_dst)
+        real = (src < rel.num_src) & (dst < rel.num_dst)
+        e = int(real.sum())
+        if e == 0:
+            return 128
+        deg = np.bincount(src[real], minlength=rel.num_src)
+        deg_sorted = np.sort(deg)[::-1]
+        cum = np.cumsum(deg_sorted)
+        candidates = [h for h in (128, 256, 512, 1024, 2048, 4096)
+                      if h <= rel.num_src] or [rel.num_src]
+        for h in candidates:
+            if cum[min(h, cum.shape[0]) - 1] / e >= 0.5:
+                return h
+        # no candidate covers half the edges: take the diminishing-returns
+        # elbow (stop doubling when the extra coverage is < 5%)
+        best = candidates[0]
+        for prev, h in zip(candidates, candidates[1:]):
+            gain = (cum[min(h, cum.shape[0]) - 1]
+                    - cum[min(prev, cum.shape[0]) - 1]) / e
+            if gain < 0.05:
+                break
+            best = h
+        return best
+
+    def with_spmm_plans(self, num_hubs=2048,
                         precision: str = "int8",
                         weighted: bool = False,
                         gather_dtype: str = "bf16") -> "Graph":
@@ -1051,14 +1085,21 @@ class Graph:
         ``weighted=True`` additionally builds full-edge shell plans
         (:mod:`dgl_tpu.ops.shell_spmm`) so edge-weighted sum/mean ops
         (``u_mul_e_sum`` — the GAT/GCN-norm aggregation) skip the sorted
-        segment-sum as well."""
+        segment-sum as well.
+
+        ``num_hubs="auto"`` sizes the hub table per relation from the
+        out-degree distribution (see :meth:`_auto_num_hubs`)."""
         from .ops.hub_spmm import build_hub_plan
         from .ops.shell_spmm import build_shell_plan
 
         g = self.structural_clone()
         rels = {}
         for k, r in self._relations.items():
-            r = r.with_hub_plan(build_hub_plan(r, num_hubs, precision))
+            h = (
+                self._auto_num_hubs(r) if num_hubs == "auto"
+                else int(num_hubs)
+            )
+            r = r.with_hub_plan(build_hub_plan(r, h, precision))
             if weighted:
                 r = r.with_shell_plan(build_shell_plan(r, gather_dtype))
             rels[k] = r

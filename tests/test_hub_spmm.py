@@ -187,3 +187,37 @@ def test_shell_plan_pytree_roundtrip():
 
     np.testing.assert_allclose(f(g2, x), ops.copy_u_sum(
         _powerlaw_graph(n=200, e=1500), x), rtol=5e-2, atol=5e-2)
+
+
+def test_auto_num_hubs():
+    """num_hubs='auto' picks by coverage: power-law graphs get a small
+    table; flat-degree graphs stop at the diminishing-returns elbow."""
+    import dgl_tpu as dgl
+    from dgl_tpu import function as fn
+
+    rng = np.random.default_rng(0)
+    n, e = 20_000, 200_000
+    # zipf sources: few hubs cover most edges
+    w = 1.0 / np.arange(1, n + 1)
+    src = rng.choice(n, e, p=w / w.sum())
+    dst = rng.integers(0, n, e)
+    g = dgl.graph((src, dst), num_nodes=n)
+    h_zipf = dgl.Graph._auto_num_hubs(g._relation(None))
+    assert h_zipf <= 1024  # heavy tail -> small table suffices
+    # uniform sources: no hubs; elbow keeps the table small
+    g2 = dgl.graph(
+        (rng.integers(0, n, e), rng.integers(0, n, e)), num_nodes=n
+    )
+    h_flat = dgl.Graph._auto_num_hubs(g2._relation(None))
+    assert h_flat <= 4096
+    # auto plans still compute correctly
+    gw = g.with_spmm_plans(num_hubs="auto", weighted=True)
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    g.srcdata["h"] = x
+    g.update_all(fn.copy_u("h", "m"), fn.sum("m", "o"))
+    gw.srcdata["h"] = x
+    gw.update_all(fn.copy_u("h", "m"), fn.sum("m", "o"))
+    np.testing.assert_allclose(
+        np.asarray(gw.dstdata["o"]), np.asarray(g.dstdata["o"]),
+        rtol=3e-2, atol=3e-2,
+    )
