@@ -21,6 +21,10 @@ void build_padded_block(const int64_t*, const int64_t*, const int64_t*,
                         const int64_t*, int64_t, int64_t, int, uint64_t,
                         int64_t*, int64_t*, int64_t*, int64_t*, uint8_t*);
 void hem_match(const int32_t*, const int32_t*, int64_t, int64_t, int64_t*);
+void sample_neighbors_etype(const int64_t*, const int64_t*, const int64_t*,
+                            const int64_t*, int64_t, const int64_t*,
+                            const int64_t*, int64_t, int, uint64_t,
+                            int64_t*, int64_t*, uint8_t*);
 }
 
 static void test_coo_to_csr() {
@@ -312,7 +316,42 @@ static void test_hem_match() {
   std::puts("hem_match OK");
 }
 
+static void test_etype_pick() {
+  // graph: node 0 has 5 in-edges, types [0,0,1,1,2]; node 1 has 1 type-2
+  // edge; node 2 isolated
+  int64_t indptr[] = {0, 5, 6, 6};
+  int64_t indices[] = {10, 11, 12, 13, 14, 15};
+  int64_t eids[] = {0, 1, 2, 3, 4, 5};
+  int64_t tpe[] = {0, 0, 1, 1, 2, 2};
+  int64_t fanouts[] = {1, 2, 2};  // F_total = 5, offs = [0,1,3]
+  int64_t seeds[] = {0, 1, 2, -1};
+  int64_t nbr[4 * 5], eid[4 * 5];
+  uint8_t msk[4 * 5];
+  sample_neighbors_etype(indptr, indices, eids, tpe, 3, fanouts, seeds, 4,
+                         0, 7, nbr, eid, msk);
+  // seed 0: exactly 1 type-0 pick, 2 type-1 picks, 1 type-2 pick
+  assert(msk[0] == 1);                       // type-0 slot
+  assert(eid[0] == 0 || eid[0] == 1);
+  assert(msk[1] == 1 && msk[2] == 1);        // both type-1 slots
+  assert((eid[1] == 2 && eid[2] == 3) || (eid[1] == 3 && eid[2] == 2));
+  assert(msk[3] == 1 && eid[3] == 4);        // one type-2 edge
+  assert(msk[4] == 0);                       // second type-2 slot masked
+  // seed 1: only the type-2 edge (eid 5) in the FIRST type-2 slot
+  assert(msk[5 + 0] == 0 && msk[5 + 1] == 0 && msk[5 + 2] == 0);
+  assert(msk[5 + 3] == 1 && eid[5 + 3] == 5 && nbr[5 + 3] == 15);
+  // isolated seed and -1 padding: fully masked
+  for (int j = 0; j < 5; ++j) assert(msk[10 + j] == 0 && msk[15 + j] == 0);
+  // deterministic across calls
+  int64_t nbr2[4 * 5], eid2[4 * 5];
+  uint8_t msk2[4 * 5];
+  sample_neighbors_etype(indptr, indices, eids, tpe, 3, fanouts, seeds, 4,
+                         0, 7, nbr2, eid2, msk2);
+  assert(std::memcmp(eid, eid2, sizeof(eid)) == 0);
+  std::puts("etype pick ok");
+}
+
 int main() {
+  test_etype_pick();
   test_hem_match();
   test_coo_to_csr();
   test_sampling();
