@@ -90,66 +90,101 @@ class HeteroFixedShapeNeighborSampler(BlockSampler):
             caps_src = self._caps[l]
             # src slot tables per ntype: dst slots first, then new uniques
             src_ids: Dict[str, np.ndarray] = {}
-            lookup: Dict[str, Dict[int, int]] = {}
             nxt_free: Dict[str, int] = {}
             for nt, cap in caps_src.items():
                 src_ids[nt] = np.full(cap, -1, np.int64)
                 prior = cur.get(nt)
-                lookup[nt] = {}
                 if prior is not None:
                     src_ids[nt][: prior.shape[0]] = prior
-                    for i, v in enumerate(prior):
-                        if v >= 0 and int(v) not in lookup[nt]:
-                            lookup[nt][int(v)] = i
                     nxt_free[nt] = prior.shape[0]
                 else:
                     nxt_free[nt] = 0
             data_dict = {}
             eid_frames = {}
             emask_frames = {}
+            # pass 1: per-etype picks (native fast path inside
+            # sample_neighbors_fixed) collected in etype order
+            picks = {}
             for cet, f in layer_fanout.items():
                 st, et, dt = cet
                 if dt not in cur:
                     continue
                 seeds_arr = cur[dt]
-                cap_dst = seeds_arr.shape[0]
-                sink_dst = cap_dst - 1
-                sink_src = caps_src[st] - 1
                 real = seeds_arr >= 0
-                real_seeds = seeds_arr[real]
                 nbr, eid, mask = sample_neighbors_fixed(
-                    g, real_seeds, f, replace=self.replace, etype=cet,
+                    g, seeds_arr[real], f, replace=self.replace, etype=cet,
                     seed=int(self._rng.integers(2**31)),
                 )
                 ex = excl.get(cet)
                 if ex is not None and ex.size:
                     mask = mask & ~np.isin(eid, ex)
+                picks[cet] = (nbr, eid, mask, np.nonzero(real)[0], f)
+
+            # pass 2: per-ntype relabel via ONE first-occurrence unique
+            # over [prior slots, all picks in etype order]. Exactly matches
+            # the per-pick dict walk: drops only begin once capacity is
+            # full, after which nothing is ever added, so first-appearance
+            # rank == slot for every admitted node.
+            streams: Dict[str, list] = {nt: [] for nt in caps_src}
+            for cet, (nbr, eid, mask, slots, f) in picks.items():
+                streams[cet[0]].append(nbr[mask])
+            from ..graphbolt.base import (
+                _unique_first_occurrence_inverse as _relabel,
+            )
+
+            offsets: Dict[str, Dict] = {}
+            for nt, parts in streams.items():
+                prior = cur.get(nt)
+                nprior = prior.shape[0] if prior is not None else 0
+                sent = (
+                    np.where(
+                        prior >= 0, prior,
+                        -(np.arange(nprior, dtype=np.int64) + 2),
+                    )
+                    if prior is not None else np.zeros(0, np.int64)
+                )
+                stream = np.concatenate([sent] + parts) if parts or nprior \
+                    else np.zeros(0, np.int64)
+                uniq, inv = _relabel(stream)
+                # prior slots are unique by construction (previous layer's
+                # src table), so they occupy the first nprior unique ranks
+                assert not nprior or np.array_equal(uniq[:nprior], sent)
+                sink_src = caps_src[nt] - 1
+                keep = min(uniq.shape[0], sink_src)
+                src_ids[nt][:keep] = uniq[:keep]
+                if nprior:
+                    src_ids[nt][:nprior] = prior  # restore -1 padding
+                nxt_free[nt] = max(keep, nprior)
+                # per-etype segments of inv, in insertion order
+                pos = nprior
+                offsets[nt] = {}
+                for cet, (nbr, eid, mask, slots, f) in picks.items():
+                    if cet[0] != nt:
+                        continue
+                    cnt = int(mask.sum())
+                    offsets[nt][cet] = inv[pos: pos + cnt]
+                    pos += cnt
+
+            # pass 3: fill the static edge arrays
+            for cet, (nbr, eid, mask, slots, f) in picks.items():
+                st, et, dt = cet
+                seeds_arr = cur[dt]
+                cap_dst = seeds_arr.shape[0]
+                sink_dst = cap_dst - 1
+                sink_src = caps_src[st] - 1
                 Ecap = cap_dst * f
                 esrc = np.full(Ecap, sink_src, np.int64)
                 edst = np.full(Ecap, sink_dst, np.int64)
                 eids_out = np.zeros(Ecap, np.int64)
                 emask = np.zeros(Ecap, bool)
-                slots = np.nonzero(real)[0]
-                lk = lookup[st]
-                sid = src_ids[st]
-                for r, slot in enumerate(slots):
-                    for j in range(f):
-                        if not mask[r, j]:
-                            continue
-                        u = int(nbr[r, j])
-                        loc = lk.get(u)
-                        if loc is None:
-                            loc = nxt_free[st]
-                            if loc >= sink_src:  # never claim the sink
-                                continue
-                            lk[u] = loc
-                            sid[loc] = u
-                            nxt_free[st] = loc + 1
-                        pos = slot * f + j
-                        esrc[pos] = loc
-                        edst[pos] = slot
-                        eids_out[pos] = eid[r, j]
-                        emask[pos] = True
+                rows, cols = np.nonzero(mask)
+                loc = offsets[st][cet]
+                ok = loc < sink_src  # capacity drops keep the sink
+                pos = slots[rows] * f + cols
+                esrc[pos[ok]] = loc[ok]
+                edst[pos[ok]] = slots[rows[ok]]
+                eids_out[pos[ok]] = eid[mask][ok]
+                emask[pos[ok]] = True
                 data_dict[cet] = (esrc, edst)
                 eid_frames[cet] = eids_out
                 emask_frames[cet] = emask
