@@ -155,6 +155,8 @@ from .partition_mod import (
     reshuffle_graph,
 )
 from .distributed.partition import metis_partition_assignment
+from .propagate import prop_nodes, prop_edges  # reference top-level names
+from .homophily import get_long_edges
 from .convert import (
     to_networkx,
     bipartite_from_scipy,

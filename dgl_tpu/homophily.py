@@ -122,3 +122,13 @@ def edge_label_informativeness(graph: Graph, y) -> float:
 
 def node_label_informativeness(graph: Graph, y) -> float:
     return _mutual_information(graph, y, per_node=True)
+
+
+def get_long_edges(graph):
+    """(src, dst) as host int64 arrays (reference ``homophily.py:28``;
+    device arrays stay int32 unless x64 is enabled, so the widened ids
+    are returned as numpy)."""
+    import numpy as np
+
+    src, dst = graph.edges()
+    return np.asarray(src, np.int64), np.asarray(dst, np.int64)
