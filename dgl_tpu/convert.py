@@ -362,3 +362,69 @@ __all__ += [
     "bipartite_from_networkx",
     "block_to_graph",
 ]
+
+
+def hetero_from_shared_memory(name: str) -> Graph:
+    """Attach a (hetero)graph published with :meth:`Graph.shared_memory`
+    (reference ``convert.py`` hetero_from_shared_memory /
+    ``heterograph.py:6267``): the npz-serialized pytree lives in one POSIX
+    shared-memory block, so co-located sampler processes share the
+    structure without copies over pipes."""
+    import io
+    import json as _json
+    from multiprocessing import shared_memory
+
+    from .data.serialize import _unflatten_graph
+
+    shm = shared_memory.SharedMemory(name=name)
+    try:
+        size = int.from_bytes(bytes(shm.buf[:8]), "little")
+        raw = bytes(shm.buf[8:8 + size])
+    finally:
+        shm.close()
+    with np.load(io.BytesIO(raw), allow_pickle=True) as z:
+        meta = _json.loads(bytes(z["__meta__"].tobytes()).decode("utf-8"))
+        arrays = {k: z[k] for k in z.files}
+    return _unflatten_graph(meta["graphs"][0], arrays)
+
+
+def _graph_shared_memory(self, name: str, formats=None):
+    """Publish this graph into POSIX shared memory under ``name``
+    (reference ``heterograph.py:6267`` ``DGLGraph.shared_memory``;
+    ``formats`` accepted for parity — all layouts are rebuilt on attach).
+    The block stays alive until unlinked; returns self."""
+    import io
+    import json as _json
+    from multiprocessing import shared_memory
+
+    from .data.serialize import _flatten_graph
+
+    arrays = {}
+    meta = [_flatten_graph(self, 0, arrays)]
+    arrays["__meta__"] = np.frombuffer(
+        _json.dumps({"graphs": meta, "labels": []}).encode("utf-8"),
+        dtype=np.uint8,
+    )
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    raw = buf.getvalue()
+    try:
+        shm = shared_memory.SharedMemory(
+            name=name, create=True, size=len(raw) + 8
+        )
+    except FileExistsError:
+        old = shared_memory.SharedMemory(name=name)
+        old.close()
+        old.unlink()
+        shm = shared_memory.SharedMemory(
+            name=name, create=True, size=len(raw) + 8
+        )
+    shm.buf[:8] = len(raw).to_bytes(8, "little")
+    shm.buf[8:8 + len(raw)] = raw
+    self._shm_handle = shm
+    return self
+
+
+Graph.shared_memory = _graph_shared_memory
+
+__all__ += ["hetero_from_shared_memory"]

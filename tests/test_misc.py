@@ -62,3 +62,43 @@ def test_mpops():
     np.testing.assert_allclose(np.asarray(out).ravel(), [0, 0, 3])
     e = mpops.u_add_v(g, x, x)
     np.testing.assert_allclose(np.asarray(e).ravel(), [4.0, 5.0])
+
+
+def test_hetero_shared_memory_roundtrip():
+    """Graph.shared_memory publishes; hetero_from_shared_memory attaches an
+    identical graph (reference heterograph.py:6267 shared-memory plane)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import dgl_tpu as dgl
+    from dgl_tpu import convert
+
+    rng = np.random.default_rng(0)
+    hg = convert.heterograph({
+        ("u", "r", "v"): (rng.integers(0, 10, 30), rng.integers(0, 8, 30)),
+        ("v", "s", "u"): (rng.integers(0, 8, 20), rng.integers(0, 10, 20)),
+    })
+    hg.nodes["u"].data["x"] = jnp.arange(10.0)
+    hg.edges_view[("u", "r", "v")].data["w"] = jnp.arange(30.0)
+    hg.shared_memory("dgl_tpu_test_heterog")
+    try:
+        back = convert.hetero_from_shared_memory("dgl_tpu_test_heterog")
+        assert back.num_nodes("u") == 10 and back.num_edges(("u","r","v")) == 30
+        np.testing.assert_allclose(
+            np.asarray(back.nodes["u"].data["x"]), np.arange(10.0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                back.edges_view[("u", "r", "v")].data["w"]
+            ), np.arange(30.0)
+        )
+        u0, v0 = (np.asarray(a) for a in hg.edges(etype=("u", "r", "v")))
+        u1, v1 = (np.asarray(a) for a in back.edges(etype=("u", "r", "v")))
+        np.testing.assert_array_equal(u0, u1)
+        np.testing.assert_array_equal(v0, v1)
+    finally:
+        from multiprocessing import shared_memory
+
+        shm = shared_memory.SharedMemory("dgl_tpu_test_heterog")
+        shm.close()
+        shm.unlink()
