@@ -88,7 +88,7 @@ def main():
         # instead of recording a CPU fallback.
         if _preflight():
             return True
-        budget = float(os.environ.get("DGL_TPU_BENCH_WAIT_BUDGET_S", "600"))
+        budget = float(os.environ.get("DGL_TPU_BENCH_WAIT_BUDGET_S", "900"))
         deadline = time.time() + budget
         while time.time() < deadline:
             wait = min(120.0, max(deadline - time.time(), 0))
