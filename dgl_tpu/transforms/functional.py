@@ -487,38 +487,63 @@ def to_block(g: Graph, dst_nodes=None, include_dst_in_src: bool = True, src_node
         dst_nodes = {g.ntypes[0]: _np(dst_nodes)}
     dst_nodes = {nt: _np(v).astype(np.int64) for nt, v in dst_nodes.items()}
 
-    src_map: Dict[str, Dict[int, int]] = {}
-    src_list: Dict[str, list] = {}
-    for nt in g.ntypes:
-        d = dst_nodes.get(nt, np.zeros(0, np.int64))
-        if include_dst_in_src:
-            src_list[nt] = list(map(int, d))
-            src_map[nt] = {int(x): i for i, x in enumerate(d)}
-        else:
-            src_list[nt] = []
-            src_map[nt] = {}
-    rel_edges = {}
+    # vectorized relabel (the reference does this in C++, to_block.cc:136):
+    # dst positions via stable searchsorted against the (seed-ordered) dst
+    # arrays; src slots via ONE first-occurrence unique per ntype over
+    # [dst_nodes (when include_dst_in_src), kept srcs in etype order]
+    kept = {}
     for cet in g.canonical_etypes:
         st, _, dt = cet
         rel = g._relations[cet]
         s = _np(rel.src)[: rel.num_edges]
         d = _np(rel.dst)[: rel.num_edges]
-        dmapd = {int(x): i for i, x in enumerate(dst_nodes.get(dt, np.zeros(0, np.int64)))}
-        keep = np.array([int(x) in dmapd for x in d], dtype=bool)
-        s, d = s[keep], d[keep]
+        dst_arr = dst_nodes.get(dt, np.zeros(0, np.int64))
+        order = np.argsort(dst_arr, kind="stable")
+        sorted_d = dst_arr[order]
+        pos = np.searchsorted(sorted_d, d)
+        safe = np.minimum(pos, max(sorted_d.shape[0] - 1, 0))
+        keep = (
+            (sorted_d[safe] == d) if sorted_d.size else np.zeros(d.shape, bool)
+        )
         eids = np.nonzero(keep)[0]
-        new_s = np.empty(s.size, np.int64)
-        m = src_map[st]
-        lst = src_list[st]
-        for i, x in enumerate(s):
-            xi = int(x)
-            if xi not in m:
-                m[xi] = len(lst)
-                lst.append(xi)
-            new_s[i] = m[xi]
-        new_d = np.array([dmapd[int(x)] for x in d], dtype=np.int64)
-        rel_edges[cet] = (new_s, new_d, eids)
+        new_d = order[pos[keep]] if sorted_d.size else np.zeros(0, np.int64)
+        kept[cet] = (s[keep], new_d, eids)
 
+    from ..graphbolt.base import _unique_first_occurrence_inverse
+
+    src_ids_of: Dict[str, np.ndarray] = {}
+    seg_of = {}
+    for nt in g.ntypes:
+        prefix = (
+            dst_nodes.get(nt, np.zeros(0, np.int64))
+            if include_dst_in_src else np.zeros(0, np.int64)
+        )
+        parts = [prefix]
+        spans = {}
+        at = prefix.shape[0]
+        for cet in g.canonical_etypes:
+            if cet[0] != nt:
+                continue
+            s_kept = kept[cet][0]
+            spans[cet] = (at, at + s_kept.shape[0])
+            parts.append(s_kept)
+            at += s_kept.shape[0]
+        stream = np.concatenate(parts)
+        uniq, inv = _unique_first_occurrence_inverse(stream)
+        # dst_nodes must be unique (same contract as the reference's
+        # to_block) so the prefix occupies the first slots verbatim
+        if prefix.size and not np.array_equal(
+            uniq[: prefix.shape[0]], prefix
+        ):
+            raise DGLError("to_block requires unique dst_nodes per type")
+        src_ids_of[nt] = uniq
+        seg_of[nt] = {cet: inv[a:b] for cet, (a, b) in spans.items()}
+
+    rel_edges = {
+        cet: (seg_of[cet[0]][cet], new_d, eids)
+        for cet, (s_kept, new_d, eids) in kept.items()
+    }
+    src_list = {nt: src_ids_of[nt] for nt in g.ntypes}
     data_dict = {cet: (s, d) for cet, (s, d, _) in rel_edges.items()}
     nsrc = {nt: len(src_list[nt]) for nt in g.ntypes}
     ndst = {nt: int(dst_nodes.get(nt, np.zeros(0)).shape[0]) for nt in g.ntypes}
