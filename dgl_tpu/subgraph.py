@@ -132,29 +132,30 @@ def edge_subgraph(
             if not store_ids:
                 sub._edge_frames[cet].pop(EID, None)
         return sub
-    # relabel: induced nodes = endpoints in order of first appearance per type
-    node_sets: Dict[str, list] = {nt: [] for nt in g.ntypes}
-    seen: Dict[str, set] = {nt: set() for nt in g.ntypes}
-
-    def add(nt, ids):
-        for i in ids:
-            ii = int(i)
-            if ii not in seen[nt]:
-                seen[nt].add(ii)
-                node_sets[nt].append(ii)
+    # relabel: induced nodes = endpoints in order of first appearance per
+    # type — one vectorized first-occurrence unique per ntype (the
+    # reference's C++ compaction role)
+    from .graphbolt.base import _unique_first_occurrence_inverse
 
     per_edge = {}
+    streams: Dict[str, list] = {nt: [] for nt in g.ntypes}
     for cet in g.canonical_etypes:
         st, _, dt = cet
         rel = g._relations[cet]
         eids = edges.get(cet, np.zeros(0, np.int64))
         s, d = _np(rel.src)[eids], _np(rel.dst)[eids]
         per_edge[cet] = (eids, s, d)
-        add(st, s)
-        add(dt, d)
+        streams[st].append(np.asarray(s, np.int64))
+        streams[dt].append(np.asarray(d, np.int64))
+    node_ids = {}
     maps = {}
     for nt in g.ntypes:
-        ids = np.array(node_sets[nt], dtype=np.int64)
+        stream = (
+            np.concatenate(streams[nt]) if streams[nt]
+            else np.zeros(0, np.int64)
+        )
+        ids, _ = _unique_first_occurrence_inverse(stream)
+        node_ids[nt] = ids
         m = np.full(g.num_nodes(nt), -1, dtype=np.int64)
         m[ids] = np.arange(ids.size)
         maps[nt] = (m, ids)
@@ -163,9 +164,9 @@ def edge_subgraph(
         st, _, dt = cet
         rels[cet] = Relation.from_coo(
             maps[st][0][s], maps[dt][0][d],
-            len(node_sets[st]), len(node_sets[dt]), idtype=g.idtype,
+            node_ids[st].shape[0], node_ids[dt].shape[0], idtype=g.idtype,
         )
-    sub = Graph(rels, {nt: len(node_sets[nt]) for nt in g.ntypes})
+    sub = Graph(rels, {nt: node_ids[nt].shape[0] for nt in g.ntypes})
     for nt in g.ntypes:
         ids = maps[nt][1]
         sub._node_frames[nt] = _gather_frames(g._node_frames, nt, ids, NID)
