@@ -99,3 +99,78 @@ def test_formats_and_aliases():
     assert dgl.DGLGraph is dgl.Graph
     out = dgl.apply_each({"a": jnp.ones(2)}, lambda v: v * 2)
     np.testing.assert_allclose(np.asarray(out["a"]), 2.0)
+
+
+def test_public_api_parity_locked():
+    """Regression guard for the round-2 parity audit: every public name of
+    the audited reference modules must keep resolving (IMPLEMENTATION_
+    STATUS.md records the two by-design exclusion groups)."""
+    import ast
+    import os
+
+    REF = "/root/reference/python/dgl"
+    if not os.path.isdir(REF):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+
+    def public_names(path):
+        names = set()
+        try:
+            tree = ast.parse(open(path).read())
+        except SyntaxError:
+            return names
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and t.id == "__all__":
+                        try:
+                            names |= set(ast.literal_eval(node.value))
+                        except Exception:
+                            pass
+            elif isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                if not node.name.startswith("_"):
+                    names.add(node.name)
+        return names
+
+    def module_public(dirpath):
+        names = set()
+        for root, _, files in os.walk(dirpath):
+            if "mxnet" in root or "tensorflow" in root:
+                continue
+            for f in files:
+                if f.endswith(".py") and not f.startswith("_"):
+                    names |= public_names(os.path.join(root, f))
+        return names
+
+    import importlib
+
+    import dgl_tpu
+
+    top = set(dir(dgl_tpu))
+    # by-design exclusions (IMPLEMENTATION_STATUS.md "parity audit"):
+    # CUDA/cugraph-ops conv wrappers
+    ALLOWED_NN = {
+        "CuGraphBaseConv", "CuGraphGATConv", "CuGraphRelGraphConv",
+        "CuGraphSAGEConv",
+    }
+    checks = [
+        ("sampling", "dgl_tpu.sampling", set()),
+        ("dataloading", "dgl_tpu.dataloading", set()),
+        ("graphbolt", "dgl_tpu.graphbolt", set()),
+        ("transforms", "dgl_tpu.transforms", set()),
+        ("data", "dgl_tpu.data", set()),
+        ("sparse", "dgl_tpu.sparse", set()),
+        ("geometry", "dgl_tpu.geometry", set()),
+        ("optim", "dgl_tpu.optim", set()),
+        ("nn/pytorch", "dgl_tpu.nn", ALLOWED_NN),
+    ]
+    failures = {}
+    for sub, ours_mod, allowed in checks:
+        ref = module_public(os.path.join(REF, sub))
+        mod = importlib.import_module(ours_mod)
+        ours = set(dir(mod)) | top
+        missing = sorted(n for n in ref if n not in ours and n not in allowed)
+        if missing:
+            failures[sub] = missing
+    assert not failures, f"public-API parity regressed: {failures}"
