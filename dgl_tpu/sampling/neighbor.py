@@ -556,6 +556,40 @@ def sample_etype_neighbors(
         np.atleast_1d(_np(exclude_edges)).astype(np.int64)
         if exclude_edges is not None else None
     )
+    # native fast path: fixed per-etype fanouts, no prob, no exclusions
+    # (the OpenMP pick in csrc/host_ops.cpp::sample_neighbors_etype)
+    if (
+        prob is None and excl is None and (fan >= 0).all()
+        and seeds.size
+    ):
+        from .. import _native
+
+        # per-edge type id from the offset buckets, indexed by EDGE ID
+        # (edge ids are grouped by type, so this is one repeat)
+        type_per_edge = np.repeat(
+            np.arange(offsets.shape[0] - 1, dtype=np.int64),
+            np.diff(offsets),
+        )
+        res = _native.sample_neighbors_etype(
+            indptr,
+            eids,  # indices unused downstream; eids drive the subgraph
+            eids, type_per_edge, fan, seeds, replace,
+            int(rng.integers(2**63)),
+        )
+        if res is not None:
+            _, eid_mat, mask = res
+            picked = eid_mat[mask]
+            sub = edge_subgraph(
+                g, {cet: picked}, relabel_nodes=False, store_ids=True
+            )
+            if not copy_ndata:
+                for nt in sub.ntypes:
+                    sub._node_frames[nt] = {}
+            if not copy_edata:
+                for c in sub.canonical_etypes:
+                    sub._edge_frames[c] = {EID: sub._edge_frames[c][EID]}
+            return sub
+
     picked_all = []
     for s in seeds:
         lo, hi = int(indptr[s]), int(indptr[s + 1])
