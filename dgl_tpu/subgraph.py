@@ -179,6 +179,22 @@ def edge_subgraph(
     return sub
 
 
+def _ragged_gather(indptr, eids, seeds):
+    """All per-seed CSC/CSR ranges as one flat array (vectorized; the
+    per-seed slice loop is quadratic-constant at scale)."""
+    if seeds.size == 0:
+        return np.zeros(0, np.int64)
+    starts = indptr[seeds]
+    lens = indptr[seeds + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    reps = np.repeat(
+        starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+    )
+    return np.asarray(eids)[np.arange(total) + reps]
+
+
 def in_subgraph(g: Graph, nodes, *, relabel_nodes: bool = False, store_ids: bool = True) -> Graph:
     """Subgraph of all in-edges of ``nodes`` (reference ``subgraph.py:428``,
     C++ ``src/graph/sampling/neighbor/neighbor.cc`` InSubgraph)."""
@@ -190,10 +206,7 @@ def in_subgraph(g: Graph, nodes, *, relabel_nodes: bool = False, store_ids: bool
         seeds = nodes.get(dt, np.zeros(0, np.int64))
         indptr = _np(rel.csc_indptr)
         eids = _np(rel.csc_eids)
-        parts = [eids[indptr[v] : indptr[v + 1]] for v in seeds]
-        edges[cet] = (
-            np.concatenate(parts) if parts else np.zeros(0, np.int64)
-        )
+        edges[cet] = _ragged_gather(indptr, eids, seeds)
     return edge_subgraph(g, edges, relabel_nodes=relabel_nodes, store_ids=store_ids)
 
 
@@ -207,10 +220,7 @@ def out_subgraph(g: Graph, nodes, *, relabel_nodes: bool = False, store_ids: boo
         seeds = nodes.get(st, np.zeros(0, np.int64))
         indptr = _np(rel.csr_indptr)
         eids = _np(rel.csr_eids)
-        parts = [eids[indptr[v] : indptr[v + 1]] for v in seeds]
-        edges[cet] = (
-            np.concatenate(parts) if parts else np.zeros(0, np.int64)
-        )
+        edges[cet] = _ragged_gather(indptr, eids, seeds)
     return edge_subgraph(g, edges, relabel_nodes=relabel_nodes, store_ids=store_ids)
 
 
