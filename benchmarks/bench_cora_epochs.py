@@ -27,6 +27,9 @@ def main():
     p.add_argument("--device", default=None, choices=[None, "cpu"])
     p.add_argument("--datasets", nargs="+",
                    default=["cora", "citeseer", "pubmed"])
+    p.add_argument("--hubs", default="512",
+                   help="hub-table size for with_spmm_plans ('auto' or int)")
+    p.add_argument("--models", nargs="+", default=["gcn", "gat"])
     args = p.parse_args()
 
     import jax
@@ -51,11 +54,13 @@ def main():
     DSETS = {"cora": CoraGraphDataset, "citeseer": CiteseerGraphDataset,
              "pubmed": PubmedGraphDataset}
     for dname in args.datasets:
+        hubs = args.hubs if args.hubs == "auto" else int(args.hubs)
         run_dataset(dname, DSETS[dname](), REF, jax, jnp, np, optax,
-                    dgl, GAT, GCN)
+                    dgl, GAT, GCN, hubs=hubs, models=args.models)
 
 
-def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN):
+def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN,
+                hubs=512, models=("gcn", "gat")):
     import json
     import time
 
@@ -63,7 +68,7 @@ def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN):
     if jax.devices()[0].platform != "cpu":
         # segment-free SpMM/edge-softmax fast paths (ops/shell_spmm.py);
         # skipped on CPU where the dense-hub matmul has no MXU to run on
-        g = g.with_spmm_plans(num_hubs=512, weighted=True)
+        g = g.with_spmm_plans(num_hubs=hubs, weighted=True)
     feat = g.ndata["feat"]
     y = g.ndata["label"].astype(jnp.int32)
     tm = g.ndata["train_mask"].astype(jnp.float32)
@@ -81,7 +86,7 @@ def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN):
                 optax.adamw(5e-3, weight_decay=5e-4), False),
     }
     for name, (model, ref_s, tx, train_det) in configs.items():
-        if ref_s is None:
+        if ref_s is None or name not in models:
             continue  # reference publishes no number for this pair
         params = model.init(jax.random.PRNGKey(0), g, feat)
         opt0 = tx.init(params)
