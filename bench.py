@@ -192,6 +192,8 @@ def _run(fallback: bool):
     roof = _roofline(jax.devices()[0])
 
     sage = _sage_minibatch(g, rng, iters=2 if fallback else 10)
+    sage_e2e = _sage_end_to_end(g, rng, iters=1 if fallback else 3,
+                                max_steps=4 if fallback else None)
 
     print(
         json.dumps(
@@ -209,6 +211,7 @@ def _run(fallback: bool):
                     "ms_per_iter": round(dt * 1e3, 3),
                     "edges_per_s": round(E / dt),
                     "sage_minibatch": sage,
+                    "sage_minibatch_end_to_end": sage_e2e,
                     "device": str(jax.devices()[0].device_kind)
                     + (" (tpu-unreachable fallback)" if fallback else ""),
                     "roofline_gbps": roof,
@@ -218,11 +221,108 @@ def _run(fallback: bool):
     )
 
 
+def _sage_end_to_end(g, rng, iters=3, max_steps=None):
+    """END-TO-END minibatch training epochs/s: on-device sampling (CSC in
+    HBM, picks are gathers — sampling/device_sampler.py), on-device seed
+    shuffle, feature gather, fwd+bwd+adam — the whole epoch is ONE jitted
+    lax.scan. Nothing is pre-sampled or reused; every epoch reshuffles and
+    resamples. This is the honest input-pipeline-included number the
+    reference's GraphBolt exists to optimize
+    (``python/dgl/graphbolt/dataloader.py:108-191``)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dgl_tpu.models import DeviceSAGE
+    from dgl_tpu.sampling import DeviceNeighborSampler, device_seed_batches
+
+    N = g.num_nodes()
+    FEAT, HID, C, B = 100, 256, 47, 512
+    fanouts = [10, 10]
+    feats = jnp.asarray(rng.normal(size=(N, FEAT)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, N), jnp.int32)
+    rel = g._relation(None)
+    indptr = rel.csc_indptr.astype(jnp.int32)
+    indices = rel.csc_indices.astype(jnp.int32)
+    sampler = DeviceNeighborSampler(fanouts)
+    model = DeviceSAGE(FEAT, HID, C, num_layers=2)
+
+    mfg0 = sampler.sample(jax.random.PRNGKey(0), indptr, indices,
+                          jnp.arange(B, dtype=jnp.int32))
+    params = model.init(jax.random.PRNGKey(1), mfg0,
+                        feats[mfg0.input_nodes()])
+    tx = optax.adam(1e-3)
+    opt0 = tx.init(params)
+    nb = N // B  # full batches per epoch
+    if max_steps is not None:
+        nb = min(nb, max_steps)
+
+    @jax.jit
+    def epochs(params, opt, k):
+        def one_epoch(e, carry):
+            params, opt, edges = carry
+            kperm = jax.random.fold_in(jax.random.PRNGKey(42), e)
+            ids, mask = device_seed_batches(kperm, N, B)
+
+            def step(carry, inp):
+                params, opt, edges = carry
+                seeds, smask, i = inp
+                mfg = sampler.sample(jax.random.fold_in(kperm, i),
+                                     indptr, indices, seeds,
+                                     seed_mask=smask)
+
+                def loss_fn(p):
+                    logits = model.apply(p, mfg,
+                                         feats[mfg.input_nodes()])
+                    ls = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels[seeds])
+                    w = smask.astype(jnp.float32)
+                    return (ls * w).sum() / jnp.maximum(w.sum(), 1)
+
+                _, grads = jax.value_and_grad(loss_fn)(params)
+                upd, opt = tx.update(grads, opt)
+                return (optax.apply_updates(params, upd), opt,
+                        edges + mfg.num_real_edges()), None
+
+            (params, opt, edges), _ = jax.lax.scan(
+                step, (params, opt, edges),
+                (ids[:nb], mask[:nb], jnp.arange(nb)))
+            return params, opt, edges
+
+        params, opt, edges = jax.lax.fori_loop(
+            0, k, one_epoch, (params, opt, jnp.zeros((), jnp.int32)))
+        return jnp.stack([jnp.sum(params["params"]["sage1_bias"]),
+                          edges.astype(jnp.float32)])
+
+    def t(k):
+        kk = jnp.int32(k)
+        out = epochs(params, opt0, kk)
+        float(out[0])
+        best, edges = float("inf"), float(out[1]) / max(k, 1)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = epochs(params, opt0, kk)
+            float(out[0])
+            best = min(best, time.perf_counter() - t0)
+        return best, edges
+
+    t1, _ = t(1)
+    tk, edges_per_epoch = t(1 + iters)
+    dt_epoch = (tk - t1) / iters
+    return {
+        "pipeline": "on-device sampler (sampling+shuffle+fetch+train fused)",
+        "ms_per_step": round(dt_epoch / nb * 1e3, 3),
+        "steps_per_epoch": nb,
+        "edges_per_s": round(edges_per_epoch / dt_epoch),
+        "epoch_s": round(dt_epoch, 4),
+    }
+
+
 def _sage_minibatch(g, rng, iters=10):
-    """BASELINE north-star model metric: 2-layer GraphSAGE neighbor-sampled
-    minibatch training throughput (edges/s/chip). Fixed-shape MFGs sampled
-    on host (4 batches, reused), full train step (device feature gather +
-    fwd + bwd + sgd) chained on device."""
+    """Compute-only reference point: fixed-shape MFGs pre-sampled on host
+    (4 batches, reused), full train step (device feature gather + fwd +
+    bwd + sgd) chained on device. The end-to-end number above is the
+    headline; this isolates the device-step ceiling."""
     import jax
     import jax.numpy as jnp
     import optax

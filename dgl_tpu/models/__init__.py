@@ -10,5 +10,6 @@ from .sage import GraphSAGE
 from .rgcn import RGCN
 from .gin import GIN
 from .graphormer import Graphormer, prepare_batch
+from .device_sage import DeviceSAGE
 
-__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "GIN", "Graphormer", "prepare_batch"]
+__all__ = ["GCN", "GAT", "GraphSAGE", "DeviceSAGE", "RGCN", "GIN", "Graphormer", "prepare_batch"]

@@ -9,11 +9,18 @@ from ..nn.conv.graphconv import GraphConv
 
 
 class GCN(nn.Module):
+    """2+-layer GCN. With ``static_input_agg=True``, pass
+    ``x = precompute_graphconv(graph, raw_x)`` (computed once, outside the
+    epoch loop) and layer 0 skips its g-SpMM — an exact rewrite since the
+    aggregation is linear and the input features are constant during
+    training (see ``nn/conv/graphconv.py::precompute_graphconv``)."""
+
     in_feats: int
     hidden_feats: int
     num_classes: int
     num_layers: int = 2
     dropout: float = 0.5
+    static_input_agg: bool = False
 
     @nn.compact
     def __call__(self, graph, x, deterministic: bool = True):
@@ -23,7 +30,9 @@ class GCN(nn.Module):
             + [self.num_classes]
         )
         for i in range(self.num_layers):
-            x = GraphConv(dims[i], dims[i + 1], name=f"conv{i}")(graph, x)
+            x = GraphConv(dims[i], dims[i + 1], name=f"conv{i}")(
+                graph, x, precomputed=(i == 0 and self.static_input_agg)
+            )
             if i != self.num_layers - 1:
                 x = jax.nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)

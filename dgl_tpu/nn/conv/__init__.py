@@ -4,9 +4,9 @@ The reference's ``cugraph_*`` variants are CUDA-specific accelerations of
 GATConv/RelGraphConv/SAGEConv; on TPU the base layers already lower to the
 fused kernel path, so no separate variants exist.
 """
-from .graphconv import GraphConv
+from .graphconv import GraphConv, precompute_graphconv
 from ..utils_nn import EdgeWeightNorm
-from .sageconv import SAGEConv
+from .sageconv import SAGEConv, precompute_sage_neigh
 from .gatconv import GATConv
 from .gatv2conv import GATv2Conv
 from .ginconv import GINConv
@@ -35,6 +35,8 @@ from .egnnconv import EGNNConv
 
 __all__ = [
     "GraphConv",
+    "precompute_graphconv",
+    "precompute_sage_neigh",
     "EdgeWeightNorm",
     "SAGEConv",
     "GATConv",

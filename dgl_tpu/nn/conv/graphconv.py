@@ -47,8 +47,59 @@ def check_zero_in_degree(graph, allow: bool):
         )
 
 
+def precompute_graphconv(graph, feat, norm: str = "both", edge_weight=None,
+                         hops: int = 1):
+    """Precompute the (normalized) GraphConv aggregation of STATIC inputs.
+
+    ``GraphConv(g, x) == GraphConv weight/bias applied to
+    precompute_graphconv(g, x, norm)`` exactly, because message+sum is
+    linear: ``Â (X W) = (Â X) W``. When ``x`` is the (constant) input
+    feature table, computing ``Â X`` ONCE removes the first layer's g-SpMM
+    — forward AND backward — from every training epoch (the layer-1
+    gradient is ``dW = (Â X)^T dZ``, no ``Â^T`` product). On the v5e the
+    small-graph GCN epoch is 100% bound by the SpMM gather issue rate
+    (benchmarks/probe_r3a), so this exact rewrite halves it.
+
+    ``hops > 1`` gives the SGC k-hop precompute
+    (reference ``python/dgl/nn/pytorch/conv/sgconv.py:13``).
+
+    Use with ``GraphConv.__call__(..., precomputed=True)`` or
+    ``GCN(static_input_agg=True)``.
+    """
+    if norm not in ("none", "both", "right", "left"):
+        raise DGLError(f'Invalid norm value {norm!r}')
+    with graph.local_scope() as g:
+        for _ in range(hops):
+            feat_src, _ = expand_as_pair(feat, g)
+            msg_fn = fn.copy_u("h", "m")
+            if edge_weight is not None:
+                g.edata["_edge_weight"] = edge_weight
+                msg_fn = fn.u_mul_e("h", "_edge_weight", "m")
+            if norm in ("left", "both"):
+                degs = jnp.clip(g.out_degrees().astype(feat_src.dtype), 1)
+                nrm = jax_rsqrt(degs) if norm == "both" else 1.0 / degs
+                nrm = nrm.reshape(nrm.shape + (1,) * (feat_src.ndim - 1))
+                feat_src = feat_src * nrm
+            g.srcdata["h"] = feat_src
+            g.update_all(msg_fn, fn.sum("m", "h"))
+            rst = g.dstdata["h"]
+            if norm in ("right", "both"):
+                degs = jnp.clip(g.in_degrees().astype(rst.dtype), 1)
+                nrm = jax_rsqrt(degs) if norm == "both" else 1.0 / degs
+                nrm = nrm.reshape(nrm.shape + (1,) * (rst.ndim - 1))
+                rst = rst * nrm
+            feat = rst
+        return feat
+
+
 class GraphConv(nn.Module):
-    """GCN convolution (Kipf & Welling), reference ``graphconv.py:157``."""
+    """GCN convolution (Kipf & Welling), reference ``graphconv.py:157``.
+
+    ``__call__(..., precomputed=True)`` declares ``feat`` to already be the
+    normalized aggregate from :func:`precompute_graphconv` — the layer then
+    only applies weight/bias (exact static-input optimization; see that
+    helper's docstring).
+    """
 
     in_feats: int
     out_feats: int
@@ -59,7 +110,22 @@ class GraphConv(nn.Module):
     allow_zero_in_degree: bool = False
 
     @nn.compact
-    def __call__(self, graph, feat, edge_weight=None):
+    def __call__(self, graph, feat, edge_weight=None, precomputed=False):
+        if precomputed:
+            rst = feat
+            if self.weight:
+                rst = rst @ self.param(
+                    "weight", nn.initializers.xavier_uniform(),
+                    (self.in_feats, self.out_feats), rst.dtype,
+                )
+            if self.bias:
+                rst = rst + self.param(
+                    "bias", nn.initializers.zeros, (self.out_feats,),
+                    rst.dtype,
+                )
+            if self.activation is not None:
+                rst = self.activation(rst)
+            return rst
         if self.norm not in ("none", "both", "right", "left"):
             raise DGLError(f'Invalid norm value {self.norm!r}')
         check_zero_in_degree(graph, self.allow_zero_in_degree)

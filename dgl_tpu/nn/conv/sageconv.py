@@ -31,6 +31,25 @@ class _MaskedLSTMStep(nn.Module):
         return new_carry, out
 
 
+def precompute_sage_neigh(graph, feat, edge_weight=None):
+    """Precompute the mean-aggregated neighborhood of STATIC input features
+    for :class:`SAGEConv` (mean aggregator): since the mean aggregation is
+    linear, ``fc_neigh(mean_agg(X)) == fc_neigh . precompute`` exactly, and
+    a constant input table makes the first layer's g-SpMM (fwd + bwd)
+    disappear from the epoch. Pass the result as
+    ``SAGEConv(..., precomputed_neigh=...)``."""
+    from ... import function as fn
+
+    with graph.local_scope() as g:
+        msg_fn = fn.copy_u("h", "m")
+        if edge_weight is not None:
+            g.edata["_edge_weight"] = edge_weight
+            msg_fn = fn.u_mul_e("h", "_edge_weight", "m")
+        g.srcdata["h"] = feat
+        g.update_all(msg_fn, fn.mean("m", "neigh"))
+        return g.dstdata["neigh"]
+
+
 class SAGEConv(nn.Module):
     """GraphSAGE layer (reference ``sageconv.py:13``)."""
 
@@ -43,7 +62,34 @@ class SAGEConv(nn.Module):
     activation: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, graph, feat, edge_weight=None, deterministic: bool = True):
+    def __call__(self, graph, feat, edge_weight=None, deterministic: bool = True,
+                 precomputed_neigh=None):
+        if precomputed_neigh is not None:
+            if self.aggregator_type != "mean":
+                raise DGLError(
+                    "precomputed_neigh requires the mean aggregator")
+            feat_src, feat_dst = expand_as_pair(feat, graph)
+            fc_neigh = nn.Dense(
+                self.out_feats, use_bias=False,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="fc_neigh",
+            )
+            fc_self = nn.Dense(
+                self.out_feats, use_bias=False,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="fc_self",
+            )
+            rst = fc_self(feat_dst) + fc_neigh(precomputed_neigh)
+            if self.bias:
+                rst = rst + self.param(
+                    "bias", nn.initializers.zeros, (self.out_feats,),
+                    rst.dtype,
+                )
+            if self.activation is not None:
+                rst = self.activation(rst)
+            if self.norm is not None:
+                rst = self.norm(rst)
+            return rst
         if self.aggregator_type not in ("mean", "gcn", "pool", "lstm"):
             raise DGLError(
                 f"Invalid aggregator_type {self.aggregator_type!r}"

@@ -20,8 +20,16 @@ from .negative import global_uniform_negative_sampling
 from .labor import sample_labors
 from .pinsage import PinSAGESampler, RandomWalkNeighborSampler
 from .utils import EidExcluder
+from .device_sampler import (
+    DeviceMFG,
+    DeviceNeighborSampler,
+    device_seed_batches,
+)
 
 __all__ = [
+    "DeviceMFG",
+    "DeviceNeighborSampler",
+    "device_seed_batches",
     "sample_neighbors",
     "sample_neighbors_fixed",
     "sample_etype_neighbors",
