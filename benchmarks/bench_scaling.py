@@ -60,9 +60,13 @@ def main():
     p.add_argument("--num-nodes", type=int, default=100_000)
     p.add_argument("--num-edges", type=int, default=1_000_000)
     p.add_argument("--feat", type=int, default=128)
+    p.add_argument("--out", default=None, help="write JSON artifact")
     args = p.parse_args()
 
     import jax
+
+    if _os.environ.get("DGL_TPU_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
     import dgl_tpu as dgl
 
@@ -74,8 +78,10 @@ def main():
     )
     E = g.num_edges()
     n_avail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    records = []
     base_dt = None
-    for n_dev in [1, n_avail] if n_avail > 1 else [1]:
+    for n_dev in sizes:
         dt, shards = bench_mesh(g, n_dev, args.feat)
         eps = E / dt
         if base_dt is None:
@@ -83,19 +89,110 @@ def main():
             eff = 1.0
         else:
             eff = (base_dt / dt) / n_dev
-        print(
-            json.dumps(
-                {
-                    "bench": "dist_spmm_scaling",
-                    "n_devices": n_dev,
-                    "edges_per_s": round(eps),
-                    "ms_per_iter": round(dt * 1e3, 2),
-                    "scaling_efficiency": round(eff, 3),
-                    "h_max": shards.h_max,
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "bench": "dist_spmm_scaling",
+            "n_devices": n_dev,
+            "edges_per_s": round(eps),
+            "edges_per_s_per_device": round(eps / n_dev),
+            "ms_per_iter": round(dt * 1e3, 2),
+            "scaling_efficiency": round(eff, 3),
+            "h_max": shards.h_max,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    for n_dev in sizes:
+        dt, edges = bench_minibatch_mesh(g, n_dev)
+        rec = {
+            "bench": "dist_minibatch_scaling",
+            "n_devices": n_dev,
+            "edges_per_s": round(edges / dt),
+            "ms_per_step": round(dt * 1e3, 2),
+        }
+        if n_dev == 1:
+            base = rec["edges_per_s"]
+        rec["scaling_efficiency"] = round(
+            rec["edges_per_s"] / (base * n_dev), 3)
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if args.out:
+        import platform
+
+        with open(args.out, "w") as f:
+            json.dump({
+                "device": str(jax.devices()[0].device_kind),
+                "virtual_mesh": jax.devices()[0].platform == "cpu",
+                "graph": {"N": args.num_nodes, "E": E, "feat": args.feat},
+                "records": records,
+            }, f, indent=1)
+
+
+def bench_minibatch_mesh(g, n_dev, iters=8):
+    """Weak-scaling of the distributed minibatch step: the on-device
+    sampler + DeviceSAGE train step with the seed batch sharded over the
+    mesh (each device keeps a constant per-device batch of 128 — weak
+    scaling), params replicated (grad psum crosses the mesh)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dgl_tpu.models import DeviceSAGE
+    from dgl_tpu.sampling import DeviceNeighborSampler
+
+    B = 128 * n_dev
+    mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev), ("dp",))
+    rel = g._relation(None)
+    indptr = rel.csc_indptr.astype(jnp.int32)
+    indices = rel.csc_indices.astype(jnp.int32)
+    n = g.num_nodes()
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(n, 64)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 16, n), jnp.int32)
+    sampler = DeviceNeighborSampler([5, 5])
+    model = DeviceSAGE(64, 64, 16, num_layers=2)
+    seeds0 = jnp.arange(B, dtype=jnp.int32)
+    mfg0 = sampler.sample(jax.random.PRNGKey(0), indptr, indices, seeds0)
+    params = model.init(jax.random.PRNGKey(1), mfg0,
+                        feats[mfg0.input_nodes()])
+    tx = optax.sgd(1e-3)
+    opt0 = tx.init(params)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("dp"))
+    params = jax.device_put(params, rep)
+    opt0 = jax.device_put(opt0, rep)
+    seeds_g = jax.device_put(seeds0, shd)
+
+    @jax.jit
+    def steps(params, opt, seeds, k):
+        def body(i, carry):
+            params, opt = carry
+            mfg = sampler.sample(jax.random.fold_in(jax.random.PRNGKey(3), i),
+                                 indptr, indices, seeds)
+
+            def loss_fn(p):
+                logits = model.apply(p, mfg, feats[mfg.input_nodes()])
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels[seeds]).mean()
+
+            _, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, upd), opt
+
+        params, opt = jax.lax.fori_loop(0, k, body, (params, opt))
+        return jnp.sum(params["params"]["sage1_bias"])
+
+    def timed(k):
+        kk = jnp.int32(k)
+        float(steps(params, opt0, seeds_g, kk))
+        t0 = time.perf_counter()
+        float(steps(params, opt0, seeds_g, kk))
+        return time.perf_counter() - t0
+
+    dt = (timed(1 + iters) - timed(1)) / iters
+    edges_per_step = B * 5 + B * 6 * 5  # upper bound; constant across sizes
+    return dt, edges_per_step
 
 
 if __name__ == "__main__":

@@ -66,6 +66,12 @@ def main():
             h = spmm(gg, xx[:, :HID])
             h = jax.nn.relu(h)
             return spmm(gg, h)[:, :C]
+        if mode == "cached":
+            # static-input aggregation caching: xx is ALREADY spmm(g, x)
+            # (computed once outside the epoch loop) — exact rewrite
+            # spmm(x @ w1) == spmm(x) @ w1; layer-1 SpMM gone fwd+bwd
+            h = jax.nn.relu(xx @ p["w1"])
+            return spmm(gg, h @ p["w2"])
         h = xx @ p["w1"]
         if mode != "no_spmm":
             h = spmm(gg, h)
@@ -102,6 +108,9 @@ def main():
 
         p, _ = jax.lax.fori_loop(0, k, body, (p, opt))
         return jnp.sum(p["w2"])
+
+    if mode == "cached":
+        x = jax.jit(lambda gg, xx: spmm(gg, xx))(g, x)
 
     def t(k):
         kk = jnp.int32(k)

@@ -22,6 +22,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include <unistd.h>
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -447,6 +449,31 @@ void sample_neighbors_etype(const int64_t* indptr, const int64_t* indices,
       }
     }
   }
+}
+
+// Batched random row reads straight from an fd (out-of-core feature
+// fetch). The io_uring analog of the reference's OnDiskNpyArray
+// (graphbolt/src/cnumpy.h:9, io_uring.cc): many parallel preads keep the
+// disk queue full without mapping the file, so process RSS stays bounded
+// by the output buffer no matter how large the feature table is. Rows are
+// gathered per-id: out[i] = file[offset0 + ids[i]*row_bytes : +row_bytes].
+// Returns the number of rows fully read (== n on success).
+int64_t batched_pread(int fd, int64_t offset0, const int64_t* ids,
+                      int64_t n, int64_t row_bytes, char* out) {
+  int64_t ok = 0;
+#pragma omp parallel for schedule(dynamic, 64) reduction(+ : ok)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t off = offset0 + ids[i] * row_bytes;
+    int64_t got = 0;
+    while (got < row_bytes) {
+      ssize_t r = pread(fd, out + i * row_bytes + got, row_bytes - got,
+                        off + got);
+      if (r <= 0) break;
+      got += r;
+    }
+    ok += (got == row_bytes) ? 1 : 0;
+  }
+  return ok;
 }
 
 }  // extern "C"

@@ -81,6 +81,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
         ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, i64p, i64p, u8p,
     ]
+    u8p_w = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
+    lib.batched_pread.argtypes = [
+        ctypes.c_int, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int64, u8p_w,
+    ]
+    lib.batched_pread.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -257,3 +263,17 @@ def sample_neighbors_etype(indptr, indices, eids, type_per_edge, fanouts,
         mask.reshape(-1),
     )
     return nbr, eid, mask.astype(bool)
+
+
+def batched_pread(fd: int, offset0: int, ids, row_bytes: int,
+                  out: "np.ndarray"):
+    """Parallel random row reads from an open fd into ``out`` (flat uint8
+    view, n*row_bytes). Returns rows fully read, or None when native is
+    unavailable. The io_uring-analog path of DiskBasedFeature
+    (reference graphbolt/src/cnumpy.h:9)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, np.int64)
+    return int(lib.batched_pread(fd, offset0, ids, ids.shape[0],
+                                 row_bytes, out))

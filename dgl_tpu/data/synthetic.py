@@ -24,6 +24,30 @@ __all__ = [
 ]
 
 
+def _bow_features(rng, labels, num_classes, vocab, *, words_per_doc,
+                  topic_words, topic_mass, topic_mix=0.0):
+    """Planted-topic binary bag-of-words, row-normalized (see
+    synthetic_classification_graph docstring)."""
+    n = labels.shape[0]
+    T = max(1, min(int(topic_words), vocab // num_classes))
+    kmax = max(4, int(words_per_doc * 3))
+    k = np.clip(rng.poisson(words_per_doc, n), 1, kmax)
+    topical = rng.random((n, kmax)) < topic_mass
+    # word ambiguity: some topical draws come from a WRONG class's block
+    wrong = rng.random((n, kmax)) < topic_mix
+    shift = rng.integers(1, max(num_classes, 2), (n, kmax))
+    cls = np.where(wrong, (labels[:, None] + shift) % num_classes,
+                   labels[:, None])
+    topic_pick = cls * T + rng.integers(0, T, (n, kmax))
+    bg_pick = rng.integers(0, vocab, (n, kmax))
+    words = np.where(topical, topic_pick, bg_pick)
+    live = np.arange(kmax)[None, :] < k[:, None]
+    feat = np.zeros((n, vocab), np.float32)
+    feat[np.repeat(np.arange(n), live.sum(1)), words[live]] = 1.0
+    feat /= np.maximum(feat.sum(1, keepdims=True), 1.0)
+    return feat
+
+
 def synthetic_classification_graph(
     num_nodes: int,
     num_edges: int,
@@ -34,14 +58,39 @@ def synthetic_classification_graph(
     noise: float = 1.0,
     signal: float = 2.0,
     seed: int = 0,
+    feature_mode: str = "gaussian",
+    words_per_doc: float = 18.0,
+    topic_words: int = 64,
+    topic_mass: float = 0.75,
+    topic_mix: float = 0.0,
+    noise_hubs: float = 0.0,
 ):
     """SBM-style graph with planted classes.
 
-    ``signal`` scales the class centroids: per-class feature separability is
-    ~``signal*sqrt(2*feat_dim)/noise`` standard deviations, so small values
+    ``feature_mode="gaussian"``: dense class-centroid features; ``signal``
+    scales the centroids so per-class separability is
+    ~``signal*sqrt(2*feat_dim)/noise`` standard deviations — small values
     (e.g. 0.04 at 1433 dims) calibrate the synthetic stand-ins to the REAL
     datasets' published accuracy bands instead of saturating (see
     ``citation._CALIB``).
+
+    ``feature_mode="bow"``: sparse planted-topic bag-of-words features,
+    the structure the real planetoid datasets have (binary word
+    indicators, ~``words_per_doc`` nnz/row, row-normalized like the
+    reference's planetoid preprocessing ``citation_graph.py::_preprocess_features``).
+    Each class owns a disjoint block of ``topic_words`` vocabulary words;
+    a document draws each word from a class topic with probability
+    ``topic_mass``, else from the whole vocabulary; a topical draw comes
+    from the document's own class with probability ``1 - topic_mix`` and
+    from a random other class otherwise (word ambiguity — the calibration
+    lever that keeps accuracy off the ceiling, mirroring real citation
+    vocab overlap). ``noise_hubs`` redirects that fraction of edge
+    sources to a small set of high-degree nodes with background-only
+    features (generic "survey paper" citations): mean aggregation (GCN)
+    ingests their noise, attention (GAT) learns to down-weight them —
+    reproducing the real-data GAT>GCN margin. Unlike gaussian
+    features, BoW gives GAT's attention real structure to exploit
+    (per-edge word overlap), fixing the synthetic GAT accuracy gap.
 
     Returns a homogeneous Graph with ndata: feat, label, train/val/test_mask.
     """
@@ -63,8 +112,28 @@ def synthetic_classification_graph(
             dst[i] = order[rng.integers(lo, hi)]
         else:
             dst[i] = rng.integers(0, num_nodes)
-    centroids = rng.normal(size=(num_classes, feat_dim)) * signal
-    feat = centroids[labels] + rng.normal(size=(num_nodes, feat_dim)) * noise
+    hub_ids = None
+    if noise_hubs > 0:
+        n_hub = max(2, num_nodes // 64)
+        hub_ids = rng.choice(num_nodes, n_hub, replace=False)
+        redirect = rng.random(num_edges) < noise_hubs
+        src[redirect] = hub_ids[rng.integers(0, n_hub, int(redirect.sum()))]
+    if feature_mode == "bow":
+        feat = _bow_features(
+            rng, labels, num_classes, feat_dim,
+            words_per_doc=words_per_doc, topic_words=topic_words,
+            topic_mass=topic_mass, topic_mix=topic_mix,
+        )
+    else:
+        centroids = rng.normal(size=(num_classes, feat_dim)) * signal
+        feat = (centroids[labels]
+                + rng.normal(size=(num_nodes, feat_dim)) * noise)
+    if hub_ids is not None and feature_mode == "bow":
+        # hubs carry only background words: no class signal
+        feat[hub_ids] = _bow_features(
+            rng, labels[hub_ids], num_classes, feat_dim,
+            words_per_doc=words_per_doc, topic_words=topic_words,
+            topic_mass=0.0)
 
     g = convert.graph((src, dst), num_nodes=num_nodes)
     g.ndata["feat"] = jnp.asarray(feat, dtype=jnp.float32)

@@ -163,10 +163,12 @@ def _fiedler_bisect(adj, weights, frac=0.5):
     return side
 
 
-def _refine(adj, side, weights, passes=3, frac=0.5):
+def _refine(adj, side, weights, passes=3, frac=0.5, tol=0.015):
     """Boundary KL refinement: a forced rebalance stage (coarse levels can
     hand down arbitrary imbalance when supernode weights are lumpy), then
-    greedy positive-gain moves keeping balance within 5%."""
+    greedy positive-gain moves keeping balance within ``tol`` (1.5%
+    per bisection => <=1.05 overall after log2(k) levels, the METIS
+    default ubvec territory)."""
     total = weights.sum()
     target = total * (1.0 - frac)  # side=True is the "right" part
     coo = adj.tocoo()
@@ -180,14 +182,15 @@ def _refine(adj, side, weights, passes=3, frac=0.5):
         np.add.at(ext, coo.row, np.where(cross, coo.data, 0))
         np.add.at(inte, coo.row, np.where(~cross, coo.data, 0))
         gain = ext - inte
-        if abs(w1 - target) > 0.05 * total:
+        if abs(w1 - target) > tol * total:
             # rebalance: move the least-damaging (highest-gain) prefix of
             # heavy-side nodes whose cumulative weight covers the deficit
             heavy = w1 > target
             cand = np.nonzero(side == heavy)[0]
             order_c = cand[np.argsort(-gain[cand])]
             cum = np.cumsum(weights[order_c])
-            m = int(np.searchsorted(cum, abs(w1 - target) - 0.025 * total)) + 1
+            m = int(np.searchsorted(
+                cum, abs(w1 - target) - 0.5 * tol * total)) + 1
             mv = order_c[:m]
             side[mv] = not heavy
             w1 += weights[mv].sum() * (-1.0 if heavy else 1.0)
@@ -199,7 +202,7 @@ def _refine(adj, side, weights, passes=3, frac=0.5):
             if gain[v] <= 0:
                 break
             newbal = w1 - weights[v] if side[v] else w1 + weights[v]
-            if abs(newbal - target) > 0.05 * total + weights[v]:
+            if abs(newbal - target) > tol * total + weights[v]:
                 continue
             side[v] = ~side[v]
             w1 = newbal
@@ -271,6 +274,54 @@ def metis_partition_assignment(
         recurse(right, ra, sub_w[side], nparts - left_parts, offset + left_parts)
 
     recurse(np.arange(n), adj, weights, k, 0)
+    return _enforce_balance(adj, parts, weights, k)
+
+
+def _enforce_balance(adj, parts, weights, k, tol=0.04):
+    """Final balance pass: per-bisection tolerances compound over log2(k)
+    levels, so guarantee ``max/mean <= 1 + tol`` (METIS ubvec 1.05
+    territory) by moving the cheapest boundary nodes out of overweight
+    parts into the lightest adjacent part. Moves prefer nodes with the
+    most edges already pointing into the destination (minimal cut
+    damage)."""
+    pw = np.bincount(parts, weights=weights, minlength=k)
+    mean = weights.sum() / k
+    cap = mean * (1 + tol)
+    if pw.max() <= cap:
+        return parts
+    indptr, indices = adj.indptr, adj.indices
+
+    def edges_into(members, target):
+        starts = indptr[members].astype(np.int64)
+        lens = (indptr[members + 1] - indptr[members]).astype(np.int64)
+        tot = int(lens.sum())
+        idx = np.repeat(starts, lens) + (
+            np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+        owner = np.repeat(np.arange(members.size), lens)
+        hit = parts[indices[idx]] == target
+        return np.bincount(owner[hit], minlength=members.size)
+
+    for p in np.argsort(-pw):
+        guard = 0
+        while pw[p] > cap and guard < 4 * k:
+            guard += 1
+            dest = int(np.argmin(pw))
+            if dest == p or pw[dest] >= mean:
+                break
+            members = np.nonzero(parts == p)[0]
+            gain = edges_into(members, dest) - edges_into(members, p)
+            order = np.argsort(-gain)
+            w_m = weights[members[order]]
+            cum = np.cumsum(w_m)
+            need = min(pw[p] - cap, mean - pw[dest])
+            m = int(np.searchsorted(cum, need)) + 1
+            mv = members[order[:m]]
+            parts[mv] = dest
+            moved = weights[mv].sum()
+            pw[p] -= moved
+            pw[dest] += moved
+            if moved <= 0:
+                break
     return parts
 
 

@@ -10,6 +10,7 @@ io_uring OnDiskNpyArray, ``cache_policy.h`` caches).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -81,23 +82,88 @@ class NumpyFeature(Feature):
 
 
 class DiskBasedFeature(Feature):
-    """Out-of-core .npy feature via memory map (reference
-    ``impl/ondisk_dataset`` + ``cnumpy.h`` OnDiskNpyArray)."""
+    """Out-of-core .npy feature (reference ``impl/ondisk_dataset`` +
+    ``cnumpy.h`` io_uring OnDiskNpyArray).
 
-    def __init__(self, path: str):
+    Two read paths:
+
+    - ``io="pread"`` (default when the native lib is present): OpenMP
+      batched ``pread`` straight from the fd (``csrc/host_ops.cpp
+      batched_pread``) — the io_uring analog. The file is never mapped,
+      so process RSS stays bounded by the output buffers no matter how
+      far past RAM the table grows (the features-larger-than-RAM
+      contract; proven by ``tests/test_out_of_core.py``).
+    - ``io="mmap"``: np.memmap fancy-indexing (no-toolchain fallback).
+
+    ``read_async(ids)`` returns a ``concurrent.futures.Future`` so the
+    DataLoader can overlap feature I/O with sampling/compute (reference
+    ``feature_fetcher.py:49`` read_async).
+    """
+
+    def __init__(self, path: str, io: Optional[str] = None,
+                 num_async_workers: int = 2):
+        from .. import _native
+
         self._a = np.load(path, mmap_mode="r")
+        if self._a.ndim < 1 or not self._a.flags["C_CONTIGUOUS"]:
+            raise DGLError("DiskBasedFeature needs a C-contiguous .npy")
+        if io is None:
+            io = "pread" if _native.available() else "mmap"
+        self._io = io
+        self._pool = None
+        self._nworkers = num_async_workers
+        if io == "pread":
+            # header offset: the memmap's data pointer minus file start
+            self._fd = os.open(path, os.O_RDONLY)
+            self._offset0 = self._a.offset
+            self._row_bytes = int(np.prod(self._a.shape[1:])
+                                  * self._a.dtype.itemsize)
 
     def read(self, ids=None):
         if ids is None:
             return np.asarray(self._a)
+        ids = np.asarray(ids)
+        if self._io == "pread":
+            from .. import _native
+
+            out = np.empty((ids.shape[0],) + tuple(self._a.shape[1:]),
+                           self._a.dtype)
+            got = _native.batched_pread(
+                self._fd, self._offset0, ids.astype(np.int64),
+                self._row_bytes,
+                out.reshape(-1).view(np.uint8),
+            )
+            if got != ids.shape[0]:
+                raise DGLError(
+                    f"batched_pread read {got}/{ids.shape[0]} rows")
+            return out
         # fancy-index a memmap -> materialized copy of just those rows
-        return np.asarray(self._a[np.asarray(ids)])
+        return np.asarray(self._a[ids])
+
+    def read_async(self, ids):
+        """Submit the row fetch to a thread pool; returns a Future whose
+        ``.result()`` is the (n, *feat) array. The GIL is released inside
+        the native pread loop, so async reads overlap Python-side work."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(self._nworkers)
+        return self._pool.submit(self.read, np.asarray(ids))
 
     def size(self):
         return tuple(self._a.shape[1:])
 
     def count(self):
         return self._a.shape[0]
+
+    def __del__(self):
+        if getattr(self, "_io", None) == "pread":
+            try:
+                os.close(self._fd)
+            except OSError:
+                pass
+        if getattr(self, "_pool", None) is not None:
+            self._pool.shutdown(wait=False)
 
 
 class CachedFeature(Feature):
