@@ -40,8 +40,12 @@ def train_eval(model_name, dataset_name, epochs):
                                   num_layers=2),
     }[model_name]()
     params = model.init(jax.random.PRNGKey(0), g, feat)
-    tx = optax.adam(1e-2)
+    # published per-model recipe (reference examples/pytorch/{gcn,gat}):
+    # GAT adam 5e-3, others 1e-2; weight decay 5e-4; best-val selection
+    lr = 5e-3 if model_name == "gat" else 1e-2
+    tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(lr))
     opt_state = tx.init(params)
+    val_mask = np.asarray(g.ndata["val_mask"])
     rng = jax.random.PRNGKey(1)
 
     @jax.jit
@@ -56,17 +60,23 @@ def train_eval(model_name, dataset_name, epochs):
             return (ls * train_mask).sum() / train_mask.sum()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
+        updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    y = np.asarray(labels)
+    tm = np.asarray(test_mask)
+    best_val, acc = -1.0, 0.0
     t0 = time.perf_counter()
-    for _ in range(epochs):
+    for ep in range(epochs):
         rng, sub = jax.random.split(rng)
         params, opt_state, _ = step(params, opt_state, sub)
+        if ep % 5 == 4 or ep == epochs - 1:
+            pred = np.asarray(jnp.argmax(model.apply(params, g, feat), -1))
+            va = float((pred[val_mask] == y[val_mask]).mean())
+            if va > best_val:
+                best_val = va
+                acc = float((pred[tm] == y[tm]).mean())
     train_s = time.perf_counter() - t0
-    logits = model.apply(params, g, feat)
-    pred = jnp.argmax(logits, -1)
-    acc = float(((pred == labels) * test_mask).sum() / test_mask.sum())
     return acc, train_s
 
 

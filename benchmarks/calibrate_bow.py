@@ -28,7 +28,7 @@ STATS = {
 }
 
 
-def build(name, tm, hom, wpd, mix, hub=0.0):
+def build(name, tm, hom, wpd, mix, hub=0.0, comms=0):
     import jax.numpy as jnp
     import dgl_tpu as dgl
     from dgl_tpu.data.synthetic import synthetic_classification_graph
@@ -39,6 +39,7 @@ def build(name, tm, hom, wpd, mix, hub=0.0):
         n, e, c, d, seed=zlib.crc32(name.encode()) % 2**31,
         homophily=hom, feature_mode="bow", words_per_doc=wpd,
         topic_words=min(96, d // c), topic_mass=tm, topic_mix=mix, noise_hubs=hub,
+        num_communities=comms,
     )
     rng = np.random.default_rng(0)
     labels = np.asarray(g.ndata["label"])
@@ -123,9 +124,10 @@ def main():
         wpd = float(kv.get("wpd", STATS[name][4]))
         mix = float(kv.get("mix", 0.0))
         hub = float(kv.get("hub", 0.0))
-        g, c = build(name, tm, hom, wpd, mix, hub)
+        comms = int(kv.get("comms", 0))
+        g, c = build(name, tm, hom, wpd, mix, hub, comms)
         accs = {m: train_eval(m, g, c) for m in ("gcn", "gat")}
-        print(f"{name} tm={tm} hom={hom} wpd={wpd} mix={mix} hub={hub}: "
+        print(f"{name} tm={tm} hom={hom} wpd={wpd} mix={mix} hub={hub} comms={comms}: "
               f"gcn={accs['gcn']:.3f} gat={accs['gat']:.3f}", flush=True)
 
 

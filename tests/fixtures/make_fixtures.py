@@ -152,6 +152,40 @@ def make_ogb():
                  "".join(f"{x}\n" for x in sl))
 
 
+def make_ogb_mid():
+    """A mid-size raw-OGB-format fixture with planted class signal so the
+    parse -> train -> accuracy path (tests/test_real_train.py) produces a
+    meaningful accuracy, not just a smoke test: 3k nodes, homophilous SBM
+    edges, class-centroid features, real csv.gz layout."""
+    root = os.path.join(HERE, "ogb", "ogbn_arxiv_mid")
+    rng = np.random.default_rng(11)
+    n, e, d, c = 3000, 12000, 32, 5
+    labels = rng.integers(0, c, n)
+    src = rng.integers(0, n, e)
+    same = rng.random(e) < 0.7
+    order = np.argsort(labels, kind="stable")
+    starts = np.searchsorted(labels[order], np.arange(c + 1))
+    lo = starts[labels[src]]
+    width = starts[labels[src] + 1] - lo
+    dst = np.where(same, order[lo + (rng.random(e) * width).astype(int)],
+                   rng.integers(0, n, e))
+    write_gz(os.path.join(root, "raw", "edge.csv.gz"),
+             "".join(f"{a},{b}\n" for a, b in zip(src, dst)))
+    write_gz(os.path.join(root, "raw", "num-node-list.csv.gz"), f"{n}\n")
+    cent = rng.normal(0, 1, (c, d)) * 0.6
+    feat = cent[labels] + rng.normal(0, 1, (n, d))
+    write_gz(os.path.join(root, "raw", "node-feat.csv.gz"),
+             "".join(",".join(f"{x:.4f}" for x in row) + "\n"
+                     for row in feat))
+    write_gz(os.path.join(root, "raw", "node-label.csv.gz"),
+             "".join(f"{x}\n" for x in labels))
+    perm = rng.permutation(n)
+    for key, sl in (("train", perm[:1800]), ("valid", perm[1800:2400]),
+                    ("test", perm[2400:])):
+        write_gz(os.path.join(root, "split", "time", f"{key}.csv.gz"),
+                 "".join(f"{x}\n" for x in sl))
+
+
 if __name__ == "__main__":
     make_tu()
     make_qm9()
@@ -159,4 +193,5 @@ if __name__ == "__main__":
     make_rdf()
     make_movielens()
     make_ogb()
+    make_ogb_mid()
     print("fixtures written under", HERE)
