@@ -221,7 +221,8 @@ def _run(fallback: bool):
     )
 
 
-def _sage_end_to_end(g, rng, iters=3, max_steps=None):
+def _sage_end_to_end(g, rng, iters=3, max_steps=None,
+                     feat_dtype="float32"):
     """END-TO-END minibatch training epochs/s: on-device sampling (CSC in
     HBM, picks are gathers — sampling/device_sampler.py), on-device seed
     shuffle, feature gather, fwd+bwd+adam — the whole epoch is ONE jitted
@@ -239,7 +240,8 @@ def _sage_end_to_end(g, rng, iters=3, max_steps=None):
     N = g.num_nodes()
     FEAT, HID, C, B = 100, 256, 47, 512
     fanouts = [10, 10]
-    feats = jnp.asarray(rng.normal(size=(N, FEAT)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(N, FEAT)),
+                        jnp.dtype(feat_dtype))
     labels = jnp.asarray(rng.integers(0, C, N), jnp.int32)
     rel = g._relation(None)
     indptr = rel.csc_indptr.astype(jnp.int32)

@@ -88,6 +88,35 @@ def main():
                                         plan.cold), x)
         log(f"shell cold sum ({len(plan.shells)} shells, {plan.cold}): "
             f"{dt*1e3:.3f} ms")
+    elif mode == "gathers":
+        # shells' gathers+mask WITHOUT the accumulator slice-adds: each
+        # shell reduced to a scalar (sum) so no DUS traffic
+        def fn(c):
+            xg = c.astype(jnp.bfloat16)
+            tot = 0.0
+            for idx, mask in plan.shells:
+                rows = jnp.where(mask > 0, xg[idx].astype(jnp.float32), 0.0)
+                tot = tot + rows.sum()
+            return c[:1, :1] * 0 + tot
+
+        dt = chain(fn, x)
+        m = sum(int(i.shape[0]) for i, _ in plan.shells)
+        log(f"shell gathers only ({m} rows): {dt*1e3:.3f} ms "
+            f"= {dt/m*1e9:.2f} ns/row")
+    elif mode == "dus":
+        # the accumulator slice-adds WITHOUT gathers: add constant rows
+        sizes = [int(i.shape[0]) for i, _ in plan.shells]
+        n8 = max(sizes)
+
+        def fn(c):
+            acc = jnp.zeros((n8, c.shape[1]), jnp.float32)
+            for m in sizes:
+                acc = acc.at[:m].add(c[:m] * 1e-3)
+            return acc
+
+        dt = chain(fn, x)
+        log(f"slice-adds only ({len(sizes)} shells, acc {n8} rows): "
+            f"{dt*1e3:.3f} ms")
     elif mode == "unrank":
         unrank = plan.unrank_dst
         dt = chain(lambda c: jnp.take(c, unrank, axis=0), x)

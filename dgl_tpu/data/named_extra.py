@@ -419,14 +419,44 @@ class CLUSTERDataset(_InductiveNodeDataset):
 
 
 class _TemporalKG(KnowledgeGraphDataset):
+    """Temporal event KG. With real ``{mode}.txt`` TSV files in
+    ``raw_dir`` (the reference's published layout: [head, rel, tail,
+    time] int rows — ``icews18.py:92``), builds the reference's list of
+    cumulative per-timestep graphs with ``edata['rel_type']``; otherwise
+    one synthetic KG graph with random timestamps."""
+
     def __init__(self, name, ents, rels, triples, num_ts=24, transform=None,
-                 **kwargs):
+                 mode="train", raw_dir=None, time_divisor=24.0, **kwargs):
         self._num_ts = num_ts
+        self._mode = mode
+        self._kg_raw_dir = raw_dir
+        self._time_divisor = time_divisor
         super().__init__(name=name, num_entities=ents, num_rels=rels,
                          num_triples=triples,
                          seed=zlib.crc32(name.encode()) % 2**31, transform=transform)
 
     def process(self):
+        from .parsers import has_temporal_kg_raw, parse_temporal_kg
+
+        if has_temporal_kg_raw(self._kg_raw_dir, self._mode):
+            from .. import convert
+
+            src, rel, dst, ti = parse_temporal_kg(
+                self._kg_raw_dir, self._mode, self._time_divisor)
+            start = int(ti[ti >= 0].min())
+            self._graphs = []
+            for i in range(start, int(ti.max()) + 1):
+                m = ti <= i
+                g = convert.graph((src[m], dst[m]),
+                                  num_nodes=int(max(src.max(), dst.max())) + 1)
+                E = g._relation(None).num_edges_padded
+                rt = np.zeros(E, np.int64)
+                rt[: int(m.sum())] = rel[m]
+                g.edata["rel_type"] = jnp.asarray(rt)
+                self._graphs.append(g)
+            self._g = self._graphs[-1]
+            return
+        self._graphs = None
         super().process()
         rng = np.random.default_rng(1)
         E = self._g._relation(None).num_edges_padded
@@ -434,17 +464,29 @@ class _TemporalKG(KnowledgeGraphDataset):
             rng.integers(0, self._num_ts, E).astype(np.int32)
         )
 
+    def __getitem__(self, idx):
+        if getattr(self, "_graphs", None):
+            return self._apply_transform(self._graphs[idx])
+        return super().__getitem__(idx)
+
+    def __len__(self):
+        if getattr(self, "_graphs", None):
+            return len(self._graphs)
+        return super().__len__()
+
 
 class ICEWS18Dataset(_TemporalKG):
-    def __init__(self, mode="train", transform=None, **kwargs):
+    def __init__(self, mode="train", raw_dir=None, transform=None, **kwargs):
         super().__init__("ICEWS18Dataset", 23033, 256, 60000,
-                         transform=transform)
+                         transform=transform, mode=mode, raw_dir=raw_dir,
+                         time_divisor=24.0)
 
 
 class GDELTDataset(_TemporalKG):
-    def __init__(self, mode="train", transform=None, **kwargs):
+    def __init__(self, mode="train", raw_dir=None, transform=None, **kwargs):
         super().__init__("GDELTDataset", 7691, 240, 60000,
-                         transform=transform)
+                         transform=transform, mode=mode, raw_dir=raw_dir,
+                         time_divisor=15.0)
 
 
 # -- fraud aliases (reference ``data/fraud.py``) -----------------------------
@@ -469,13 +511,31 @@ class BitcoinOTCDataset(DGLDataset):
     weights in [-10, 10]."""
 
     def __init__(self, num_snapshots=10, num_nodes=500, seed=0,
-                 transform=None, **kwargs):
+                 raw_dir=None, transform=None, **kwargs):
         self._cfg = (num_snapshots, num_nodes, seed)
+        self._btc_raw_dir = raw_dir
         super().__init__(name="BitcoinOTCDataset", transform=transform)
 
     def process(self):
         from .. import convert
+        from .parsers import has_bitcoinotc_raw, parse_bitcoinotc
 
+        if has_bitcoinotc_raw(self._btc_raw_dir):
+            # real soc-sign-bitcoinotc.csv(.gz): cumulative 14-day
+            # snapshots with integer trust ratings (reference
+            # ``bitcoinotc.py:100-120``)
+            edges, rating, ti = parse_bitcoinotc(self._btc_raw_dir)
+            n = int(edges.max()) + 1
+            self._graphs = []
+            for i in range(int(ti.max())):
+                m = ti <= i
+                g = convert.graph((edges[m, 0], edges[m, 1]), num_nodes=n)
+                E = g._relation(None).num_edges_padded
+                w = np.zeros(E, np.float32)
+                w[: int(m.sum())] = rating[m]
+                g.edata["h"] = jnp.asarray(w)
+                self._graphs.append(g)
+            return
         k, n, s = self._cfg
         rng = np.random.default_rng(s)
         self._graphs = []

@@ -456,3 +456,94 @@ def parse_ogb_nodeprop(root: str, name: str):
                     split[key] = _load_csv(p, np.int64).ravel()
     out["split"] = split
     return out
+
+
+# -- BitcoinOTC (reference ``data/bitcoinotc.py``: soc-sign-bitcoinotc.csv
+#    "SOURCE,TARGET,RATING,TIME" rows, cumulative 14-day snapshots) ---------
+
+
+def has_bitcoinotc_raw(raw_dir) -> bool:
+    if not raw_dir:
+        return False
+    return any(
+        os.path.exists(os.path.join(raw_dir, f))
+        for f in ("soc-sign-bitcoinotc.csv", "soc-sign-bitcoinotc.csv.gz")
+    )
+
+
+def parse_bitcoinotc(raw_dir: str):
+    """Returns (edges (E,2) int64 zero-based, rating (E,), time_index (E,))
+    with the reference's 14-day cumulative snapshot indexing
+    (``bitcoinotc.py:100-120``)."""
+    import gzip
+
+    path = os.path.join(raw_dir, "soc-sign-bitcoinotc.csv")
+    if not os.path.exists(path):
+        with gzip.open(path + ".gz", "rt") as f:
+            data = np.loadtxt(f, delimiter=",")
+    else:
+        data = np.loadtxt(path, delimiter=",")
+    data = np.atleast_2d(data)
+    edges = data[:, 0:2].astype(np.int64)
+    edges -= edges.min()
+    rating = data[:, 2].astype(np.int64)
+    delta = 14 * 24 * 3600.0
+    t = data[:, 3]
+    time_index = np.around((t - t.min()) / delta).astype(np.int64)
+    return edges, rating, time_index
+
+
+# -- temporal event KGs (reference ``data/icews18.py`` / ``gdelt.py``:
+#    {mode}.txt TSV of [head, rel, tail, time] int rows) --------------------
+
+
+def has_temporal_kg_raw(raw_dir, mode: str = "train") -> bool:
+    return bool(raw_dir) and os.path.exists(
+        os.path.join(raw_dir, f"{mode}.txt"))
+
+
+def parse_temporal_kg(raw_dir: str, mode: str = "train",
+                      time_divisor: float = 24.0):
+    """Returns (src, rel, dst, time_index) int64 arrays. ``time_divisor``
+    buckets raw times (hours/24 for ICEWS18 per ``icews18.py:99``;
+    minutes/15 for GDELT per ``gdelt.py``)."""
+    data = np.loadtxt(os.path.join(raw_dir, f"{mode}.txt"),
+                      delimiter="\t").astype(np.int64)
+    data = np.atleast_2d(data)
+    time_index = np.floor(data[:, 3] / time_divisor).astype(np.int64)
+    return data[:, 0], data[:, 1], data[:, 2], time_index
+
+
+# -- fraud graphs (reference ``data/fraud.py``: YelpChi.mat / Amazon.mat
+#    scipy .mat with sparse per-relation adjacency + features + label) ------
+
+_FRAUD_FILES = {"yelp": "YelpChi.mat", "amazon": "Amazon.mat"}
+_FRAUD_RELS = {
+    "yelp": ["net_rsr", "net_rtr", "net_rur"],
+    "amazon": ["net_upu", "net_usu", "net_uvu"],
+}
+
+
+def has_fraud_raw(raw_dir, name: str) -> bool:
+    return bool(raw_dir) and os.path.exists(
+        os.path.join(raw_dir, _FRAUD_FILES.get(name, "")))
+
+
+def parse_fraud_mat(raw_dir: str, name: str):
+    """Returns (relations dict etype -> (src, dst), features (N,F) f32,
+    labels (N,) int64) from the reference's .mat layout
+    (``fraud.py:118-140``)."""
+    from scipy import io as sio
+    import scipy.sparse as sp
+
+    data = sio.loadmat(os.path.join(raw_dir, _FRAUD_FILES[name]))
+    feats = data["features"]
+    if sp.issparse(feats):
+        feats = feats.todense()
+    feats = np.asarray(feats, np.float32)
+    labels = np.asarray(data["label"]).squeeze().astype(np.int64)
+    rels = {}
+    for et in _FRAUD_RELS[name]:
+        coo = sp.coo_matrix(data[et])
+        rels[et] = (coo.row.astype(np.int64), coo.col.astype(np.int64))
+    return rels, feats, labels

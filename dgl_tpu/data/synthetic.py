@@ -622,15 +622,50 @@ class FraudDataset(DGLDataset):
     }
 
     def __init__(self, name="yelp", num_nodes=2000, avg_degree=8,
-                 fraud_frac=0.15, seed=0, transform=None, **kwargs):
+                 fraud_frac=0.15, seed=0, raw_dir=None, transform=None,
+                 train_size=0.7, val_size=0.1, random_seed=717, **kwargs):
         if name not in self.RELATIONS:
             raise ValueError(f"name must be one of {list(self.RELATIONS)}")
         self._which = name
         self._cfg = (num_nodes, avg_degree, fraud_frac, seed)
+        self._fraud_raw_dir = raw_dir
+        self._split = (train_size, val_size, random_seed)
         super().__init__(name=f"fraud_{name}_synthetic", transform=transform)
+
+    def _process_real(self):
+        """Real YelpChi.mat / Amazon.mat (reference ``fraud.py:118-140``):
+        per-relation sparse adjacency + node features + binary labels,
+        stratified-free random split by ``random_seed``."""
+        from .. import convert
+        from .parsers import parse_fraud_mat
+
+        rels, feat, labels = parse_fraud_mat(self._fraud_raw_dir,
+                                             self._which)
+        n = feat.shape[0]
+        data = {("review", et, "review"): (s, d)
+                for et, (s, d) in rels.items()}
+        g = convert.heterograph(data, num_nodes_dict={"review": n})
+        g._node_frames.setdefault("review", {})["feature"] = jnp.asarray(
+            feat)
+        g._node_frames["review"]["label"] = jnp.asarray(
+            labels.astype(np.int32))
+        tr, va, seed = self._split
+        perm = np.random.default_rng(seed).permutation(n)
+        for key, sl in (("train_mask", perm[: int(n * tr)]),
+                        ("val_mask", perm[int(n * tr): int(n * (tr + va))]),
+                        ("test_mask", perm[int(n * (tr + va)):])):
+            m = np.zeros(n, bool)
+            m[sl] = True
+            g._node_frames["review"][key] = jnp.asarray(m)
+        self._g = g
 
     def process(self):
         from .. import convert
+        from .parsers import has_fraud_raw
+
+        if has_fraud_raw(self._fraud_raw_dir, self._which):
+            self._process_real()
+            return
 
         n, deg, frac, s = self._cfg
         rng = np.random.default_rng(s)

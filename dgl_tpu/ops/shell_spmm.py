@@ -40,8 +40,46 @@ def _rup(x: int, m: int) -> int:
 SHELL_CAP = 32  # max shell levels; deeper edges take the residual segsum
 
 
+def prefix_reduce(pieces, n8, kind="sum", base=None):
+    """Combine prefix-aligned contributions without accumulator copies.
+
+    ``pieces``: (m_k, *feat) f32 arrays with NON-INCREASING m_k, each to be
+    reduced into ``out[:m_k]``; ``base``: optional full (n8, *feat) array
+    (the residual segment reduction). Rows no piece covers hold the
+    identity (0 for sum, -inf for max).
+
+    The naive ``acc.at[:m_k].add(rows)`` chain makes XLA copy the WHOLE
+    accumulator once per shell (measured ~2.4 ms of the 7.1 ms arxiv-scale
+    SpMM — probe_r3c ``dus``/``shells``). Shells are nested prefixes, so a
+    running reduction over the shrinking prefix + emitting finalized tail
+    segments + one final concat touches only O(sum m_k) rows.
+    """
+    ident = 0.0 if kind == "sum" else -jnp.inf
+    comb = jnp.add if kind == "sum" else jnp.maximum
+    segs = []
+    R = base
+    for rows in pieces:
+        m = rows.shape[0]
+        if R is None:
+            if m < n8:
+                segs.append(jnp.full((n8 - m,) + rows.shape[1:], ident,
+                                     jnp.float32))
+            R = rows
+        elif m < R.shape[0]:
+            segs.append(R[m:])
+            R = comb(R[:m], rows)
+        else:
+            R = comb(R, rows)
+    if R is None:
+        return None
+    segs.append(R)
+    if len(segs) == 1:
+        return R
+    return jnp.concatenate(segs[::-1], axis=0)
+
+
 def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
-               n_to: int, cap: int = SHELL_CAP):
+               n_to: int, cap: int = SHELL_CAP, n_from=None):
     """Shells of one direction: for each level k < ``cap``, the
     (gather-node, gather-eid, mask) triple of "the k-th incident edge of
     every ranked ``e_to`` node". ``e_node`` is the id gathered from the
@@ -82,7 +120,12 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
         a, b = int(lstarts[k]), int(lstarts[k + 1])
         n_k = int(n_ge[k + 1])
         n_k8 = _rup(n_k, 8)
-        nidx = np.zeros(n_k8, np.int32)
+        # padded slots point ONE PAST the source table: a consumer that
+        # appends a zero row gathers exact zeros with no mask pass (the
+        # hub fast path); consumers that gather the raw table get the
+        # jit clamp-to-last + their mask select (unchanged semantics)
+        pad_id = np.int32(n_from if n_from is not None else 0)
+        nidx = np.full(n_k8, pad_id, np.int32)
         eidx = np.zeros(n_k8, np.int32)
         nidx[rp_l[a:b]] = en_l[a:b]
         eidx[rp_l[a:b]] = ee_l[a:b]
@@ -221,23 +264,20 @@ def _shell_accumulate(shells, residual, unrank, n_out, msg_of):
     padding rows carry an out-of-range position and are dropped.
     """
     n8 = _rup(n_out, 8)
-    acc = None
-    for nidx, eidx, mask in shells:
-        rows = msg_of(nidx, eidx)
-        m = _mask_expand(mask, rows.ndim)
-        if acc is None:
-            acc = jnp.zeros((n8,) + rows.shape[1:], jnp.float32)
-        # where (not multiply): padded slots may hold inf/nan (e.g. div by
-        # a zero edge value gathered from slot 0)
-        acc = acc.at[: nidx.shape[0]].add(
-            jnp.where(m > 0, rows.astype(jnp.float32), 0.0)
-        )
+    base = None
     if residual is not None and int(residual[2].shape[0]) > 0:
         r_nidx, r_eidx, r_pos = residual
         rows = msg_of(r_nidx, r_eidx).astype(jnp.float32)
-        seg = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
-                                  indices_are_sorted=True)
-        acc = seg if acc is None else acc + seg
+        base = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
+                                   indices_are_sorted=True)
+    pieces = []
+    for nidx, eidx, mask in shells:
+        rows = msg_of(nidx, eidx)
+        m = _mask_expand(mask, rows.ndim)
+        # where (not multiply): padded slots may hold inf/nan (e.g. div by
+        # a zero edge value gathered from slot 0)
+        pieces.append(jnp.where(m > 0, rows.astype(jnp.float32), 0.0))
+    acc = prefix_reduce(pieces, n8, kind="sum", base=base)
     if acc is None:  # no edges
         return None
     return acc[unrank]
@@ -374,34 +414,27 @@ def shell_edge_acc(shells, n_out, evals, kind="sum", transform=None,
     empty segments hold the identity (0 / -inf).
     """
     n8 = _rup(n_out, 8)
-    acc = None
-    for nidx, eidx, mask in shells:
-        rows = evals[eidx].astype(jnp.float32)
-        if transform is not None:
-            rows = transform(rows, None)
-        m = _mask_expand(mask, rows.ndim)
-        if acc is None:
-            init = 0.0 if kind == "sum" else -jnp.inf
-            acc = jnp.full((n8,) + rows.shape[1:], init, jnp.float32)
-        if kind == "sum":
-            acc = acc.at[: nidx.shape[0]].add(jnp.where(m > 0, rows, 0.0))
-        else:
-            acc = acc.at[: nidx.shape[0]].max(
-                jnp.where(m > 0, rows, -jnp.inf)
-            )
+    base = None
     if residual is not None and int(residual[2].shape[0]) > 0:
         _, r_eidx, r_pos = residual
         rows = evals[r_eidx].astype(jnp.float32)
         if transform is not None:
             rows = transform(rows, r_pos)
         if kind == "sum":
-            seg = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
-                                      indices_are_sorted=True)
-            acc = seg if acc is None else acc + seg
+            base = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
+                                       indices_are_sorted=True)
         else:
-            seg = jax.ops.segment_max(rows, r_pos, num_segments=n8,
-                                      indices_are_sorted=True)
-            acc = seg if acc is None else jnp.maximum(acc, seg)
+            base = jax.ops.segment_max(rows, r_pos, num_segments=n8,
+                                       indices_are_sorted=True)
+    pieces = []
+    for nidx, eidx, mask in shells:
+        rows = evals[eidx].astype(jnp.float32)
+        if transform is not None:
+            rows = transform(rows, None)
+        m = _mask_expand(mask, rows.ndim)
+        pieces.append(jnp.where(m > 0, rows,
+                                0.0 if kind == "sum" else -jnp.inf))
+    acc = prefix_reduce(pieces, n8, kind=kind, base=base)
     if acc is None:
         return jnp.zeros((n8,), jnp.float32)
     return acc
@@ -449,23 +482,22 @@ def shell_gspmm_cmp(op, reduce_op, plan: ShellSpMMPlan, u, e, in_degrees):
     eb = _g(e, gd) if e is not None and op != "copy_lhs" else None
     sign = 1.0 if reduce_op == "max" else -1.0
     n8 = _rup(plan.num_dst, 8)
-    acc = None
-    for nidx, eidx, mask in plan.shells:
-        ul = ub[nidx] if ub is not None else None
-        el = eb[eidx] if eb is not None else None
-        rows = _msg(op, ul, el).astype(jnp.float32) * sign
-        m = _mask_expand(mask, rows.ndim)
-        if acc is None:
-            acc = jnp.full((n8,) + rows.shape[1:], -jnp.inf, jnp.float32)
-        acc = acc.at[: nidx.shape[0]].max(jnp.where(m > 0, rows, -jnp.inf))
+    base = None
     if plan.res_dst is not None and int(plan.res_dst[2].shape[0]) > 0:
         r_nidx, r_eidx, r_pos = plan.res_dst
         ul = ub[r_nidx] if ub is not None else None
         el = eb[r_eidx] if eb is not None else None
         rows = _msg(op, ul, el).astype(jnp.float32) * sign
-        seg = jax.ops.segment_max(rows, r_pos, num_segments=n8,
-                                  indices_are_sorted=True)
-        acc = seg if acc is None else jnp.maximum(acc, seg)
+        base = jax.ops.segment_max(rows, r_pos, num_segments=n8,
+                                   indices_are_sorted=True)
+    pieces = []
+    for nidx, eidx, mask in plan.shells:
+        ul = ub[nidx] if ub is not None else None
+        el = eb[eidx] if eb is not None else None
+        rows = _msg(op, ul, el).astype(jnp.float32) * sign
+        m = _mask_expand(mask, rows.ndim)
+        pieces.append(jnp.where(m > 0, rows, -jnp.inf))
+    acc = prefix_reduce(pieces, n8, kind="max", base=base)
     ref = u if op != "copy_rhs" else e
     if acc is None:
         shape = (plan.num_dst,) + tuple(ref.shape[1:])

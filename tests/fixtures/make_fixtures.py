@@ -186,6 +186,60 @@ def make_ogb_mid():
                  "".join(f"{x}\n" for x in sl))
 
 
+def make_bitcoinotc():
+    """soc-sign-bitcoinotc.csv sample: SOURCE,TARGET,RATING,TIME rows
+    spanning 3 fourteen-day windows."""
+    root = os.path.join(HERE, "btc")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(21)
+    t0 = 1_289_000_000
+    lines = []
+    for i in range(48):
+        s, d = rng.integers(1, 25, 2)
+        r = rng.integers(-10, 11)
+        t = t0 + int(i // 16) * 14 * 24 * 3600 + int(rng.integers(0, 3600))
+        lines.append(f"{s},{d},{r},{t}\n")
+    with open(os.path.join(root, "soc-sign-bitcoinotc.csv"), "w") as f:
+        f.writelines(lines)
+
+
+def make_temporal_kg():
+    """ICEWS18-style train.txt: head \\t rel \\t tail \\t time(hours)."""
+    root = os.path.join(HERE, "tkg")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(22)
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        for _ in range(60):
+            h, t = rng.integers(0, 30, 2)
+            r = rng.integers(0, 8)
+            tm = int(rng.integers(0, 5)) * 24
+            f.write(f"{h}\t{r}\t{t}\t{tm}\n")
+
+
+def make_fraud():
+    """YelpChi.mat sample: sparse per-relation adjacency + sparse
+    features + label row vector (the reference's .mat layout)."""
+    import scipy.sparse as sp
+    from scipy import io as sio
+
+    root = os.path.join(HERE, "fraud")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(23)
+    n = 60
+    mats = {}
+    for et in ("net_rsr", "net_rtr", "net_rur"):
+        src = rng.integers(0, n, 150)
+        dst = rng.integers(0, n, 150)
+        mats[et] = sp.coo_matrix(
+            (np.ones(150), (src, dst)), shape=(n, n)).tocsc()
+    mats["features"] = sp.csc_matrix(
+        rng.normal(size=(n, 12)).astype(np.float64))
+    mats["label"] = (rng.random(n) < 0.2).astype(np.float64)[None, :]
+    mats["homo"] = (mats["net_rsr"] + mats["net_rtr"]
+                    + mats["net_rur"]).tocsc()
+    sio.savemat(os.path.join(root, "YelpChi.mat"), mats)
+
+
 if __name__ == "__main__":
     make_tu()
     make_qm9()
@@ -194,4 +248,7 @@ if __name__ == "__main__":
     make_movielens()
     make_ogb()
     make_ogb_mid()
+    make_bitcoinotc()
+    make_temporal_kg()
+    make_fraud()
     print("fixtures written under", HERE)

@@ -177,3 +177,52 @@ def test_from_ogb_parses_raw_layout():
 def test_from_ogb_missing_root_raises():
     with pytest.raises(dgl.DGLError):
         from_ogb("ogbn-products", root="/nonexistent")
+
+
+# -- round-3 long-tail real formats -----------------------------------------
+
+
+def test_bitcoinotc_real_csv():
+    from dgl_tpu.data.named_extra import BitcoinOTCDataset
+
+    ds = BitcoinOTCDataset(raw_dir=os.path.join(FIX, "btc"))
+    assert len(ds) >= 2  # 3 windows -> >=2 cumulative snapshots
+    g0, gl = ds[0], ds[len(ds) - 1]
+    assert gl.num_edges() > g0.num_edges()  # cumulative growth
+    w = np.asarray(gl.edata["h"])
+    assert w.min() >= -10 and w.max() <= 10 and (w != 0).any()
+
+
+def test_icews_style_temporal_kg_real_tsv():
+    from dgl_tpu.data.named_extra import ICEWS18Dataset
+
+    ds = ICEWS18Dataset(mode="train", raw_dir=os.path.join(FIX, "tkg"))
+    assert len(ds) == 5  # 5 day buckets in the fixture
+    g = ds[len(ds) - 1]
+    raw = np.loadtxt(os.path.join(FIX, "tkg", "train.txt"),
+                     delimiter="\t").astype(np.int64)
+    assert g.num_edges() == raw.shape[0]  # last cumulative graph = all
+    rt = np.asarray(g.edata["rel_type"])[: g.num_edges()]
+    assert set(np.unique(rt)) <= set(range(8))
+    assert ds[0].num_edges() < g.num_edges()
+
+
+def test_fraud_real_mat():
+    from scipy import io as sio
+
+    from dgl_tpu.data.named_extra import FraudYelpDataset
+
+    ds = FraudYelpDataset(raw_dir=os.path.join(FIX, "fraud"))
+    g = ds[0]
+    raw = sio.loadmat(os.path.join(FIX, "fraud", "YelpChi.mat"))
+    n = raw["features"].shape[0]
+    assert g.num_nodes("review") == n
+    assert set(g.etypes) == {"net_rsr", "net_rtr", "net_rur"}
+    feat = np.asarray(g.nodes["review"].data["feature"])
+    np.testing.assert_allclose(
+        feat, np.asarray(raw["features"].todense(), np.float32), rtol=1e-6)
+    labels = np.asarray(g.nodes["review"].data["label"])
+    np.testing.assert_array_equal(labels,
+                                  raw["label"].squeeze().astype(np.int32))
+    tm = np.asarray(g.nodes["review"].data["train_mask"])
+    assert 0 < tm.sum() < n
