@@ -172,10 +172,16 @@ def _run(fallback: bool):
     if fallback:
         gp, path, iters = g, "xla gather+segsum (cpu)", 5
     else:
-        gp = g.with_spmm_plans(num_hubs=2048, precision="int8")
+        from dgl_tpu.transforms import reorder_for_spmm
+
+        # rank-order relabel: the fwd shell unrank gather is the identity
+        # and elided (1.5 ms of the 5.2 ms SpMM, probe_r3c); a documented
+        # preprocessing step like the reference's reorder_graph
+        gp, _perm = reorder_for_spmm(g, num_hubs=2048, precision="int8")
         plan = gp._relation(None).hub_plan
         path = (f"dense-hub H=2048 int8 (coverage {plan.coverage:.2f})"
-                f" + {plan.cold} cold (bf16 shell gathers, no segsum)")
+                f" + {plan.cold} cold (bf16 prefix-reduce shells, "
+                f"rank-relabeled: unrank elided)")
         iters = 20
 
     @jax.jit

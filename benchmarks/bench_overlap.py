@@ -7,6 +7,8 @@ features, so sampling/fetch (host) genuinely overlaps compute.
 
 Run: python benchmarks/bench_overlap.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -147,14 +147,31 @@ def _fiedler_bisect(adj, weights, frac=0.5):
         vals, vecs = np.linalg.eigh(lap.toarray())
         fiedler = vecs[:, np.argsort(vals)[1]]
     else:
-        try:
-            vals, vecs = spla.eigsh(
-                lap.asfptype(), k=2, which="SM", maxiter=1000, tol=1e-3
-            )
-            fiedler = vecs[:, np.argsort(vals)[1]]
-        except Exception:
-            rng = np.random.default_rng(0)
-            fiedler = rng.normal(size=n)
+        # power iteration for the 2nd eigenvector of the NORMALIZED
+        # adjacency (deflating the trivial sqrt-degree vector): O(nnz)
+        # per step and never diverges — ARPACK eigsh("SM") on dense
+        # coarse Laplacians silently stagnated at 100M-edge scale and the
+        # old random fallback produced near-random top splits (measured
+        # cut ratio 4.16x planted; this fix + deeper coarsening restores
+        # ~1x)
+        d = np.maximum(deg, 1e-9)
+        dinv = 1.0 / np.sqrt(d)
+        v1 = np.sqrt(d)
+        v1 /= np.linalg.norm(v1)
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=n)
+        for _ in range(60):
+            v -= v1 * (v1 @ v)
+            # shifted operator (I + A_norm)/2: spectrum in [0, 1], so the
+            # iteration converges to lambda_2's vector, not a negative-end
+            # oscillation on near-bipartite structure
+            v = 0.5 * (v + dinv * (adj @ (dinv * v)))
+            nv = np.linalg.norm(v)
+            if nv < 1e-12:
+                v = rng.normal(size=n)
+                continue
+            v /= nv
+        fiedler = v
     order = np.argsort(fiedler)
     csum = np.cumsum(weights[order])
     half = np.searchsorted(csum, csum[-1] * frac)
@@ -258,18 +275,26 @@ def _kway_refine(adj, parts, weights, k, passes=2, tol=0.04):
             break
         order = cand[np.argsort(-gain[cand])]
         pw = np.bincount(parts, weights=weights, minlength=k)
-        moved = 0
-        # greedy with budget bookkeeping (vectorized chunks)
-        for v in order:
-            src_p, dst_p = parts[v], best[v]
-            if pw[dst_p] + weights[v] > cap:
-                continue
-            parts[v] = dst_p
-            pw[src_p] -= weights[v]
-            pw[dst_p] += weights[v]
-            moved += 1
-        if moved == 0:
+        # vectorized budget: accept each move while the DESTINATION's
+        # cumulative inflow fits its headroom and the SOURCE's cumulative
+        # outflow keeps it above the floor (no per-node Python loop — at
+        # 100M edges the candidate set is millions of nodes)
+        floor = total / k * (1 - tol)
+        w_c = weights[order]
+        dst_c = best[order]
+        src_c = parts[order]
+        accept = np.ones(order.size, bool)
+        for p in range(k):
+            din = dst_c == p
+            cum_in = np.cumsum(w_c[din])
+            accept[din] &= cum_in <= max(cap - pw[p], 0.0)
+            dout = src_c == p
+            cum_out = np.cumsum(w_c[dout])
+            accept[dout] &= cum_out <= max(pw[p] - floor, 0.0)
+        mv = order[accept]
+        if mv.size == 0:
             break
+        parts[mv] = best[mv]
     return parts
 
 
@@ -285,21 +310,36 @@ def _kway_multilevel(adj, weights, k):
     level (METIS's kway scheme, ``src/graph/metis_partition.cc``). The
     per-bisection path re-coarsens the whole graph O(k) times — measured
     unaffordable at 100M edges."""
+    import os as _os
+    import time as _time
+
+    verbose = bool(_os.environ.get("DGL_TPU_PARTITION_VERBOSE"))
     levels = []
     a, w = adj, weights
     wmax = 8.0 * weights.sum() / _KWAY_COARSE_TO
     while a.shape[0] > _KWAY_COARSE_TO:
+        t0 = _time.time()
         a2, w2, mapping = _coarsen(a, w, wmax=wmax)
+        if verbose:
+            print(f"[kway] coarsen {a.shape[0]} -> {a2.shape[0]} nodes "
+                  f"({a2.nnz} nnz) {_time.time()-t0:.0f}s", flush=True)
         if a2.shape[0] >= a.shape[0] * 0.95:
             break
         levels.append((mapping, a, w))
         a, w = a2, w2
+    t0 = _time.time()
     parts_c = _assign_via_bisection(a, w, k)
+    if verbose:
+        print(f"[kway] coarse bisection {_time.time()-t0:.0f}s", flush=True)
     for mapping, fine_a, fine_w in reversed(levels):
+        t0 = _time.time()
         parts_c = parts_c[mapping]
         parts_c = _kway_refine(fine_a, parts_c, fine_w, k,
                                passes=1 if fine_a.shape[0] > 2_000_000
                                else 2)
+        if verbose:
+            print(f"[kway] refine @{fine_a.shape[0]} nodes "
+                  f"{_time.time()-t0:.0f}s", flush=True)
     return parts_c
 
 

@@ -190,7 +190,7 @@ def _build_shells(e_from: np.ndarray, e_to: np.ndarray, n_to: int,
 
 
 def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
-                   cold: str | None = None):
+                   cold: str | None = None, hub_ids_override=None):
     """Build a :class:`HubSpMMPlan` for a relation (host-side, once per graph).
 
     ``A_hub`` is constructed ON DEVICE with a scalar scatter-add from small
@@ -214,7 +214,13 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
     deg = np.bincount(src_csc[real], minlength=n_src)
     H = _rup(min(num_hubs, n_src), _LANE)
     n_top = min(num_hubs, n_src)
-    top = np.argsort(-deg, kind="stable")[:n_top]
+    if hub_ids_override is not None:
+        # pinned hub set (transforms.reorder_for_spmm: keep the hub set
+        # stable across the rank relabel so the rebuilt ranking is the
+        # identity and the unrank gather is elided)
+        top = np.asarray(hub_ids_override, np.int64)[:n_top]
+    else:
+        top = np.argsort(-deg, kind="stable")[:n_top]
     hub_ids = np.zeros(H, np.int32)
     hub_ids[:n_top] = top
     # +1 slot: padding edges carry src == n_src
@@ -260,8 +266,12 @@ def build_hub_plan(rel, num_hubs: int = 2048, precision: str = "bf16",
     if cold in ("shell", "shell-f32"):
         cs = src_csc[cold_idx]
         cd = dst_csc[cold_idx]
-        shells, res_dst, unrank_dst = _build_shells(cs, cd, n_dst)
-        rev_shells, res_src, unrank_src = _build_shells(cd, cs, n_src)
+        # n_from: padded slots point at the consumer's appended zero row
+        # (one past the table) — no mask select in _shell_sum
+        shells, res_dst, unrank_dst = _build_shells(cs, cd, n_dst,
+                                                    n_from=n_src)
+        rev_shells, res_src, unrank_src = _build_shells(cd, cs, n_src,
+                                                        n_from=n_dst)
     else:
         shells, res_dst, unrank_dst = (), None, None
         rev_shells, res_src, unrank_src = (), None, None
@@ -322,6 +332,11 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
     """
     from .shell_spmm import prefix_reduce
 
+    # NOTE: a zero-row-padded table (gathers read exact zeros, no mask
+    # select) was measured SLOWER (5.47 vs 5.21 ms headline) — the
+    # full-table concat costs more than the fused selects it removes.
+    # Padded shell slots carry an OOB index (clamped by the gather) and
+    # the mask zeroes them.
     xg = x.astype(jnp.bfloat16) if cold == "shell" else x
     n8 = _rup(n_out, 8)
     base = None
@@ -336,7 +351,7 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
     acc = prefix_reduce(pieces, n8, kind="sum", base=base)
     if acc is None:
         acc = jnp.zeros((n8, x.shape[1]), jnp.float32)
-    return acc[unrank]
+    return acc[:n_out] if unrank is None else acc[unrank]
 
 
 @jax.custom_vjp

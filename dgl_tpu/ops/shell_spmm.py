@@ -100,6 +100,10 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
     rank = np.argsort(-deg, kind="stable").astype(np.int32)
     unrank = np.empty(n_to, np.int32)
     unrank[rank] = np.arange(n_to, dtype=np.int32)
+    # identity rank (graph already relabeled by transforms.reorder_for_spmm):
+    # signal consumers to SKIP the final (n_to, F) unrank gather — 1.5 ms of
+    # the arxiv headline SpMM (probe_r3c 'unrank')
+    identity_unrank = bool(np.array_equal(unrank, np.arange(n_to)))
     order = np.argsort(e_to, kind="stable")
     en, et, ee = e_node[order], e_to[order], e_eid[order]
     starts = np.concatenate(([0], np.cumsum(np.bincount(et, minlength=n_to))))
@@ -136,8 +140,9 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
     hi = ~lo
     n8 = _rup(n_to, 8)
     R = int(hi.sum())
+    un_out = None if identity_unrank else jnp.asarray(unrank)
     if R == 0:
-        return tuple(shells), None, jnp.asarray(unrank)
+        return tuple(shells), None, un_out
     R8 = _rup(R, 8)
     res_nidx = np.zeros(R8, np.int32)
     res_eidx = np.zeros(R8, np.int32)
@@ -148,7 +153,7 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
     res_pos[:R] = rp[hi][horder]
     residual = (jnp.asarray(res_nidx), jnp.asarray(res_eidx),
                 jnp.asarray(res_pos))
-    return tuple(shells), residual, jnp.asarray(unrank)
+    return tuple(shells), residual, un_out
 
 
 class ShellSpMMPlan:
@@ -236,8 +241,10 @@ def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
         jnp.asarray(se_c.astype(np.int32)),
         jnp.asarray(de_c.astype(np.int32)),
         jnp.asarray(emask),
-        jnp.asarray(np.asarray(unrank_dst)[de_c]),
-        jnp.asarray(np.asarray(unrank_src)[se_c]),
+        jnp.asarray(de_c.astype(np.int32) if unrank_dst is None
+                    else np.asarray(unrank_dst)[de_c]),
+        jnp.asarray(se_c.astype(np.int32) if unrank_src is None
+                    else np.asarray(unrank_src)[se_c]),
         num_src=rel.num_src, num_dst=rel.num_dst, gather_dtype=gather_dtype,
     )
 
@@ -280,7 +287,7 @@ def _shell_accumulate(shells, residual, unrank, n_out, msg_of):
     acc = prefix_reduce(pieces, n8, kind="sum", base=base)
     if acc is None:  # no edges
         return None
-    return acc[unrank]
+    return acc[:n_out] if unrank is None else acc[unrank]
 
 
 def _g(x, dtype):
@@ -502,6 +509,8 @@ def shell_gspmm_cmp(op, reduce_op, plan: ShellSpMMPlan, u, e, in_degrees):
     if acc is None:
         shape = (plan.num_dst,) + tuple(ref.shape[1:])
         return jnp.zeros(shape, ref.dtype)
-    out = (acc * sign)[plan.unrank_dst]
+    accs = acc * sign
+    out = (accs[: plan.num_dst] if plan.unrank_dst is None
+           else accs[plan.unrank_dst])
     deg = _mask_expand(jnp.asarray(in_degrees > 0, jnp.float32), out.ndim)
     return jnp.where(deg > 0, out, 0.0).astype(ref.dtype)

@@ -1249,3 +1249,53 @@ def update_graph_structure(g: Graph, data_dict, copy_edata: bool = True) -> Grap
 
 
 __all__ += ["knn", "is_bidirected", "update_graph_structure"]
+
+
+def reorder_for_spmm(g: Graph, num_hubs=2048, precision: str = "int8",
+                     weighted: bool = False, gather_dtype: str = "bf16"):
+    """Relabel nodes into the SpMM plan's dst-rank order and attach plans.
+
+    The shell decomposition accumulates in RANK space and pays one final
+    (N, F) unrank gather per SpMM to restore id order — 1.5 ms of the
+    5.2 ms arxiv-scale headline SpMM (benchmarks/probe_r3c 'unrank').
+    Relabeling the graph so rank order IS id order makes that gather the
+    identity, which the plan builder detects and elides. This is the
+    plan-aware analog of :func:`reorder_graph`'s locality modes (the
+    reference reorders for cache locality, ``functional.py reorder_graph``;
+    on TPU locality doesn't matter — probe-measured — but rank alignment
+    does).
+
+    Returns ``(g2, perm)``: ``perm[i]`` is the ORIGINAL id of new node i;
+    node features are carried over already permuted. Homogeneous graphs
+    only (the headline copy_u path).
+    """
+    from ..ops.hub_spmm import build_hub_plan
+
+    rel = g._relation(None)
+    h = g._auto_num_hubs(rel) if num_hubs == "auto" else int(num_hubs)
+    plan = build_hub_plan(rel, h, precision)
+    if plan.unrank_dst is None:  # already rank-ordered
+        perm = np.arange(g.num_nodes(), dtype=np.int64)
+        g2 = g
+        hubs_new = None
+    else:
+        perm = np.argsort(np.asarray(plan.unrank_dst),
+                          kind="stable").astype(np.int64)
+        g2 = reorder_graph(g, "custom", store_ids=False,
+                           permute_config={"nodes_perm": perm})
+        # map the ORIGINAL hub set through the relabel and pin it: a
+        # freshly-selected hub set can differ on degree ties, perturbing
+        # cold degrees enough to break the identity ranking
+        new_of_old = np.empty(perm.shape[0], np.int64)
+        new_of_old[perm] = np.arange(perm.shape[0])
+        hubs_new = new_of_old[np.asarray(plan.hub_ids)[: plan.num_hubs]]
+    g2 = g2.with_spmm_plans(num_hubs=h, precision=precision,
+                            weighted=weighted, gather_dtype=gather_dtype)
+    if hubs_new is not None:
+        rel2 = g2._relation(None)
+        plan2 = build_hub_plan(rel2, h, precision,
+                               hub_ids_override=hubs_new)
+        key = next(iter(g2._relations))
+        g2._relations = dict(g2._relations)
+        g2._relations[key] = rel2.with_hub_plan(plan2)
+    return g2, perm

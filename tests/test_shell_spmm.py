@@ -315,3 +315,28 @@ def test_self_loop_only_graph_plans():
         np.asarray(gw.dstdata["o"]), np.asarray(g0.dstdata["o"]),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_reorder_for_spmm_identity_unrank_and_parity():
+    """reorder_for_spmm relabels to rank order: the fwd unrank gather is
+    elided (plan.unrank_dst None) and outputs match the unreordered plan
+    modulo the permutation."""
+    import dgl_tpu as dgl
+    from dgl_tpu import ops
+    from dgl_tpu.transforms import reorder_for_spmm
+
+    rng = np.random.default_rng(3)
+    n, e = 300, 2400
+    w = 1.0 / np.arange(1, n + 1)
+    src = rng.choice(n, e, p=w / w.sum())
+    dst = rng.integers(0, n, e)
+    g = dgl.graph((src, dst), num_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+
+    gp = g.with_spmm_plans(num_hubs=32)
+    want = np.asarray(ops.copy_u_sum(gp, x))
+
+    g2, perm = reorder_for_spmm(g, num_hubs=32)
+    assert g2._relation(None).hub_plan.unrank_dst is None
+    got = np.asarray(ops.copy_u_sum(g2, x[perm]))
+    np.testing.assert_allclose(got, want[perm], rtol=2e-2, atol=1e-3)
