@@ -207,37 +207,44 @@ class Relation:
             indptr = np.cumsum(indptr, dtype=np_id)[: nrows + 1]
             return indptr, order, sorted_major
 
-        # CSR: group by src. Padding edges (src == num_src) sort to the end
-        # and are excluded by indptr[num_src].
-        csr_indptr, csr_order, csr_src = build_index(src, num_src)
-        csr_indices = dst[csr_order]
-        csr_eids = csr_order
-
-        # CSC: group by dst.
-        csc_indptr, csc_order, csc_dst = build_index(dst, num_dst)
-        csc_indices = src[csc_order]
-        csc_eids = csc_order
-
         def maxdeg(indptr, nrows):
             if nrows == 0:
                 return 0
             return int(np.max(indptr[1 : nrows + 1] - indptr[:nrows]))
 
-        max_in = maxdeg(csc_indptr, num_dst)
-        max_out = maxdeg(csr_indptr, num_src)
-
         dev = jnp.asarray if to_device else (lambda a: a)
+        # honor `formats` (reference keeps lazy formats for exactly the
+        # giant-graph memory reason — ``unit_graph.h:41-47``; here the
+        # restriction is explicit: build only what's requested, access to
+        # a missing format raises with a pointer to ``Graph.formats``)
+        csr = {"csr_indptr": None, "csr_indices": None, "csr_eids": None,
+               "csr_src": None}
+        max_out = -1
+        if "csr" in formats:
+            # CSR: group by src. Padding edges (src == num_src) sort to
+            # the end and are excluded by indptr[num_src].
+            csr_indptr, csr_order, csr_src = build_index(src, num_src)
+            csr = {"csr_indptr": dev(csr_indptr),
+                   "csr_indices": dev(dst[csr_order]),
+                   "csr_eids": dev(csr_order),
+                   "csr_src": dev(csr_src)}
+            max_out = maxdeg(csr_indptr, num_src)
+        csc = {"csc_indptr": None, "csc_indices": None, "csc_eids": None,
+               "csc_dst": None}
+        max_in = -1
+        if "csc" in formats:
+            # CSC: group by dst.
+            csc_indptr, csc_order, csc_dst = build_index(dst, num_dst)
+            csc = {"csc_indptr": dev(csc_indptr),
+                   "csc_indices": dev(src[csc_order]),
+                   "csc_eids": dev(csc_order),
+                   "csc_dst": dev(csc_dst)}
+            max_in = maxdeg(csc_indptr, num_dst)
         return Relation(
             src=dev(src),
             dst=dev(dst),
-            csr_indptr=dev(csr_indptr),
-            csr_indices=dev(csr_indices),
-            csr_eids=dev(csr_eids),
-            csr_src=dev(csr_src),
-            csc_indptr=dev(csc_indptr),
-            csc_indices=dev(csc_indices),
-            csc_eids=dev(csc_eids),
-            csc_dst=dev(csc_dst),
+            **csr,
+            **csc,
             num_src=num_src,
             num_dst=num_dst,
             num_edges=E,
@@ -352,9 +359,17 @@ class Relation:
         return tuple(out)
 
     def in_degrees(self):
+        if self.csc_indptr is None:
+            raise DGLError(
+                "CSC format not materialized on this graph; request it "
+                "with g.formats(['csc', ...]) (format-restricted build)")
         return self.csc_indptr[1:] - self.csc_indptr[:-1]
 
     def out_degrees(self):
+        if self.csr_indptr is None:
+            raise DGLError(
+                "CSR format not materialized on this graph; request it "
+                "with g.formats(['csr', ...]) (format-restricted build)")
         return self.csr_indptr[1:] - self.csr_indptr[:-1]
 
     def reverse(self) -> "Relation":
@@ -1413,15 +1428,44 @@ Graph._get_initializer = _graph_get_initializer
 
 
 def _graph_formats(self, formats=None):
-    """Report sparse formats (reference ``heterograph.py:6090``).
+    """Query or RESTRICT sparse formats (reference ``heterograph.py:6090``).
 
-    All formats are materialized eagerly at construction (the TPU-first
-    static-layout design), so this is informational: restricting formats is
-    a no-op and returns self.
+    Without arguments: report which formats each relation materializes.
+    With a format list: return a NEW graph whose relations hold exactly
+    those formats (rebuilt from COO on host) — the giant-graph memory
+    control the reference gets from lazy formats (``unit_graph.h:41-47``);
+    storing CSC only cuts index memory ~3x for sampling-oriented workloads
+    (the on-device sampler and the MFG pipeline read CSC exclusively).
+    Ops that need a missing format raise pointing back here.
     """
     if formats is None:
-        return {"created": ["coo", "csr", "csc"], "not created": []}
-    return self
+        created = ["coo"]
+        rel = self._relation(None) if len(self._relations) == 1 else None
+        rels = ([rel] if rel is not None else
+                list(self._relations.values()))
+        if all(r.csr_indptr is not None for r in rels):
+            created.append("csr")
+        if all(r.csc_indptr is not None for r in rels):
+            created.append("csc")
+        return {"created": created,
+                "not created": [f for f in ("coo", "csr", "csc")
+                                if f not in created]}
+    if isinstance(formats, str):
+        formats = [formats]
+    if "coo" not in formats:
+        formats = list(formats) + ["coo"]  # COO is the source of truth
+    g = self.structural_clone()
+    rels = {}
+    for k, r in self._relations.items():
+        src = np.asarray(r.src)
+        dst = np.asarray(r.dst)
+        rels[k] = Relation.from_coo(
+            src, dst, r.num_src, r.num_dst,
+            idtype=jnp.int64 if src.dtype == np.int64 else jnp.int32,
+            num_edges=r.num_edges, formats=tuple(formats),
+        )
+    g._relations = rels
+    return g
 
 
 Graph.formats = _graph_formats

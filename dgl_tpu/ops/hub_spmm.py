@@ -332,11 +332,11 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
     """
     from .shell_spmm import prefix_reduce
 
-    # NOTE: a zero-row-padded table (gathers read exact zeros, no mask
-    # select) was measured SLOWER (5.47 vs 5.21 ms headline) — the
-    # full-table concat costs more than the fused selects it removes.
-    # Padded shell slots carry an OOB index (clamped by the gather) and
-    # the mask zeroes them.
+    # Padded shell slots carry an OOB index (one past the table, set at
+    # plan build): mode="fill" zeroes them inside the gather op itself.
+    # Alternatives measured on the v5e headline: zero-row-padded table
+    # 5.47 ms (the full-table concat costs more than it saves), explicit
+    # where(mask) select 5.21 ms, take-fill shipping default.
     xg = x.astype(jnp.bfloat16) if cold == "shell" else x
     n8 = _rup(n_out, 8)
     base = None
@@ -346,8 +346,9 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
             xg[r_idx].astype(jnp.float32), r_pos, num_segments=n8,
             indices_are_sorted=True,
         )
-    pieces = [jnp.where(mask > 0, xg[idx].astype(jnp.float32), 0.0)
-              for idx, mask in shells]
+    pieces = [jnp.take(xg, idx, axis=0, mode="fill",
+                       fill_value=0).astype(jnp.float32)
+              for idx, _mask in shells]
     acc = prefix_reduce(pieces, n8, kind="sum", base=base)
     if acc is None:
         acc = jnp.zeros((n8, x.shape[1]), jnp.float32)

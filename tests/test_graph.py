@@ -309,3 +309,30 @@ def test_graph_method_delegations():
     assert hg.is_unibipartite
     with pytest.raises(Exception):
         g.get_ntype_id("nope")
+
+
+def test_formats_restriction_round_trip():
+    """g.formats(['csc']) drops CSR (1/3 less index memory); missing-format
+    access raises pointing back; formats() reports; rebuild restores."""
+    import pytest
+
+    import dgl_tpu as dgl
+    from dgl_tpu.base import DGLError
+
+    rng = np.random.default_rng(0)
+    g = dgl.graph((rng.integers(0, 30, 100), rng.integers(0, 30, 100)),
+                  num_nodes=30)
+    assert g.formats()["created"] == ["coo", "csr", "csc"]
+    g_csc = g.formats(["csc"])
+    assert g_csc.formats()["created"] == ["coo", "csc"]
+    rel = g_csc._relation(None)
+    assert rel.csr_indptr is None
+    np.testing.assert_array_equal(np.asarray(rel.csc_indptr),
+                                  np.asarray(g._relation(None).csc_indptr))
+    np.testing.assert_array_equal(np.asarray(g_csc.in_degrees()),
+                                  np.asarray(g.in_degrees()))
+    with pytest.raises(DGLError, match="CSR format"):
+        g_csc.out_degrees()
+    g_back = g_csc.formats(["coo", "csr", "csc"])
+    np.testing.assert_array_equal(np.asarray(g_back.out_degrees()),
+                                  np.asarray(g.out_degrees()))
