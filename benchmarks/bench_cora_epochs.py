@@ -30,6 +30,8 @@ def main():
     p.add_argument("--hubs", default="512",
                    help="hub-table size for with_spmm_plans ('auto' or int)")
     p.add_argument("--models", nargs="+", default=["gcn", "gat"])
+    p.add_argument("--no-plans", action="store_true",
+                   help="skip with_spmm_plans (classic segment path)")
     args = p.parse_args()
 
     import jax
@@ -56,16 +58,17 @@ def main():
     for dname in args.datasets:
         hubs = args.hubs if args.hubs == "auto" else int(args.hubs)
         run_dataset(dname, DSETS[dname](), REF, jax, jnp, np, optax,
-                    dgl, GAT, GCN, hubs=hubs, models=args.models)
+                    dgl, GAT, GCN, hubs=hubs, models=args.models,
+                    no_plans=args.no_plans)
 
 
 def run_dataset(dname, ds, REF, jax, jnp, np, optax, dgl, GAT, GCN,
-                hubs=512, models=("gcn", "gat")):
+                hubs=512, models=("gcn", "gat"), no_plans=False):
     import json
     import time
 
     g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
-    if jax.devices()[0].platform != "cpu":
+    if jax.devices()[0].platform != "cpu" and not no_plans:
         # segment-free SpMM/edge-softmax fast paths (ops/shell_spmm.py);
         # skipped on CPU where the dense-hub matmul has no MXU to run on
         g = g.with_spmm_plans(num_hubs=hubs, weighted=True)

@@ -55,6 +55,48 @@ class GATConv(nn.Module):
             )
             el = (h_src * attn_l).sum(-1, keepdims=True)  # (N_src, H, 1)
             er = (h_dst * attn_r).sum(-1, keepdims=True)  # (N_dst, H, 1)
+
+            # small-graph fast path: fused dense masked attention on the
+            # MXU (ops/dense_attn.py) — identical math, ~30 XLA ops vs
+            # hundreds of per-edge ops (the op-count floor dominates small
+            # graphs). Requires a dense_adj plan (Graph.with_spmm_plans)
+            # and no per-edge weights.
+            rel = g._relation(None) if len(g.canonical_etypes) == 1 else None
+            if (
+                rel is not None
+                and rel.dense_adj is not None
+                and edge_weight is None
+                and not get_attention
+            ):
+                from ...ops.dense_attn import dense_masked_attention
+
+                import jax
+                import jax.numpy as jnp
+
+                drop_fn = None
+                if self.attn_drop > 0 and not deterministic:
+                    # hardware RNG (rbg) for the (H, N, N) dropout mask:
+                    # threefry costs ~2.5 ms/layer extra at Cora shapes
+                    # (generation + backward remat); rbg measured
+                    # 5.7 -> 3.2 ms per layer fwd+bwd (probe_r3f)
+                    kd = jax.random.key_data(self.make_rng("dropout"))
+                    rk = jax.random.wrap_key_data(
+                        jnp.tile(kd.astype(jnp.uint32).ravel(), 2)[:4],
+                        impl="rbg",
+                    )
+                    keep = 1.0 - self.attn_drop
+
+                    def drop_fn(a):
+                        bits = jax.random.bernoulli(rk, keep, a.shape)
+                        return a * bits.astype(a.dtype) / keep
+
+                rst = dense_masked_attention(
+                    rel.dense_adj, el[:, :, 0], er[:, :, 0], h_src,
+                    negative_slope=self.negative_slope, dropout_fn=drop_fn,
+                    compute_dtype=jnp.bfloat16,
+                )
+                return self._finish(rst, feat_dst, H, O)
+
             g.srcdata.update({"ft": h_src, "el": el})
             g.dstdata.update({"er": er})
             g.apply_edges(fn.u_add_v("el", "er", "e"))
@@ -67,20 +109,24 @@ class GATConv(nn.Module):
             g.edata["a"] = a
             g.update_all(fn.u_mul_e("ft", "a", "m"), fn.sum("m", "ft"))
             rst = g.dstdata["ft"]  # (N_dst, H, O)
-            if self.residual:
-                res_fc = nn.Dense(
-                    H * O,
-                    use_bias=False,
-                    kernel_init=nn.initializers.xavier_uniform(),
-                    name="res_fc",
-                )
-                rst = rst + res_fc(feat_dst).reshape(-1, H, O)
-            if self.bias:
-                rst = rst + self.param(
-                    "bias", nn.initializers.zeros, (1, H, O), rst.dtype
-                )
-            if self.activation is not None:
-                rst = self.activation(rst)
+            rst = self._finish(rst, feat_dst, H, O)
             if get_attention:
                 return rst, a
             return rst
+
+    def _finish(self, rst, feat_dst, H, O):
+        if self.residual:
+            res_fc = nn.Dense(
+                H * O,
+                use_bias=False,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="res_fc",
+            )
+            rst = rst + res_fc(feat_dst).reshape(-1, H, O)
+        if self.bias:
+            rst = rst + self.param(
+                "bias", nn.initializers.zeros, (1, H, O), rst.dtype
+            )
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst

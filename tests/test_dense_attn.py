@@ -1,0 +1,128 @@
+"""Dense masked-attention fast path (ops/dense_attn.py) parity vs the
+per-edge SDDMM + edge_softmax + SpMM route (reference ``gatconv.py:337-346``
+semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu.nn import GATConv
+from dgl_tpu.ops.dense_attn import (
+    build_dense_adj,
+    dense_masked_attention,
+)
+
+
+def _rand_graph(n=60, e=240, seed=0, self_loops=True):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    # dedup multi-edges (the dense path refuses them by design)
+    flat = np.unique(dst.astype(np.int64) * n + src)
+    src, dst = (flat % n).astype(np.int64), (flat // n).astype(np.int64)
+    g = dgl.graph((src, dst), num_nodes=n)
+    if self_loops:
+        g = dgl.add_self_loop(dgl.remove_self_loop(g))
+    return g
+
+
+def test_build_dense_adj_gates():
+    g = _rand_graph()
+    rel = g._relation(None)
+    plan = build_dense_adj(rel)
+    assert plan is not None
+    assert plan.mask.shape == (rel.num_dst, rel.num_src)
+    # too big -> refused
+    assert build_dense_adj(rel, max_cells=10) is None
+    # multi-edge -> refused
+    gm = dgl.graph(([0, 0, 1], [1, 1, 2]), num_nodes=3)
+    assert build_dense_adj(gm._relation(None)) is None
+
+
+def test_dense_attention_matches_edge_softmax_spmm():
+    from dgl_tpu import function as fn
+    from dgl_tpu.ops import edge_softmax
+
+    g = _rand_graph(n=50, e=300, seed=1)
+    rel = g._relation(None)
+    plan = build_dense_adj(rel)
+    H, O = 4, 6
+    rng = np.random.default_rng(2)
+    h_src = jnp.asarray(rng.normal(size=(50, H, O)).astype(np.float32))
+    el = jnp.asarray(rng.normal(size=(50, H)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(50, H)).astype(np.float32))
+
+    out_dense = dense_masked_attention(plan, el, er, h_src)
+
+    with g.local_scope() as gg:
+        gg.srcdata.update({"ft": h_src, "el": el[:, :, None]})
+        gg.dstdata.update({"er": er[:, :, None]})
+        gg.apply_edges(fn.u_add_v("el", "er", "e"))
+        e = jax.nn.leaky_relu(gg.edata["e"], 0.2)
+        a = edge_softmax(gg, e)
+        gg.edata["a"] = a
+        gg.update_all(fn.u_mul_e("ft", "a", "m"), fn.sum("m", "ft"))
+        out_edge = gg.dstdata["ft"]
+
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_edge), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gatconv_dense_path_parity_values_and_grads():
+    g = _rand_graph(n=40, e=200, seed=3)
+    rel = g._relation(None)
+    gd = g.structural_clone()
+    gd._relations = {k: r.with_dense_adj(build_dense_adj(r))
+                     for k, r in g._relations.items()}
+    for k, r in gd._relations.items():
+        assert r.dense_adj is not None
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(40, 10)).astype(np.float32))
+    conv = GATConv(10, 5, num_heads=3)
+    params = conv.init(jax.random.PRNGKey(0), g, x)
+
+    def loss(p, graph):
+        return (conv.apply(p, graph, x) ** 2).sum()
+
+    # the GATConv dense path computes attention in bf16 (halves the N^2*H
+    # traffic that is this path's whole cost) -> bf16-grade tolerances
+    l1, g1 = jax.value_and_grad(loss)(params, g)
+    l2, g2 = jax.value_and_grad(loss)(params, gd)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-2)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        )
+
+
+def test_dense_path_zero_in_degree_rows():
+    # node with no in-edges -> zero output row on both paths
+    g = dgl.graph(([0, 1], [1, 2]), num_nodes=4)
+    rel = g._relation(None)
+    plan = build_dense_adj(rel)
+    el = jnp.ones((4, 2))
+    er = jnp.ones((4, 2))
+    h = jnp.ones((4, 2, 3))
+    out = dense_masked_attention(plan, el, er, h)
+    assert np.allclose(np.asarray(out)[0], 0)
+    assert np.allclose(np.asarray(out)[3], 0)
+    assert np.allclose(np.asarray(out)[1], 1)
+
+
+def test_gatconv_dense_path_dropout_runs():
+    g = _rand_graph(n=30, e=120, seed=5)
+    gd = g.structural_clone()
+    gd._relations = {k: r.with_dense_adj(build_dense_adj(r))
+                     for k, r in g._relations.items()}
+    x = jnp.ones((30, 8))
+    conv = GATConv(8, 4, num_heads=2, feat_drop=0.3, attn_drop=0.3)
+    params = conv.init(jax.random.PRNGKey(0), gd, x)
+    out = conv.apply(params, gd, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (30, 2, 4)
+    assert np.isfinite(np.asarray(out)).all()
