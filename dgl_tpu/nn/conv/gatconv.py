@@ -28,6 +28,13 @@ class GATConv(nn.Module):
     activation: Optional[Callable] = None
     allow_zero_in_degree: bool = False
     bias: bool = True
+    # dtype for the dense fast path's (H, N_dst, N_src) attention tensor.
+    # bf16 halves that path's whole cost (its N^2*H HBM traffic); the
+    # resulting grads match the f32/sparse path to ~2e-2 L2-relative
+    # (pinned by tests/test_dense_attn.py::test_dense_path_bf16_error_bound;
+    # the math itself is exact — f32 parity is at 1e-5). Set to
+    # ``jnp.float32`` for exact parity with the per-edge route.
+    dense_compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, graph, feat, edge_weight=None, get_attention=False,
@@ -93,7 +100,7 @@ class GATConv(nn.Module):
                 rst = dense_masked_attention(
                     rel.dense_adj, el[:, :, 0], er[:, :, 0], h_src,
                     negative_slope=self.negative_slope, dropout_fn=drop_fn,
-                    compute_dtype=jnp.bfloat16,
+                    compute_dtype=jnp.dtype(self.dense_compute_dtype),
                 )
                 return self._finish(rst, feat_dst, H, O)
 
