@@ -82,6 +82,7 @@ class Relation:
     hub_plan = None
     shell_plan = None
     dense_adj = None
+    bitmap_plan = None
     # static uniform-stride edge layout (fixed-shape MFG blocks): edge
     # position d*stride+j belongs to dst d (or the padding sink), so
     # segment reductions lower to reshape+reduce (ops/spmm.py)
@@ -265,6 +266,8 @@ class Relation:
             children = children + (self.shell_plan,)
         if self.dense_adj is not None:
             children = children + (self.dense_adj,)
+        if self.bitmap_plan is not None:
+            children = children + (self.bitmap_plan,)
         aux = (
             self.num_src,
             self.num_dst,
@@ -275,6 +278,7 @@ class Relation:
             self.shell_plan is not None,
             self.uniform_stride,
             self.dense_adj is not None,
+            self.bitmap_plan is not None,
         )
         return children, aux
 
@@ -293,6 +297,7 @@ class Relation:
             has_shell,
             obj.uniform_stride,
             has_dense,
+            has_bitmap,
         ) = aux
         i = len(cls.ARRAY_FIELDS)
         obj.hub_plan = children[i] if has_plan else None
@@ -300,6 +305,10 @@ class Relation:
         obj.dense_adj = (
             children[i + int(has_plan) + int(has_shell)] if has_dense
             else None
+        )
+        obj.bitmap_plan = (
+            children[i + int(has_plan) + int(has_shell) + int(has_dense)]
+            if has_bitmap else None
         )
         return obj
 
@@ -309,7 +318,7 @@ class Relation:
             setattr(new, f, getattr(self, f))
         for f in ("num_src", "num_dst", "num_edges", "max_in_degree",
                   "max_out_degree", "hub_plan", "shell_plan", "dense_adj",
-                  "uniform_stride"):
+                  "bitmap_plan", "uniform_stride"):
             setattr(new, f, overrides.get(f, getattr(self, f)))
         return new
 
@@ -329,6 +338,13 @@ class Relation:
         (ops/dense_attn.py); attention layers (GATConv) dispatch the
         fused masked-attention path through it."""
         return self._copy_with(dense_adj=plan)
+
+    def with_bitmap_plan(self, plan) -> "Relation":
+        """Return a copy carrying a packed-bitmap dense SpMM plan
+        (ops/bitmap_spmm.py); ``gspmm`` dispatches ``copy_u + sum/mean``
+        through the MXU bitmap kernel — the high-degree (Reddit-class)
+        fast path."""
+        return self._copy_with(bitmap_plan=plan)
 
     # -- queries -------------------------------------------------------------
 
@@ -1098,7 +1114,10 @@ class Graph:
                         weighted: bool = False,
                         gather_dtype: str = "bf16",
                         dense_attn: bool | str = "auto",
-                        dense_attn_max_cells: int = 16_000_000) -> "Graph":
+                        dense_attn_max_cells: int = 16_000_000,
+                        bitmap: bool | str = "auto",
+                        bitmap_max_bytes: int = 2 << 30,
+                        bitmap_min_density: float = 5e-4) -> "Graph":
         """Return a copy whose relations carry dense-hub SpMM plans
         (:mod:`dgl_tpu.ops.hub_spmm`): supported g-SpMM calls then aggregate
         hub edges as one MXU matmul instead of a per-edge HBM gather. Build
@@ -1118,7 +1137,17 @@ class Graph:
         attention layers then run as fused masked attention on the MXU
         instead of the per-edge SDDMM/edge-softmax/SpMM chain (measured
         5.0 -> ~1.5 ms/epoch for GAT Cora on v5e — op-count bound at that
-        scale)."""
+        scale).
+
+        ``bitmap="auto"`` attaches a packed-bitmap dense SpMM plan
+        (:mod:`dgl_tpu.ops.bitmap_spmm`) to HIGH-DEGREE relations
+        (density ``E/(N_src*N_dst) >= bitmap_min_density`` and bitmap
+        bytes within ``bitmap_max_bytes``): ``copy_u + sum/mean`` then
+        streams the adjacency as bits through the MXU at a cost
+        independent of E and of degree skew — the Reddit-class path.
+        ``bitmap=True`` forces the attempt regardless of density."""
+        from .ops.bitmap_spmm import (
+            bitmap_bytes, build_bitmap_plan)
         from .ops.dense_attn import build_dense_adj
         from .ops.hub_spmm import build_hub_plan
         from .ops.shell_spmm import build_shell_plan
@@ -1137,6 +1166,18 @@ class Graph:
                 da = build_dense_adj(r, max_cells=dense_attn_max_cells)
                 if da is not None:
                     r = r.with_dense_adj(da)
+            want_bitmap = bitmap is True or (
+                bitmap == "auto"
+                and r.num_src * r.num_dst > 0
+                and r.num_edges / (r.num_src * r.num_dst)
+                >= bitmap_min_density
+                and bitmap_bytes(r.num_src, r.num_dst, False)
+                <= bitmap_max_bytes * 2
+            )
+            if want_bitmap:
+                bp = build_bitmap_plan(r, max_bytes=bitmap_max_bytes)
+                if bp is not None:
+                    r = r.with_bitmap_plan(bp)
             rels[k] = r
         g._relations = rels
         return g

@@ -240,6 +240,24 @@ def gspmm(g, op, reduce_op, lhs_data, rhs_data, etype=None):
     ):
         return _gspmm_uniform(op, reduce_op, rel, u, e)
 
+    # packed-bitmap dense fast path (ops/bitmap_spmm.py): adjacency
+    # streamed as bits through the MXU — the high-degree (Reddit-class)
+    # path, cost independent of E and degree skew
+    if (
+        rel.bitmap_plan is not None
+        and op == "copy_lhs"
+        and reduce_op in ("sum", "mean")
+        and u is not None
+        and u.ndim == 2
+    ):
+        from .bitmap_spmm import bitmap_copy_u_sum
+
+        out = bitmap_copy_u_sum(rel.bitmap_plan, u)
+        if reduce_op == "mean":
+            deg = jnp.maximum(rel.in_degrees(), 1).astype(out.dtype)
+            out = out / _expand(deg, out.ndim)
+        return out
+
     # dense-hub fast path (ops/hub_spmm.py): MXU matmul for hub edges,
     # sorted-segment for the cold tail; attached via Graph.with_spmm_plans
     if (
