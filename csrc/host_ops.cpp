@@ -476,4 +476,136 @@ int64_t batched_pread(int fd, int64_t offset0, const int64_t* ids,
   return ok;
 }
 
+// Parallel grouped-CSR aggregation: group (row, col) pairs, sum weights,
+// emit canonical CSR (sorted unique cols per row). The partitioner's
+// coarsening chain is built on this (symmetrize + coarse-graph build were
+// 300-400 s/level in scipy at 190M nnz; reference counterpart: the METIS
+// coarsening phase, src/graph/metis_partition.cc).
+//   rows/cols: m int32 pairs; w: m float weights or NULL (-> 1.0)
+//   skip_diag: drop row==col pairs
+//   indptr: n+1 int64 out; out_cols/out_w: capacity m
+// Returns nnz of the aggregated matrix.
+int64_t aggregate_csr(const int32_t* rows, const int32_t* cols,
+                      const float* w, int64_t m, int64_t n, int skip_diag,
+                      int64_t* indptr, int32_t* out_cols, float* out_w) {
+  int T = 1;
+#ifdef _OPENMP
+  T = omp_get_max_threads();
+#endif
+  // pass 1: per-thread per-row histograms over contiguous input chunks
+  // (no atomics, no critical merge — the merge is parallel over rows)
+  std::vector<std::vector<int64_t>> hist(T);
+  int64_t chunk = (m + T - 1) / T;
+#pragma omp parallel num_threads(T)
+  {
+    int t = 0;
+#ifdef _OPENMP
+    t = omp_get_thread_num();
+#endif
+    hist[t].assign(n, 0);
+    int64_t lo = t * chunk, hi = std::min(m, lo + chunk);
+    for (int64_t i = lo; i < hi; ++i) {
+      if (skip_diag && rows[i] == cols[i]) continue;
+      hist[t][rows[i]]++;
+    }
+  }
+  std::vector<int64_t> cnt(n + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t s = 0;
+    for (int t = 0; t < T; ++t) {
+      int64_t h = hist[t][r];
+      hist[t][r] = s;  // becomes the thread's within-row offset
+      s += h;
+    }
+    cnt[r + 1] = s;
+  }
+  for (int64_t r = 0; r < n; ++r) cnt[r + 1] += cnt[r];
+  // pass 2: each thread re-scans its chunk and writes at
+  // cnt[row] + hist[t][row]++ — disjoint positions, no atomics
+  std::vector<int32_t> tc(cnt[n]);
+  std::vector<float> tw(cnt[n]);
+#pragma omp parallel num_threads(T)
+  {
+    int t = 0;
+#ifdef _OPENMP
+    t = omp_get_thread_num();
+#endif
+    int64_t lo = t * chunk, hi = std::min(m, lo + chunk);
+    for (int64_t i = lo; i < hi; ++i) {
+      if (skip_diag && rows[i] == cols[i]) continue;
+      int64_t p = cnt[rows[i]] + hist[t][rows[i]]++;
+      tc[p] = cols[i];
+      tw[p] = w ? w[i] : 1.0f;
+    }
+  }
+  // pass 3: per-row sort + dedup-sum. Rows are sorted as packed
+  // (col << 32 | slot) keys in a thread-local scratch (one std::sort on
+  // 8-byte keys beats pair sorts; insertion sort for short rows).
+  std::vector<int64_t> rn(n, 0);
+#pragma omp parallel
+  {
+    std::vector<uint64_t> keys;
+    std::vector<float> vals;
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t r = 0; r < n; ++r) {
+      int64_t a = cnt[r], b = cnt[r + 1];
+      if (a == b) continue;
+      int64_t len = b - a;
+      keys.resize(len);
+      for (int64_t i = 0; i < len; ++i)
+        keys[i] = ((uint64_t)(uint32_t)tc[a + i] << 32) | (uint32_t)i;
+      if (len <= 48) {
+        for (int64_t i = 1; i < len; ++i) {
+          uint64_t k = keys[i];
+          int64_t j = i - 1;
+          while (j >= 0 && keys[j] > k) {
+            keys[j + 1] = keys[j];
+            --j;
+          }
+          keys[j + 1] = k;
+        }
+      } else {
+        std::sort(keys.begin(), keys.end());
+      }
+      // stage values in sorted order BEFORE writing tw (a write at
+      // position `out` must not clobber a slot a later key still reads)
+      vals.resize(len);
+      for (int64_t i = 0; i < len; ++i)
+        vals[i] = tw[a + (uint32_t)keys[i]];
+      int64_t out = a;
+      int32_t cur = (int32_t)(keys[0] >> 32);
+      float acc = vals[0];
+      for (int64_t i = 1; i < len; ++i) {
+        int32_t col = (int32_t)(keys[i] >> 32);
+        if (col == cur) {
+          acc += vals[i];
+        } else {
+          tc[out] = cur;
+          tw[out] = acc;
+          ++out;
+          cur = col;
+          acc = vals[i];
+        }
+      }
+      tc[out] = cur;
+      tw[out] = acc;
+      ++out;
+      rn[r] = out - a;
+    }
+  }
+  // pass 4: prefix the per-row nnz and compact
+  indptr[0] = 0;
+  for (int64_t r = 0; r < n; ++r) indptr[r + 1] = indptr[r] + rn[r];
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t src0 = cnt[r], dst0 = indptr[r], k = rn[r];
+    for (int64_t i = 0; i < k; ++i) {
+      out_cols[dst0 + i] = tc[src0 + i];
+      out_w[dst0 + i] = tw[src0 + i];
+    }
+  }
+  return indptr[n];
+}
+
 }  // extern "C"

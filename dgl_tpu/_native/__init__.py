@@ -81,6 +81,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
         ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, i64p, i64p, u8p,
     ]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.aggregate_csr.argtypes = [
+        i32p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, i64p, i32p, f32p,
+    ]
+    lib.aggregate_csr.restype = ctypes.c_int64
     u8p_w = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
     lib.batched_pread.argtypes = [
         ctypes.c_int, ctypes.c_int64, i64p, ctypes.c_int64,
@@ -236,6 +242,29 @@ def hem_match(rows, cols, num_nodes):
     matched = np.empty(num_nodes, np.int64)
     lib.hem_match(rows, cols, rows.shape[0], num_nodes, matched)
     return matched
+
+
+def aggregate_csr(rows, cols, weights, n, skip_diag=True):
+    """Parallel grouped-CSR aggregation: sum weights over (row, col)
+    groups, canonical CSR out (sorted unique cols/row). ``weights`` may
+    be None (unit). Returns (indptr i64, cols i32, weights f32) or None
+    when native is unavailable (caller falls back to scipy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    m = rows.shape[0]
+    wptr = None
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, np.float32)
+        wptr = weights.ctypes.data_as(ctypes.c_void_p)
+    indptr = np.empty(n + 1, np.int64)
+    out_cols = np.empty(m, np.int32)
+    out_w = np.empty(m, np.float32)
+    nnz = lib.aggregate_csr(rows, cols, wptr, m, n,
+                            1 if skip_diag else 0, indptr, out_cols, out_w)
+    return indptr, out_cols[:nnz].copy(), out_w[:nnz].copy()
 
 
 def sample_neighbors_etype(indptr, indices, eids, type_per_edge, fanouts,

@@ -104,6 +104,26 @@ class GATConv(nn.Module):
                 )
                 return self._finish(rst, feat_dst, H, O)
 
+            # large-graph fast path: fused shell-space attention
+            # (ops/fused_gat.py) — logits, softmax and apply never leave
+            # rank space; hand-derived VJP (no autodiff through the shell
+            # chains). 488 -> ~60 ms per arxiv-scale layer fwd+bwd
+            # (probe_r2j vs probe_r4c).
+            if (
+                rel is not None
+                and rel.shell_plan is not None
+                and edge_weight is None
+                and not get_attention
+                and not (self.attn_drop > 0 and not deterministic)
+            ):
+                from ...ops.fused_gat import fused_gat_attention
+
+                rst = fused_gat_attention(
+                    self.negative_slope, rel.shell_plan,
+                    el[:, :, 0], er[:, :, 0], h_src,
+                )
+                return self._finish(rst, feat_dst, H, O)
+
             g.srcdata.update({"ft": h_src, "el": el})
             g.dstdata.update({"er": er})
             g.apply_edges(fn.u_add_v("el", "er", "e"))

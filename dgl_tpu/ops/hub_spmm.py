@@ -181,11 +181,14 @@ def _build_shells(e_from: np.ndarray, e_to: np.ndarray, n_to: int,
     """
     from .shell_spmm import _build_dir
 
-    shells3, res3, unrank = _build_dir(
+    shells3, res3, unrank, _rank = _build_dir(
         e_from, e_to, np.zeros_like(e_from), n_to, n_from=n_from
     )
     shells = tuple((nidx, mask) for nidx, _eidx, mask in shells3)
-    res = None if res3 is None else (res3[0], res3[2])
+    # blocked residual: (idx, pos_full, block_pos, mask) — see
+    # shell_spmm.residual_reduce
+    res = (None if res3 is None
+           else (res3[0], res3[2], res3[3], res3[4]))
     return shells, res, unrank
 
 
@@ -337,15 +340,16 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
     # Alternatives measured on the v5e headline: zero-row-padded table
     # 5.47 ms (the full-table concat costs more than it saves), explicit
     # where(mask) select 5.21 ms, take-fill shipping default.
+    from .shell_spmm import residual_reduce
+
     xg = x.astype(jnp.bfloat16) if cold == "shell" else x
     n8 = _rup(n_out, 8)
     base = None
     if residual is not None and int(residual[1].shape[0]) > 0:
-        r_idx, r_pos = residual
-        base = jax.ops.segment_sum(
-            xg[r_idx].astype(jnp.float32), r_pos, num_segments=n8,
-            indices_are_sorted=True,
-        )
+        r_idx, _pos, _bpos, r_mask = residual
+        rows = xg[r_idx].astype(jnp.float32) * r_mask
+        base = residual_reduce(rows, (None, None, _pos, _bpos, r_mask),
+                               n8, "sum")
     pieces = [jnp.take(xg, idx, axis=0, mode="fill",
                        fill_value=0).astype(jnp.float32)
               for idx, _mask in shells]

@@ -37,7 +37,32 @@ def _rup(x: int, m: int) -> int:
     return max(int(-(-x // m) * m), m)
 
 
-SHELL_CAP = 32  # max shell levels; deeper edges take the residual segsum
+SHELL_CAP = 32  # max shell levels; deeper edges take the blocked residual
+RES_BLOCK = 32  # residual rows per reduce block (see residual_reduce)
+
+
+def residual_reduce(rows, residual, n8, kind="sum"):
+    """Reduce residual rows into the ranked accumulator.
+
+    ``rows`` (R', *feat) must already hold the identity (0 / -inf) in
+    padded slots. Residual runs are BLOCK-PADDED at plan build (each
+    rank-position's run padded to a multiple of RES_BLOCK), so the
+    reduction is a free reshape-reduce over blocks followed by ONE sorted
+    segment op over R'/RES_BLOCK block partials — measured 62 -> ~3 ms at
+    the arxiv-scale reverse residual (698k x 512 B rows, probe_r4d): the
+    XLA sorted segment-sum lowers to ~89 ns/row scatters, the reshape
+    path to a stream.
+    """
+    block_pos = residual[3]
+    nb = block_pos.shape[0]
+    r = rows.reshape(nb, RES_BLOCK, *rows.shape[1:])
+    if kind == "sum":
+        part = r.sum(axis=1)
+        return jax.ops.segment_sum(part, block_pos, num_segments=n8,
+                                   indices_are_sorted=True)
+    part = r.max(axis=1)
+    return jax.ops.segment_max(part, block_pos, num_segments=n8,
+                               indices_are_sorted=True)
 
 
 def prefix_reduce(pieces, n8, kind="sum", base=None):
@@ -88,13 +113,16 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
 
     Levels >= ``cap`` (a power-law graph's max degree can be ~1e5 — one
     shell per level would explode both the host build and the XLA program)
-    go to the RESIDUAL: edges sorted by rank position, reduced with one
-    sorted segment op straight into the ranked accumulator. Padding slots
-    carry rank position ``rup(n_to, 8)`` (out of range -> dropped by the
-    segment ops, no mask needed).
+    go to the RESIDUAL: edges sorted by rank position with each
+    position's run padded to a multiple of RES_BLOCK, reduced by
+    :func:`residual_reduce` (block reshape-reduce + one small sorted
+    segment op). The residual tuple is
+    ``(nidx, eidx, pos_full, block_pos, mask)``.
 
-    Returns (shells, (res_nidx, res_eidx, res_pos), unrank). The build is
-    a single O(E log E) grouped pass (sort by level), not a per-level scan.
+    Returns (shells, (res_nidx, res_eidx, res_pos), unrank, rank). The
+    build is a single O(E log E) grouped pass (sort by level), not a
+    per-level scan. ``rank``/``unrank`` are None when the graph is already
+    rank-relabeled (identity).
     """
     deg = np.bincount(e_to, minlength=n_to)
     rank = np.argsort(-deg, kind="stable").astype(np.int32)
@@ -138,22 +166,37 @@ def _build_dir(e_node: np.ndarray, e_to: np.ndarray, e_eid: np.ndarray,
         shells.append((jnp.asarray(nidx), jnp.asarray(eidx),
                        jnp.asarray(mask)))
     hi = ~lo
-    n8 = _rup(n_to, 8)
     R = int(hi.sum())
     un_out = None if identity_unrank else jnp.asarray(unrank)
+    rk_out = None if identity_unrank else jnp.asarray(rank)
     if R == 0:
-        return tuple(shells), None, un_out
-    R8 = _rup(R, 8)
-    res_nidx = np.zeros(R8, np.int32)
-    res_eidx = np.zeros(R8, np.int32)
-    res_pos = np.full(R8, n8, np.int32)  # out of range -> dropped
+        return tuple(shells), None, un_out, rk_out
+    # block-padded residual: each rank position's run padded to a
+    # multiple of RES_BLOCK so the reduction is reshape + a small
+    # sorted segment op (residual_reduce)
+    B = RES_BLOCK
     horder = np.argsort(rp[hi], kind="stable")
-    res_nidx[:R] = en[hi][horder]
-    res_eidx[:R] = ee[hi][horder]
-    res_pos[:R] = rp[hi][horder]
+    rp_r = rp[hi][horder]
+    en_r = en[hi][horder]
+    ee_r = ee[hi][horder]
+    cnt = np.bincount(rp_r, minlength=n_to)
+    nb = -(-cnt // B)
+    base = np.concatenate(([0], np.cumsum(nb * B)))[:-1]
+    off = np.arange(R) - np.concatenate(([0], np.cumsum(cnt)))[rp_r]
+    slot = base[rp_r] + off
+    Rp = int(nb.sum()) * B
+    res_nidx = np.zeros(Rp, np.int32)
+    res_eidx = np.zeros(Rp, np.int32)
+    mask = np.zeros((Rp, 1), np.float32)
+    res_nidx[slot] = en_r
+    res_eidx[slot] = ee_r
+    mask[slot, 0] = 1.0
+    block_pos = np.repeat(np.arange(n_to, dtype=np.int32), nb)
+    pos_full = np.repeat(block_pos, B)
     residual = (jnp.asarray(res_nidx), jnp.asarray(res_eidx),
-                jnp.asarray(res_pos))
-    return tuple(shells), residual, un_out
+                jnp.asarray(pos_full), jnp.asarray(block_pos),
+                jnp.asarray(mask))
+    return tuple(shells), residual, un_out, rk_out
 
 
 class ShellSpMMPlan:
@@ -166,11 +209,13 @@ class ShellSpMMPlan:
     ARRAY_FIELDS = ("shells", "res_dst", "unrank_dst",
                     "rev_shells", "res_src", "unrank_src",
                     "src_eid", "dst_eid", "emask",
-                    "dst_rank_eid", "src_rank_eid")
+                    "dst_rank_eid", "src_rank_eid",
+                    "rank_dst", "rank_src")
 
     def __init__(self, shells, res_dst, unrank_dst,
                  rev_shells, res_src, unrank_src,
-                 src_eid, dst_eid, emask, dst_rank_eid, src_rank_eid, *,
+                 src_eid, dst_eid, emask, dst_rank_eid, src_rank_eid,
+                 rank_dst=None, rank_src=None, *,
                  num_src: int, num_dst: int, gather_dtype: str = "bf16"):
         self.shells = shells
         self.res_dst = res_dst
@@ -187,6 +232,11 @@ class ShellSpMMPlan:
         # ``agg_ranked[unrank][dst]``)
         self.dst_rank_eid = dst_rank_eid
         self.src_rank_eid = src_rank_eid
+        # rank order of each direction (rank[i] = node at rank position i);
+        # None when identity. Used by the fused attention op to move
+        # node tables into shell (rank) space with one N-level gather.
+        self.rank_dst = rank_dst
+        self.rank_src = rank_src
         self.num_src = int(num_src)
         self.num_dst = int(num_dst)
         self.gather_dtype = str(gather_dtype)
@@ -227,8 +277,10 @@ def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
     eid = np.asarray(rel.csc_eids)
     real = (dst < rel.num_dst) & (src < rel.num_src)
     src, dst, eid = src[real], dst[real], eid[real]
-    shells, res_dst, unrank_dst = _build_dir(src, dst, eid, rel.num_dst)
-    rev_shells, res_src, unrank_src = _build_dir(dst, src, eid, rel.num_src)
+    shells, res_dst, unrank_dst, rank_dst = _build_dir(
+        src, dst, eid, rel.num_dst)
+    rev_shells, res_src, unrank_src, rank_src = _build_dir(
+        dst, src, eid, rel.num_src)
     # eid-order endpoints for dE (clamped so padded slots gather row 0 and
     # are zeroed by emask)
     se = np.asarray(rel.src).astype(np.int64)
@@ -245,6 +297,7 @@ def build_shell_plan(rel, gather_dtype: str = "bf16") -> ShellSpMMPlan:
                     else np.asarray(unrank_dst)[de_c]),
         jnp.asarray(se_c.astype(np.int32) if unrank_src is None
                     else np.asarray(unrank_src)[se_c]),
+        rank_dst, rank_src,
         num_src=rel.num_src, num_dst=rel.num_dst, gather_dtype=gather_dtype,
     )
 
@@ -273,10 +326,10 @@ def _shell_accumulate(shells, residual, unrank, n_out, msg_of):
     n8 = _rup(n_out, 8)
     base = None
     if residual is not None and int(residual[2].shape[0]) > 0:
-        r_nidx, r_eidx, r_pos = residual
+        r_nidx, r_eidx, _pos, _bpos, r_mask = residual
         rows = msg_of(r_nidx, r_eidx).astype(jnp.float32)
-        base = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
-                                   indices_are_sorted=True)
+        rows = jnp.where(_mask_expand(r_mask, rows.ndim) > 0, rows, 0.0)
+        base = residual_reduce(rows, residual, n8, "sum")
     pieces = []
     for nidx, eidx, mask in shells:
         rows = msg_of(nidx, eidx)
@@ -423,16 +476,13 @@ def shell_edge_acc(shells, n_out, evals, kind="sum", transform=None,
     n8 = _rup(n_out, 8)
     base = None
     if residual is not None and int(residual[2].shape[0]) > 0:
-        _, r_eidx, r_pos = residual
+        _, r_eidx, r_pos, _bpos, r_mask = residual
         rows = evals[r_eidx].astype(jnp.float32)
         if transform is not None:
             rows = transform(rows, r_pos)
-        if kind == "sum":
-            base = jax.ops.segment_sum(rows, r_pos, num_segments=n8,
-                                       indices_are_sorted=True)
-        else:
-            base = jax.ops.segment_max(rows, r_pos, num_segments=n8,
-                                       indices_are_sorted=True)
+        rows = jnp.where(_mask_expand(r_mask, rows.ndim) > 0, rows,
+                         0.0 if kind == "sum" else -jnp.inf)
+        base = residual_reduce(rows, residual, n8, kind)
     pieces = []
     for nidx, eidx, mask in shells:
         rows = evals[eidx].astype(jnp.float32)
@@ -463,8 +513,8 @@ def shell_edge_softmax(plan: ShellSpMMPlan, logits, norm_by="dst"):
     mx_pad = jnp.concatenate([mx, jnp.zeros((1,) + mx.shape[1:], mx.dtype)])
 
     def shift_exp(rows, pos):
-        # pos None -> capped shell (prefix rows); else residual positions
-        # (padding position n8 reads the appended zero row)
+        # pos None -> capped shell (prefix rows); else residual per-row
+        # positions (always in range; padded slots are masked afterwards)
         m = mx[: rows.shape[0]] if pos is None else mx_pad[pos]
         if m.ndim < rows.ndim:
             m = m.reshape(m.shape + (1,) * (rows.ndim - m.ndim))
@@ -491,12 +541,13 @@ def shell_gspmm_cmp(op, reduce_op, plan: ShellSpMMPlan, u, e, in_degrees):
     n8 = _rup(plan.num_dst, 8)
     base = None
     if plan.res_dst is not None and int(plan.res_dst[2].shape[0]) > 0:
-        r_nidx, r_eidx, r_pos = plan.res_dst
+        r_nidx, r_eidx, _pos, _bpos, r_mask = plan.res_dst
         ul = ub[r_nidx] if ub is not None else None
         el = eb[r_eidx] if eb is not None else None
         rows = _msg(op, ul, el).astype(jnp.float32) * sign
-        base = jax.ops.segment_max(rows, r_pos, num_segments=n8,
-                                   indices_are_sorted=True)
+        rows = jnp.where(_mask_expand(r_mask, rows.ndim) > 0, rows,
+                         -jnp.inf)
+        base = residual_reduce(rows, plan.res_dst, n8, "max")
     pieces = []
     for nidx, eidx, mask in plan.shells:
         ul = ub[nidx] if ub is not None else None
