@@ -41,6 +41,7 @@ from .hetero_shard import (
     init_hetero_halo_state,
     dist_hetero_copy_u_sum_delayed,
 )
+from .device_dist_sampler import DeviceDistSampler, shard_csc_arrays
 from .dist_tensor import DistTensor, DistEmbedding
 from .kvstore import (
     PartitionPolicy,
@@ -111,6 +112,8 @@ from .dist_minibatch import (
 )
 
 __all__ = [
+    "DeviceDistSampler",
+    "shard_csc_arrays",
     "RangePartitionBook",
     "GraphPartitionBook",
     "DistGraph",

@@ -21,11 +21,18 @@ Semantics (vs reference ``sample_neighbors``,
 - ``d > fanout``: draw ``fanout`` picks uniformly. ``mode="replace"``
   matches the reference's ``replace=True``. ``mode="unique"`` (default)
   additionally masks duplicate picks, approximating ``replace=False``
-  (identical when ``d >> fanout``; at ``d`` close to ``fanout`` it returns
-  slightly fewer than ``fanout`` distinct neighbors, each still uniform).
-  A fixed-shape program cannot reproduce exact without-replacement
-  reservoir semantics for unbounded ``d``; this is the documented
-  approximation.
+  (identical when ``d >> fanout``; at ``d`` close to ``fanout`` it keeps
+  ``d(1-(1-1/d)^fanout)`` distinct neighbors in expectation instead of
+  ``fanout`` — e.g. 8.3 of 10 at d=12 — each marginally uniform; the
+  deviation is quantified by tests/test_device_sampler_stats.py).
+  ``mode="exact"`` reproduces the reference's ``replace=False``
+  (``src/array/cpu/rowwise_pick.h:27-50``) EXACTLY for any degree with a
+  fixed-shape program: picks are drawn sequentially by rank among the
+  not-yet-picked offsets, the rank adjusted past earlier picks by a
+  ``t``-step monotone fixpoint (O(fanout^3) VPU compares per node —
+  free next to the gathers for fanout <= 16; the default stays "unique"
+  because the masked-duplicate approximation is cheaper and statistically
+  immaterial at ``d >> fanout``).
 
 No deduplication across the frontier: duplicate frontier nodes cost one
 extra 2.9 ns gather each instead of a host-side hashmap pass — on TPU the
@@ -93,6 +100,22 @@ def _sample_level(key, indptr, indices, frontier, fanout, mode):
             < jax.lax.broadcasted_iota(jnp.int32, (fanout, fanout), 0)
         )[None]
         mask = mask & ~dup.any(axis=2)
+    elif mode == "exact":
+        # exact without-replacement: pick t is the r_t-th smallest unused
+        # offset, r_t ~ U[0, d-t); map rank -> offset by bumping past
+        # earlier picks (monotone fixpoint, t iterations suffice)
+        cols = []
+        for t in range(fanout):
+            span = jnp.maximum(deg - t, 1).astype(jnp.float32)
+            r = jnp.minimum((u[:, t] * span).astype(jnp.int32),
+                            jnp.maximum(deg - t - 1, 0).astype(jnp.int32))
+            adj = r
+            for _ in range(t):
+                prev = jnp.stack(cols, axis=1)  # (num, t)
+                adj = r + (prev <= adj[:, None]).sum(axis=1).astype(r.dtype)
+            cols.append(adj)
+        off_exact = jnp.stack(cols, axis=1)
+        off = jnp.where(take_all, j, off_exact)
     nbr = jnp.take(indices, (start[:, None] + off).reshape(-1))
     return nbr.reshape(num, fanout), mask
 
@@ -110,8 +133,9 @@ class DeviceNeighborSampler:
     """
 
     def __init__(self, fanouts: Sequence[int], mode: str = "unique"):
-        if mode not in ("unique", "replace"):
-            raise ValueError(f"mode must be 'unique' or 'replace', got {mode!r}")
+        if mode not in ("unique", "replace", "exact"):
+            raise ValueError(
+                f"mode must be 'unique', 'replace' or 'exact', got {mode!r}")
         self.fanouts = list(fanouts)
         self.mode = mode
 
