@@ -21,6 +21,7 @@ class MiniBatch:
     negative_srcs: Any = None
     negative_dsts: Any = None
     timestamp: Any = None             # per-seed timestamps (temporal sampling)
+    device_mfg: Any = None            # on-device DeviceMFG (device backend)
 
     def num_seeds(self):
         return None if self.seeds is None else len(self.seeds)
