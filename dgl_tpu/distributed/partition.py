@@ -45,8 +45,7 @@ def _sym_adj(g: Graph):
         None, n, skip_diag=True) if n < 2**31 else None
     if res is not None:
         indptr, cols, w = res
-        return sp.csr_matrix((w.astype(np.float64), cols, indptr),
-                             shape=(n, n))
+        return sp.csr_matrix((w, cols, indptr), shape=(n, n))
     a = sp.coo_matrix(
         (np.ones(src.size), (src, dst)), shape=(n, n)
     ).tocsr()
@@ -139,8 +138,7 @@ def _coarsen(adj, weights, wmax=None):
         coo_full.data, nc, skip_diag=True) if nc < 2**31 else None
     if res is not None:
         indptr, cols, w = res
-        cadj = sp.csr_matrix((w.astype(np.float64), cols, indptr),
-                             shape=(nc, nc))
+        cadj = sp.csr_matrix((w, cols, indptr), shape=(nc, nc))
     else:
         cadj = sp.coo_matrix(
             (coo_full.data,
@@ -160,10 +158,23 @@ def _coarsen(adj, weights, wmax=None):
     if cadj.nnz > 2 * cap_nnz:
         # subsampled quantile: the prune is heuristic, a ~0.1% threshold
         # error is immaterial vs a full np.partition on ~190M values
-        # (measured ~9 s/level at 100M edges)
+        # (measured ~9 s/level at 100M edges). Weights tie heavily
+        # (integer multiplicities), so drop a RANDOM fraction of the
+        # tied mass too — with a strict < alone the cap never engaged
+        # (900M nnz flat across levels at 500M edges -> OOM).
         samp = cadj.data[:: max(1, cadj.nnz // 1_000_000)]
-        thr = np.quantile(samp, 1.0 - cap_nnz / cadj.nnz)
-        cadj.data[cadj.data < thr] = 0
+        q = 1.0 - cap_nnz / cadj.nnz
+        thr = np.quantile(samp, q)
+        below = cadj.data < thr
+        tie = cadj.data == thr
+        n_tie = int(tie.sum())
+        want_drop = int(q * cadj.nnz) - int(below.sum())
+        if n_tie > 0 and want_drop > 0:
+            frac = min(1.0, want_drop / n_tie)
+            rngp = np.random.default_rng(0)
+            tie &= rngp.random(cadj.nnz) < frac
+            below |= tie
+        cadj.data[below] = 0
         cadj.eliminate_zeros()
     cw = np.bincount(mapping, weights=weights, minlength=nc)
     return cadj, cw, mapping
@@ -359,6 +370,37 @@ def _kway_multilevel(adj, weights, k):
     import time as _time
 
     verbose = bool(_os.environ.get("DGL_TPU_PARTITION_VERBOSE"))
+    # levels with nnz past this spill their adjacency to disk instead of
+    # pinning it in RAM for the whole chain (500M-edge chains held ~6
+    # levels x ~10 GB and OOM'd a 125 GB host)
+    spill_nnz = int(_os.environ.get("DGL_TPU_KWAY_SPILL_NNZ",
+                                    str(150_000_000)))
+    import tempfile as _tempfile
+
+    spill_dir = None
+
+    def _maybe_spill(a, w):
+        nonlocal spill_dir
+        if a.nnz <= spill_nnz:
+            return (a, w)
+        if spill_dir is None:
+            spill_dir = _tempfile.mkdtemp(prefix="dgl_tpu_kway_")
+        path = _os.path.join(spill_dir, f"lvl{len(levels)}.npz")
+        import scipy.sparse as _sp
+
+        _sp.save_npz(path, a)
+        np.save(path + ".w.npy", w)
+        return (path, None)
+
+    def _load_level(stored):
+        a_or_path, w = stored
+        if isinstance(a_or_path, str):
+            import scipy.sparse as _sp
+
+            return (_sp.load_npz(a_or_path),
+                    np.load(a_or_path + ".w.npy"))
+        return a_or_path, w
+
     levels = []
     a, w = adj, weights
     wmax = 8.0 * weights.sum() / _KWAY_COARSE_TO
@@ -370,7 +412,8 @@ def _kway_multilevel(adj, weights, k):
                   f"({a2.nnz} nnz) {_time.time()-t0:.0f}s", flush=True)
         if a2.shape[0] >= a.shape[0] * 0.95:
             break
-        levels.append((mapping, a, w))
+        levels.append((mapping, _maybe_spill(a, w)))
+        del a, w
         a, w = a2, w2
     t0 = _time.time()
     parts_c = _assign_via_bisection(a, w, k)
@@ -379,8 +422,10 @@ def _kway_multilevel(adj, weights, k):
     # 3 passes measured at 100M edges: cut ratio vs planted 1.92 -> 1.00
     # for +28% wall time (docs/partition_100m_r03.json)
     big_passes = int(_os.environ.get("DGL_TPU_KWAY_PASSES", "3"))
-    for mapping, fine_a, fine_w in reversed(levels):
+    del a, w
+    for mapping, stored in reversed(levels):
         t0 = _time.time()
+        fine_a, fine_w = _load_level(stored)
         parts_c = parts_c[mapping]
         parts_c = _kway_refine(fine_a, parts_c, fine_w, k,
                                passes=big_passes
@@ -389,6 +434,11 @@ def _kway_multilevel(adj, weights, k):
         if verbose:
             print(f"[kway] refine @{fine_a.shape[0]} nodes "
                   f"{_time.time()-t0:.0f}s", flush=True)
+        del fine_a, fine_w
+    if spill_dir is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(spill_dir, ignore_errors=True)
     return parts_c
 
 
