@@ -132,7 +132,12 @@ def main():
     # --- graph CSC + loader -------------------------------------------
     t0 = time.time()
     pg = PartitionedGraphCSC.build(g, parts, P_)
-    deg_in = np.bincount(dst, minlength=N)
+    # frontier occupancy is proportional to OUT-degree (a node appears in
+    # frontiers once per out-edge); seeds add a uniform + in-degree term.
+    # Hot-set selection uses total degree (measured: an in-degree-only hot
+    # set scored a 5.6% hit rate - BELOW the 10% uniform baseline)
+    deg_tot = (np.bincount(dst, minlength=N)
+               + np.bincount(src, minlength=N))
     log(f"PartitionedGraphCSC built ({time.time()-t0:.0f}s)")
     sampler = DistNeighborSampler(pg, [10, 10], batch_size=args.batch,
                                   seed=0)
@@ -140,7 +145,7 @@ def main():
                                 batch_size=args.batch, shuffle=True)
 
     # hot tier keyed by NEW (part-major) ids: translate degrees
-    deg_new = deg_in[pg.order]
+    deg_new = deg_tot[pg.order]
 
     # train step: vmapped 2-layer mean-agg + psum'd grads
     import optax
@@ -179,8 +184,13 @@ def main():
             with timer.stage("sample"):
                 in_ids, out_ids, blocks = next(it)
                 ids_flat = np.asarray(in_ids).reshape(-1)
+                # dedup: padding slots collapse to one row and power-law
+                # hubs repeat heavily across frontiers (fetch unique rows
+                # once, scatter back by inverse)
+                uniq, inv = np.unique(ids_flat, return_inverse=True)
             with timer.stage("feature_fetch"):
-                rows = fetch_fn(ids_flat)
+                rows_u = fetch_fn(uniq)
+                rows = np.asarray(rows_u)[inv]
             with timer.stage("h2d"):
                 x = jnp.asarray(rows, jnp.float32).reshape(
                     in_ids.shape[0], in_ids.shape[1], F)
@@ -188,7 +198,8 @@ def main():
                 y = jnp.asarray(
                     labels_all[pg.order[np.clip(y_ids, 0, N - 1)]])
                 ymask = jnp.asarray((y_ids >= 0).astype(np.float32))
-                h2d_bytes += rows.nbytes if hasattr(rows, "nbytes") else 0
+                h2d_bytes += (rows_u.nbytes
+                              if hasattr(rows_u, "nbytes") else 0)
             with timer.stage("train"):
                 nonlocal_params = run_epoch_steps.params
                 nonlocal_params, loss = train_step(
@@ -205,7 +216,7 @@ def main():
             "ms_per_step": round(per_step * 1e3, 1),
             "stage_shares": shares,
             "stage_detail": summ,
-            "h2d_bytes_per_step": int(h2d_bytes / steps),
+            "fetch_bytes_per_step": int(h2d_bytes / steps),
         }
 
     run_epoch_steps.params = params
