@@ -157,13 +157,18 @@ class DiskBasedFeature(Feature):
         return self._a.shape[0]
 
     def __del__(self):
-        if getattr(self, "_io", None) == "pread":
+        # interpreter teardown may have cleared module globals (os=None)
+        if getattr(self, "_io", None) == "pread" and os is not None:
             try:
                 os.close(self._fd)
-            except OSError:
+            except (OSError, TypeError):
                 pass
-        if getattr(self, "_pool", None) is not None:
-            self._pool.shutdown(wait=False)
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            try:
+                pool.shutdown(wait=False)
+            except Exception:
+                pass
 
 
 class CachedFeature(Feature):
