@@ -89,7 +89,10 @@ def prefix_reduce(pieces, n8, kind="sum", base=None):
             if m < n8:
                 segs.append(jnp.full((n8 - m,) + rows.shape[1:], ident,
                                      jnp.float32))
-            R = rows
+            # f32 running reduction regardless of piece dtype: callers
+            # may pass bf16 pieces (halves the piece-stream traffic; the
+            # values are already bf16-rounded so this changes no bits)
+            R = rows.astype(jnp.float32)
         elif m < R.shape[0]:
             segs.append(R[m:])
             R = comb(R[:m], rows)
