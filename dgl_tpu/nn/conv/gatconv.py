@@ -114,13 +114,29 @@ class GATConv(nn.Module):
                 and rel.shell_plan is not None
                 and edge_weight is None
                 and not get_attention
-                and not (self.attn_drop > 0 and not deterministic)
             ):
                 from ...ops.fused_gat import fused_gat_attention
 
+                drop = None
+                if self.attn_drop > 0 and not deterministic:
+                    # (E, H) eid-keyed mask (dropout AFTER softmax, the
+                    # reference's attn_drop); hardware RNG — see the
+                    # dense-path note above
+                    import jax
+                    import jax.numpy as jnp
+
+                    kd = jax.random.key_data(self.make_rng("dropout"))
+                    rk = jax.random.wrap_key_data(
+                        jnp.tile(kd.astype(jnp.uint32).ravel(), 2)[:4],
+                        impl="rbg",
+                    )
+                    keep = 1.0 - self.attn_drop
+                    drop = jax.random.bernoulli(
+                        rk, keep, (graph.num_edges(), H)
+                    ).astype(h_src.dtype) / keep
                 rst = fused_gat_attention(
                     self.negative_slope, rel.shell_plan,
-                    el[:, :, 0], er[:, :, 0], h_src,
+                    el[:, :, 0], er[:, :, 0], h_src, drop,
                 )
                 return self._finish(rst, feat_dst, H, O)
 

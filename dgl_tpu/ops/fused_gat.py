@@ -76,14 +76,22 @@ def _gd(plan):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_gat_attention(slope, plan: ShellSpMMPlan, el, er, h):
+def fused_gat_attention(slope, plan: ShellSpMMPlan, el, er, h,
+                        drop_mask=None):
     """``out[d] = sum_s softmax_{s in N(d)}(leaky_relu(el[s]+er[d])) h[s]``.
 
     el: (N_src, H); er: (N_dst, H); h: (N_src, H, O) -> (N_dst, H, O).
     Matches SDDMM+edge_softmax+u_mul_e_sum to f32 accuracy with
     ``gather_dtype='f32'`` plans (bf16-class with the default).
+
+    ``drop_mask``: optional (E, H) multiplier in EID order applied to the
+    normalized attention (the reference's ``attn_drop`` semantics,
+    ``gatconv.py:344``: dropout AFTER softmax, no renormalization) —
+    typically ``bernoulli(keep)/keep``. Keyed by edge id so the forward
+    and both backward orderings (dst-shell and src-shell space) see the
+    same mask through their own ``eidx`` gathers.
     """
-    out, _, _ = _fwd_impl(slope, plan, el, er, h)
+    out, _, _ = _fwd_impl(slope, plan, el, er, h, drop_mask)
     return out
 
 
@@ -103,7 +111,7 @@ def _src_rows(packed, H, HO_shape, nidx):
     return el_g, h_g
 
 
-def _fwd_impl(slope, plan, el, er, h):
+def _fwd_impl(slope, plan, el, er, h, drop_mask=None):
     n8 = _rup(plan.num_dst, 8)
     er_rank = _pad_rows(_ranked(er, plan.rank_dst).astype(jnp.float32), n8)
     packed, H = _src_pack(plan, el, h)
@@ -155,11 +163,13 @@ def _fwd_impl(slope, plan, el, er, h):
     # ---- pass 3: alpha * h accumulated -------------------------------
     gd = _gd(plan)
     pieces = []
-    for ((_n, _e, mask), raw, (_el_g, h_g)) in zip(plan.shells, raws,
-                                                   gathered):
+    for ((_n, eidx, mask), raw, (_el_g, h_g)) in zip(plan.shells, raws,
+                                                     gathered):
         m = raw.shape[0]
         alpha = jnp.exp(_leaky(raw, slope) - mx[:m]) / s[:m]
         alpha = jnp.where(mask > 0, alpha, 0.0)
+        if drop_mask is not None:
+            alpha = alpha * drop_mask[eidx]
         pieces.append((alpha.astype(gd)[..., None] * h_g)
                       .astype(jnp.float32))
     base = None
@@ -168,6 +178,8 @@ def _fwd_impl(slope, plan, el, er, h):
         alpha = jnp.where(res[4] > 0,
                           jnp.exp(_leaky(raw_res, slope) - mx_pad[r_pos])
                           / s_pad[r_pos], 0.0)
+        if drop_mask is not None:
+            alpha = alpha * drop_mask[res[1]]
         base = residual_reduce(
             (alpha.astype(gd)[..., None] * g_res[1]).astype(jnp.float32),
             res, n8, "sum")
@@ -176,16 +188,16 @@ def _fwd_impl(slope, plan, el, er, h):
     return out, mx, s
 
 
-def _fused_fwd(slope, plan, el, er, h):
-    out, mx, s = _fwd_impl(slope, plan, el, er, h)
-    return out, (plan, el, er, h, mx, s)
+def _fused_fwd(slope, plan, el, er, h, drop_mask=None):
+    out, mx, s = _fwd_impl(slope, plan, el, er, h, drop_mask)
+    return out, (plan, el, er, h, mx, s, drop_mask)
 
 
 def _fused_bwd(slope, residuals, dz):
-    plan, el, er, h, mx, s = residuals
+    plan, el, er, h, mx, s, drop_mask = residuals
     if mx is None:  # graph had no edges
         return (None, jnp.zeros_like(el), jnp.zeros_like(er),
-                jnp.zeros_like(h))
+                jnp.zeros_like(h), None)
     gd = _gd(plan)
     n8d = _rup(plan.num_dst, 8)
     n8s = _rup(plan.num_src, 8)
@@ -206,16 +218,21 @@ def _fused_bwd(slope, residuals, dz):
                             h_g).astype(jnp.float32)
         return alpha, dalpha
 
+    # dropout-after-softmax VJP: with y = sum (a*m) h,
+    # dlogit = (a*m)*dalpha - a*c where c = sum (a*m)*dalpha — the -a*c
+    # term uses the UNdropped a, so both are carried
     shell_ad = []
     pieces = []
-    for nidx, _e, mask in plan.shells:
+    for nidx, eidx, mask in plan.shells:
         m = nidx.shape[0]
         el_g, h_g = _src_rows(packed, H, HO, nidx)
         raw = el_g + er_rank[:m]
         alpha, dalpha = alpha_dalpha(raw, mask, h_g,
                                      (mx[:m], s[:m], dz_rank[:m]))
-        shell_ad.append((raw, alpha, dalpha))
-        pieces.append(alpha * dalpha)
+        alpha_m = (alpha if drop_mask is None
+                   else alpha * drop_mask[eidx])
+        shell_ad.append((raw, alpha, alpha_m, dalpha))
+        pieces.append(alpha_m * dalpha)
     base = None
     res_ad = None
     if res is not None and int(res[2].shape[0]) > 0:
@@ -226,20 +243,24 @@ def _fused_bwd(slope, residuals, dz):
         alpha_r, dalpha_r = alpha_dalpha(
             raw_r, maskf, h_g, (mx_pad[r_pos], s_pad[r_pos],
                                 dz_rank[r_pos]))
-        res_ad = (raw_r, alpha_r, dalpha_r)
-        base = residual_reduce(alpha_r * dalpha_r, res, n8d, "sum")
+        alpha_rm = (alpha_r if drop_mask is None
+                    else alpha_r * drop_mask[res[1]])
+        res_ad = (raw_r, alpha_r, alpha_rm, dalpha_r)
+        base = residual_reduce(alpha_rm * dalpha_r, res, n8d, "sum")
     c = prefix_reduce(pieces, n8d, kind="sum", base=base)
     c_pad = _pad_rows(c, n8d)
 
     pieces = [
-        alpha * (dalpha - c[: raw.shape[0]]) * _dleaky(raw, slope)
-        for raw, alpha, dalpha in shell_ad
+        (alpha_m * dalpha - alpha * c[: raw.shape[0]])
+        * _dleaky(raw, slope)
+        for raw, alpha, alpha_m, dalpha in shell_ad
     ]
     base = None
     if res_ad is not None:
-        raw_r, alpha_r, dalpha_r = res_ad
+        raw_r, alpha_r, alpha_rm, dalpha_r = res_ad
         base = residual_reduce(
-            alpha_r * (dalpha_r - c_pad[res[2]]) * _dleaky(raw_r, slope),
+            (alpha_rm * dalpha_r - alpha_r * c_pad[res[2]])
+            * _dleaky(raw_r, slope),
             res, n8d, "sum")
     der_rank = prefix_reduce(pieces, n8d, kind="sum", base=base)
     der = _unranked(der_rank, plan.unrank_dst, plan.num_dst
@@ -258,7 +279,7 @@ def _fused_bwd(slope, residuals, dz):
                         n8s)
     h_rank = _pad_rows(_ranked(h.astype(gd), plan.rank_src), n8s)
 
-    def rev_rows(nidx, maskf, el_pre, h_pre):
+    def rev_rows(nidx, eidx, maskf, el_pre, h_pre):
         pk = packed_rev[nidx]
         er_g = pk[:, :H].astype(jnp.float32)
         mx_g = pk[:, H:2 * H].astype(jnp.float32)
@@ -268,25 +289,29 @@ def _fused_bwd(slope, residuals, dz):
         raw = el_pre + er_g
         alpha = (jnp.exp(_leaky(raw, slope) - mx_g)
                  / jnp.maximum(s_g, 1e-38)) * maskf
+        alpha_m = (alpha if drop_mask is None
+                   else alpha * drop_mask[eidx])
         dalpha = jnp.einsum("eho,eho->eh", dz_g,
                             h_pre).astype(jnp.float32)
-        dlogit = alpha * (dalpha - c_g) * _dleaky(raw, slope)
-        dh_rows = (alpha.astype(gd)[..., None] * dz_g).astype(jnp.float32)
+        dlogit = (alpha_m * dalpha - alpha * c_g) * _dleaky(raw, slope)
+        dh_rows = (alpha_m.astype(gd)[..., None]
+                   * dz_g).astype(jnp.float32)
         return dlogit, dh_rows
 
     pieces_del = []
     pieces_dh = []
-    for nidx, _e, mask in plan.rev_shells:
+    for nidx, eidx, mask in plan.rev_shells:
         m = nidx.shape[0]
-        dlogit, dh_rows = rev_rows(nidx, mask, el_rank[:m], h_rank[:m])
+        dlogit, dh_rows = rev_rows(nidx, eidx, mask, el_rank[:m],
+                                   h_rank[:m])
         pieces_del.append(dlogit)
         pieces_dh.append(dh_rows)
     base_del = base_dh = None
     rres = plan.res_src
     if rres is not None and int(rres[2].shape[0]) > 0:
-        r_nidx, _r_eidx, r_pos = rres[0], rres[1], rres[2]
+        r_nidx, r_eidx, r_pos = rres[0], rres[1], rres[2]
         maskf = rres[4]
-        dlogit_r, dh_r = rev_rows(r_nidx, maskf, el_rank[r_pos],
+        dlogit_r, dh_r = rev_rows(r_nidx, r_eidx, maskf, el_rank[r_pos],
                                   h_rank[r_pos])
         base_del = residual_reduce(dlogit_r, rres, n8s, "sum")
         base_dh = residual_reduce(dh_r, rres, n8s, "sum")
@@ -295,7 +320,7 @@ def _fused_bwd(slope, residuals, dz):
     del_ = _unranked(del_rank, plan.unrank_src, plan.num_src
                      ).astype(el.dtype)
     dh = _unranked(dh_rank, plan.unrank_src, plan.num_src).astype(h.dtype)
-    return (None, del_, der, dh)
+    return (None, del_, der, dh, None)
 
 
 fused_gat_attention.defvjp(_fused_fwd, _fused_bwd)

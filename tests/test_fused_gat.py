@@ -121,3 +121,70 @@ def test_bf16_gather_error_bound():
     a = np.asarray(fused_gat_attention(0.2, plan16, el, er, h))
     b = np.asarray(fused_gat_attention(0.2, plan32, el, er, h))
     assert np.linalg.norm(a - b) / np.linalg.norm(b) < 2e-2
+
+
+def test_dropout_mask_grad_parity():
+    """attn_drop semantics (dropout AFTER softmax, reference
+    gatconv.py:344): fused path with an (E, H) eid-order mask matches
+    the chain with the same mask, values and grads."""
+    g = _graph(n=250, e=2000, seed=8)
+    plan = build_shell_plan(g._relation(None), gather_dtype="f32")
+    rng = np.random.default_rng(9)
+    H, O = 3, 6
+    E = g.num_edges()
+    el = jnp.asarray(rng.normal(size=(250, H)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(250, H)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(250, H, O)).astype(np.float32))
+    keep = 0.6
+    mask = jnp.asarray(
+        (rng.random((E, H)) < keep).astype(np.float32) / keep)
+    w = jnp.asarray(rng.normal(size=(250, H, O)).astype(np.float32))
+
+    def loss_f(el, er, h):
+        return (fused_gat_attention(0.2, plan, el, er, h, mask) * w).sum()
+
+    def loss_r(el, er, h):
+        from dgl_tpu import function as fn
+        from dgl_tpu.ops import edge_softmax
+
+        with g.local_scope() as gg:
+            gg.srcdata.update({"ft": h, "el": el[:, :, None]})
+            gg.dstdata.update({"er": er[:, :, None]})
+            gg.apply_edges(fn.u_add_v("el", "er", "e"))
+            e = jax.nn.leaky_relu(gg.edata["e"], 0.2)
+            a = edge_softmax(gg, e) * mask[:, :, None]
+            gg.edata["a"] = a
+            gg.update_all(fn.u_mul_e("ft", "a", "m"), fn.sum("m", "ft"))
+            return (gg.dstdata["ft"] * w).sum()
+
+    v_f = float(loss_f(el, er, h))
+    v_r = float(loss_r(el, er, h))
+    np.testing.assert_allclose(v_f, v_r, rtol=1e-5)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(el, er, h)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(el, er, h)
+    for a, b, name in zip(gf, gr, ["del", "der", "dh"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_gatconv_fused_dropout_runs_and_is_unbiased():
+    g = _graph(n=200, e=1600, seed=10)
+    gw = g.with_spmm_plans(num_hubs=16, weighted=True,
+                           gather_dtype="f32", dense_attn=False)
+    x = jnp.ones((200, 8))
+    conv = GATConv(8, 4, num_heads=2, attn_drop=0.5,
+                   allow_zero_in_degree=True)
+    params = conv.init(jax.random.PRNGKey(0), gw, x)
+    det = conv.apply(params, gw, x)
+    outs = [
+        conv.apply(params, gw, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(i)})
+        for i in range(24)
+    ]
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+    mean = np.mean([np.asarray(o) for o in outs], axis=0)
+    # E[dropout-masked attention] == deterministic output
+    rel_l2 = (np.linalg.norm(mean - np.asarray(det))
+              / np.linalg.norm(np.asarray(det)))
+    assert rel_l2 < 0.2, rel_l2
