@@ -84,7 +84,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lib.aggregate_csr.argtypes = [
         i32p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int, i64p, i32p, f32p,
+        ctypes.c_int, ctypes.c_int64, i64p, i32p, f32p,
     ]
     lib.aggregate_csr.restype = ctypes.c_int64
     u8p_w = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
@@ -244,11 +244,13 @@ def hem_match(rows, cols, num_nodes):
     return matched
 
 
-def aggregate_csr(rows, cols, weights, n, skip_diag=True):
+def aggregate_csr(rows, cols, weights, n, skip_diag=True, row_cap=0):
     """Parallel grouped-CSR aggregation: sum weights over (row, col)
     groups, canonical CSR out (sorted unique cols/row). ``weights`` may
-    be None (unit). Returns (indptr i64, cols i32, weights f32) or None
-    when native is unavailable (caller falls back to scipy)."""
+    be None (unit). ``row_cap`` > 0 keeps only each row's heaviest
+    ``row_cap`` entries (structure-aware coarse prune). Returns
+    (indptr i64, cols i32, weights f32) or None when native is
+    unavailable (caller falls back to scipy)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -263,7 +265,8 @@ def aggregate_csr(rows, cols, weights, n, skip_diag=True):
     out_cols = np.empty(m, np.int32)
     out_w = np.empty(m, np.float32)
     nnz = lib.aggregate_csr(rows, cols, wptr, m, n,
-                            1 if skip_diag else 0, indptr, out_cols, out_w)
+                            1 if skip_diag else 0, int(row_cap),
+                            indptr, out_cols, out_w)
     return indptr, out_cols[:nnz].copy(), out_w[:nnz].copy()
 
 

@@ -133,12 +133,25 @@ def _coarsen(adj, weights, wmax=None):
     _, mapping = np.unique(matched, return_inverse=True)
     nc = int(mapping.max()) + 1
     coo_full = adj.tocoo()
+    # dense-coarse prune, STRUCTURE-AWARE: when supernode connectivity
+    # densifies (community graphs pin nnz near-flat across levels —
+    # 300-400 s/level and an OOM at 500M edges), keep each supernode's
+    # ~96 HEAVIEST neighbors inside the native aggregation. A global
+    # weight threshold with random tie-dropping was measured to destroy
+    # quality at 500M edges (cut 8.3x planted): weight-1 ties carry the
+    # community signal, per-row selection keeps every supernode attached
+    # to its strongest neighbors. Symmetrized by maximum afterwards.
+    dense_coarse = adj.nnz > 32 * adj.shape[0]
+    cap = 96 if dense_coarse else 0
     res = _native.aggregate_csr(
         mapping[coo_full.row], mapping[coo_full.col],
-        coo_full.data, nc, skip_diag=True) if nc < 2**31 else None
+        coo_full.data, nc, skip_diag=True,
+        row_cap=cap) if nc < 2**31 else None
     if res is not None:
         indptr, cols, w = res
         cadj = sp.csr_matrix((w, cols, indptr), shape=(nc, nc))
+        if cap:
+            cadj = cadj.maximum(cadj.T)
     else:
         cadj = sp.coo_matrix(
             (coo_full.data,
@@ -146,35 +159,6 @@ def _coarsen(adj, weights, wmax=None):
             shape=(nc, nc),
         ).tocsr()
         cadj.setdiag(0)
-        cadj.eliminate_zeros()
-    # dense-coarse pruning: community-style graphs coarsen into near-dense
-    # supernode connectivity (measured: nnz pinned at ~190M across levels
-    # at 100M edges, 300-400 s/level). Keep only the heaviest ~64 edges
-    # per supernode on average — light cross-community edges carry little
-    # weight, and k-way refinement on the FULL fine graph repairs any
-    # loss. Never triggers below ~128 edges/supernode (the quality-gated
-    # small/mid regime).
-    cap_nnz = 64 * nc
-    if cadj.nnz > 2 * cap_nnz:
-        # subsampled quantile: the prune is heuristic, a ~0.1% threshold
-        # error is immaterial vs a full np.partition on ~190M values
-        # (measured ~9 s/level at 100M edges). Weights tie heavily
-        # (integer multiplicities), so drop a RANDOM fraction of the
-        # tied mass too — with a strict < alone the cap never engaged
-        # (900M nnz flat across levels at 500M edges -> OOM).
-        samp = cadj.data[:: max(1, cadj.nnz // 1_000_000)]
-        q = 1.0 - cap_nnz / cadj.nnz
-        thr = np.quantile(samp, q)
-        below = cadj.data < thr
-        tie = cadj.data == thr
-        n_tie = int(tie.sum())
-        want_drop = int(q * cadj.nnz) - int(below.sum())
-        if n_tie > 0 and want_drop > 0:
-            frac = min(1.0, want_drop / n_tie)
-            rngp = np.random.default_rng(0)
-            tie &= rngp.random(cadj.nnz) < frac
-            below |= tie
-        cadj.data[below] = 0
         cadj.eliminate_zeros()
     cw = np.bincount(mapping, weights=weights, minlength=nc)
     return cadj, cw, mapping
