@@ -133,16 +133,19 @@ def _coarsen(adj, weights, wmax=None):
     _, mapping = np.unique(matched, return_inverse=True)
     nc = int(mapping.max()) + 1
     coo_full = adj.tocoo()
-    # dense-coarse prune, STRUCTURE-AWARE: when supernode connectivity
-    # densifies (community graphs pin nnz near-flat across levels —
-    # 300-400 s/level and an OOM at 500M edges), keep each supernode's
-    # ~96 HEAVIEST neighbors inside the native aggregation. A global
-    # weight threshold with random tie-dropping was measured to destroy
-    # quality at 500M edges (cut 8.3x planted): weight-1 ties carry the
-    # community signal, per-row selection keeps every supernode attached
-    # to its strongest neighbors. Symmetrized by maximum afterwards.
-    dense_coarse = adj.nnz > 32 * adj.shape[0]
-    cap = 96 if dense_coarse else 0
+    # dense-coarse prune: OFF by default. Both prune variants measured
+    # at 100M edges destroy partition quality through the coarsening
+    # chain (global weight threshold + random tie drops: 8.3x planted at
+    # 500M; per-row top-96: 5.4-6.9x at 100M — refinement cannot repair
+    # a chain whose coarse structure is gone; the unpruned chain scores
+    # 1.00-1.02). Memory at 500M+ is handled by DISK-SPILLING the level
+    # graphs instead (_kway_multilevel). Opt-in for experiments:
+    # DGL_TPU_COARSE_ROW_CAP=<k>.
+    import os as _os
+
+    cap = int(_os.environ.get("DGL_TPU_COARSE_ROW_CAP", "0"))
+    if adj.nnz <= 32 * adj.shape[0]:
+        cap = 0
     res = _native.aggregate_csr(
         mapping[coo_full.row], mapping[coo_full.col],
         coo_full.data, nc, skip_diag=True,
@@ -349,29 +352,33 @@ def _kway_multilevel(adj, weights, k):
     bisection there, then project down with a k-way refinement pass per
     level (METIS's kway scheme, ``src/graph/metis_partition.cc``). The
     per-bisection path re-coarsens the whole graph O(k) times — measured
-    unaffordable at 100M edges."""
+    unaffordable at 100M edges.
+
+    The chain is UNPRUNED (every prune variant measured at 100M+ was
+    refinement-unrecoverable — see _coarsen); memory at 500M+ edges is
+    handled by spilling level graphs to disk and reloading one at a time
+    during refinement (the 500M chain held ~6 x ~10 GB levels and OOM'd
+    a 125 GB host when kept in RAM)."""
     import os as _os
+    import tempfile as _tempfile
     import time as _time
 
     verbose = bool(_os.environ.get("DGL_TPU_PARTITION_VERBOSE"))
-    # levels with nnz past this spill their adjacency to disk instead of
-    # pinning it in RAM for the whole chain (500M-edge chains held ~6
-    # levels x ~10 GB and OOM'd a 125 GB host)
+    # default spill threshold keeps 100M-edge chains (levels ~180M nnz,
+    # ~2.5 GB each) in RAM; 500M-edge levels (~950M nnz) spill
     spill_nnz = int(_os.environ.get("DGL_TPU_KWAY_SPILL_NNZ",
-                                    str(150_000_000)))
-    import tempfile as _tempfile
-
+                                    str(400_000_000)))
     spill_dir = None
 
-    def _maybe_spill(a, w):
+    def _maybe_spill(a, w, idx):
         nonlocal spill_dir
         if a.nnz <= spill_nnz:
             return (a, w)
-        if spill_dir is None:
-            spill_dir = _tempfile.mkdtemp(prefix="dgl_tpu_kway_")
-        path = _os.path.join(spill_dir, f"lvl{len(levels)}.npz")
         import scipy.sparse as _sp
 
+        if spill_dir is None:
+            spill_dir = _tempfile.mkdtemp(prefix="dgl_tpu_kway_")
+        path = _os.path.join(spill_dir, f"lvl{idx}.npz")
         _sp.save_npz(path, a)
         np.save(path + ".w.npy", w)
         return (path, None)
@@ -396,7 +403,7 @@ def _kway_multilevel(adj, weights, k):
                   f"({a2.nnz} nnz) {_time.time()-t0:.0f}s", flush=True)
         if a2.shape[0] >= a.shape[0] * 0.95:
             break
-        levels.append((mapping, _maybe_spill(a, w)))
+        levels.append((mapping, _maybe_spill(a, w, len(levels))))
         del a, w
         a, w = a2, w2
     t0 = _time.time()
@@ -418,7 +425,8 @@ def _kway_multilevel(adj, weights, k):
         if verbose:
             print(f"[kway] refine @{fine_a.shape[0]} nodes "
                   f"{_time.time()-t0:.0f}s", flush=True)
-        del fine_a, fine_w
+        if fine_a is not adj:
+            del fine_a
     if spill_dir is not None:
         import shutil as _shutil
 
