@@ -25,6 +25,8 @@ void sample_neighbors_etype(const int64_t*, const int64_t*, const int64_t*,
                             const int64_t*, int64_t, const int64_t*,
                             const int64_t*, int64_t, int, uint64_t,
                             int64_t*, int64_t*, uint8_t*);
+int64_t aggregate_csr(const int32_t*, const int32_t*, const float*, int64_t,
+                      int64_t, int, int64_t, int64_t*, int32_t*, float*);
 }
 
 static void test_coo_to_csr() {
@@ -350,7 +352,67 @@ static void test_etype_pick() {
   std::puts("etype pick ok");
 }
 
+static void test_aggregate_csr() {
+  // group-sum with duplicates + diag skip, reference computed by brute force
+  std::mt19937 rng(5);
+  const int64_t n = 37, m = 5000;
+  std::vector<int32_t> rows(m), cols(m);
+  std::vector<float> w(m);
+  std::vector<std::vector<float>> dense(n, std::vector<float>(n, 0.f));
+  for (int64_t i = 0; i < m; ++i) {
+    rows[i] = (int32_t)(rng() % n);
+    cols[i] = (int32_t)(rng() % n);
+    w[i] = (float)(1 + rng() % 5);
+    if (rows[i] != cols[i]) dense[rows[i]][cols[i]] += w[i];
+  }
+  std::vector<int64_t> indptr(n + 1);
+  std::vector<int32_t> oc(m);
+  std::vector<float> ow(m);
+  int64_t nnz = aggregate_csr(rows.data(), cols.data(), w.data(), m, n,
+                              /*skip_diag=*/1, /*row_cap=*/0,
+                              indptr.data(), oc.data(), ow.data());
+  int64_t expect_nnz = 0;
+  for (int64_t r = 0; r < n; ++r)
+    for (int64_t c = 0; c < n; ++c) expect_nnz += dense[r][c] > 0;
+  assert(nnz == expect_nnz);
+  for (int64_t r = 0; r < n; ++r) {
+    int32_t prev = -1;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      assert(oc[i] > prev);  // sorted unique cols
+      prev = oc[i];
+      assert(ow[i] == dense[r][oc[i]]);
+    }
+  }
+  // row_cap keeps each row's heaviest K, still col-sorted
+  const int64_t K = 8;
+  nnz = aggregate_csr(rows.data(), cols.data(), w.data(), m, n, 1, K,
+                      indptr.data(), oc.data(), ow.data());
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t cnt = indptr[r + 1] - indptr[r];
+    assert(cnt <= K);
+    // kept weights are the top-cnt of the row (multiset compare)
+    std::vector<float> all;
+    for (int64_t c = 0; c < n; ++c)
+      if (dense[r][c] > 0) all.push_back(dense[r][c]);
+    std::sort(all.rbegin(), all.rend());
+    std::vector<float> kept(ow.begin() + indptr[r],
+                            ow.begin() + indptr[r + 1]);
+    std::sort(kept.rbegin(), kept.rend());
+    double kept_sum = 0, top_sum = 0;
+    for (auto v : kept) kept_sum += v;
+    for (int64_t i = 0; i < cnt; ++i) top_sum += all[i];
+    assert(kept_sum >= top_sum - 1e-3);  // ties may swap, mass matches
+    int32_t prev = -1;
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      assert(oc[i] > prev);
+      prev = oc[i];
+    }
+  }
+  std::puts("aggregate_csr ok");
+}
+
 int main() {
+  test_aggregate_csr();
   test_etype_pick();
   test_hem_match();
   test_coo_to_csr();
