@@ -192,6 +192,11 @@ def _bitmap_matmul_xla(bits, x, cd, chunk=1024):
     return y.reshape(H, x.shape[1])
 
 
+# CI hook: force the Pallas kernel through the interpreter on CPU so the
+# kernel itself (not just the XLA fallback) is regression-locked by tests
+_FORCE_PALLAS_INTERPRET = False
+
+
 def _bitmap_matmul_pallas(bits, x, cd):
     """The Pallas kernel: bits block -> VMEM, VPU expand, MXU dot,
     (C, FC) f32 accumulator revisited across the src-tile grid dim.
@@ -238,6 +243,7 @@ def _bitmap_matmul_pallas(bits, x, cd):
         out_specs=pl.BlockSpec((_C, FC), lambda i, f, j: (i, f),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, Fp), jnp.float32),
+        interpret=_FORCE_PALLAS_INTERPRET,
     )(bits, x)
     return out[:, :F] if Fp > F else out
 

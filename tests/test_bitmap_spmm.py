@@ -141,3 +141,24 @@ def test_graph_pytree_roundtrip_with_bitmap():
     ref = ops.copy_u_sum(_simple_graph(seed=10), u)
     assert (np.linalg.norm(np.asarray(out) - np.asarray(ref))
             / np.linalg.norm(np.asarray(ref)) < 1e-2)
+
+
+def test_pallas_kernel_interpret_matches_xla_fallback():
+    """Lock the Pallas kernel itself in CI (interpret mode on CPU): the
+    tile-repeat plane expand + MXU accumulation must match the XLA
+    fallback bit for bit at f32."""
+    import dgl_tpu.ops.bitmap_spmm as bs
+
+    g = _simple_graph(n_src=700, n_dst=600, e=9000, seed=12)
+    plan = build_bitmap_plan(g._relation(None), compute_dtype="float32")
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.normal(size=(700, 20)).astype(np.float32))
+    up = jnp.pad(u, ((0, plan.bits.shape[1] * 8 - 700), (0, 0)))
+    ref = bs._bitmap_matmul_xla(plan.bits, up, jnp.float32)
+    bs._FORCE_PALLAS_INTERPRET = True
+    try:
+        out = bs._bitmap_matmul_pallas(plan.bits, up, jnp.float32)
+    finally:
+        bs._FORCE_PALLAS_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
