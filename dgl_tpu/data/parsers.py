@@ -547,3 +547,39 @@ def parse_fraud_mat(raw_dir: str, name: str):
         coo = sp.coo_matrix(data[et])
         rels[et] = (coo.row.astype(np.int64), coo.col.astype(np.int64))
     return rels, feats, labels
+
+
+def parse_ppi_dir(raw_dir: str, mode: str = "train"):
+    """Parse the real PPI layout (reference ``data/ppi.py:73-92``, the
+    GraphSAGE distribution): ``{mode}_graph.json`` (networkx node-link),
+    ``{mode}_feats.npy`` (N, 50), ``{mode}_labels.npy`` (N, 121),
+    ``{mode}_graph_id.npy`` (N,) splitting nodes into the 20/2/2
+    component graphs. Returns (edges (2, E) over GLOBAL node ids,
+    feats, labels, graph_id)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(raw_dir, f"{mode}_graph.json")) as f:
+        nl = _json.load(f)
+    id_of = {}
+    for i, node in enumerate(nl["nodes"]):
+        id_of[node["id"]] = i
+    src = []
+    dst = []
+    for link in nl["links"]:
+        src.append(id_of[link["source"]])
+        dst.append(id_of[link["target"]])
+    edges = np.asarray([src, dst], dtype=np.int64)
+    feats = np.load(_os.path.join(raw_dir, f"{mode}_feats.npy"))
+    labels = np.load(_os.path.join(raw_dir, f"{mode}_labels.npy"))
+    graph_id = np.load(
+        _os.path.join(raw_dir, f"{mode}_graph_id.npy")).astype(np.int64)
+    return edges, feats.astype(np.float32), labels.astype(np.float32), \
+        graph_id
+
+
+def has_ppi_raw(raw_dir, mode: str = "train") -> bool:
+    import os as _os
+
+    return bool(raw_dir) and _os.path.exists(
+        _os.path.join(raw_dir, f"{mode}_graph.json"))

@@ -256,15 +256,44 @@ class RedditDataset(SyntheticDataset):
 
 
 class PPIDataset(DGLDataset):
-    """PPI-shaped multi-graph multilabel dataset (reference ``data/ppi.py``:
-    24 graphs, 121 labels). Synthetic: 6 small graphs per split."""
+    """PPI multi-graph multilabel dataset (reference ``data/ppi.py``:
+    24 graphs, 121 labels). With ``raw_dir`` holding the real GraphSAGE
+    distribution ({mode}_graph.json node-link + feats/labels/graph_id
+    .npy), parses it (``parsers.parse_ppi_dir``); otherwise a synthetic
+    stand-in (6 small graphs per split)."""
 
-    def __init__(self, mode="train", transform=None, **kwargs):
+    def __init__(self, mode="train", raw_dir=None, transform=None,
+                 **kwargs):
         assert mode in ("train", "valid", "test")
         self.mode = mode
+        self._ppi_raw_dir = raw_dir
         super().__init__(name=f"ppi_synthetic_{mode}", transform=transform)
 
+    def _process_real(self):
+        from .. import convert
+        from .parsers import parse_ppi_dir
+
+        edges, feats, labels, graph_id = parse_ppi_dir(
+            self._ppi_raw_dir, self.mode)
+        self._graphs = []
+        for gid in np.unique(graph_id):
+            nodes = np.nonzero(graph_id == gid)[0]
+            remap = -np.ones(graph_id.shape[0], np.int64)
+            remap[nodes] = np.arange(nodes.shape[0])
+            emask = (graph_id[edges[0]] == gid) & (graph_id[edges[1]] == gid)
+            g = convert.graph(
+                (remap[edges[0][emask]], remap[edges[1][emask]]),
+                num_nodes=nodes.shape[0])
+            g.ndata["feat"] = jnp.asarray(feats[nodes])
+            g.ndata["label"] = jnp.asarray(labels[nodes])
+            self._graphs.append(g)
+
     def process(self):
+        from .parsers import has_ppi_raw
+
+        if has_ppi_raw(self._ppi_raw_dir, self.mode):
+            self._process_real()
+            return
         from .. import convert
 
         seed = {"train": 0, "valid": 100, "test": 200}[self.mode]

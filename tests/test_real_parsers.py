@@ -226,3 +226,39 @@ def test_fraud_real_mat():
                                   raw["label"].squeeze().astype(np.int32))
     tm = np.asarray(g.nodes["review"].data["train_mask"])
     assert 0 < tm.sum() < n
+
+
+def test_ppi_real_layout(tmp_path):
+    """Real PPI layout (GraphSAGE distribution; reference data/ppi.py):
+    node-link json + feats/labels/graph_id npy -> per-component graphs."""
+    import json
+
+    rng = np.random.default_rng(0)
+    n = 40
+    gid = np.repeat([0, 1], [25, 15])
+    nodes = [{"id": int(i)} for i in range(n)]
+    links = []
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        if gid[a] == gid[b]:
+            links.append({"source": int(a), "target": int(b)})
+    json.dump({"nodes": nodes, "links": links},
+              open(tmp_path / "train_graph.json", "w"))
+    np.save(tmp_path / "train_feats.npy",
+            rng.normal(size=(n, 50)).astype(np.float32))
+    np.save(tmp_path / "train_labels.npy",
+            (rng.random((n, 121)) < 0.1).astype(np.float32))
+    np.save(tmp_path / "train_graph_id.npy", gid)
+
+    from dgl_tpu.data import PPIDataset
+
+    ds = PPIDataset(mode="train", raw_dir=str(tmp_path))
+    assert len(ds) == 2
+    g0, g1 = ds[0], ds[1]
+    assert g0.num_nodes() == 25 and g1.num_nodes() == 15
+    assert g0.ndata["feat"].shape == (25, 50)
+    assert g0.ndata["label"].shape == (25, 121)
+    assert g0.num_edges() + g1.num_edges() == len(links)
+    # every edge stays within its component
+    src, dst = (np.asarray(a) for a in g1.edges())
+    assert src.max() < 15 and dst.max() < 15
