@@ -336,21 +336,55 @@ class ZINCDataset(MoleculeRegressionDataset):
 
 
 class _SuperPixelDataset(GraphClassificationDataset):
-    def __init__(self, name, num_graphs, transform=None, **kwargs):
+    """With ``raw_dir`` holding the benchmarking-gnns pickles
+    (``superpixels/mnist_75sp_{split}.pkl`` — reference
+    ``data/superpixel.py``), parses the real data
+    (``parsers.parse_superpixel_pkl``); else synthetic-shaped."""
+
+    SP_NAME = "MNIST"
+
+    def __init__(self, name, num_graphs, raw_dir=None, split="train",
+                 use_feature=False, transform=None, **kwargs):
+        self._sp_raw = raw_dir
+        self._sp_split = split
+        self._sp_use_feature = use_feature
         super().__init__(name=name, num_graphs=num_graphs, num_classes=10,
                          feat_dim=3, transform=transform)
+
+    def process(self):
+        from .parsers import has_superpixel_raw, parse_superpixel_pkl
+
+        if not has_superpixel_raw(self._sp_raw, self.SP_NAME,
+                                  self._sp_split):
+            super().process()
+            return
+        from .. import convert
+
+        samples = parse_superpixel_pkl(self._sp_raw, self.SP_NAME,
+                                       self._sp_split,
+                                       self._sp_use_feature)
+        self._graphs = []
+        self._labels = []
+        for src, dst, x, ev, y in samples:
+            g = convert.graph((src, dst), num_nodes=x.shape[0])
+            g.ndata["feat"] = jnp.asarray(x)
+            g.edata["feat"] = jnp.asarray(ev[:, None])
+            self._graphs.append(g)
+            self._labels.append(y)
 
 
 class MNISTSuperPixelDataset(_SuperPixelDataset):
     def __init__(self, num_graphs=500, transform=None, **kwargs):
         super().__init__("MNISTSuperPixelDataset", num_graphs,
-                         transform=transform)
+                         transform=transform, **kwargs)
 
 
 class CIFAR10SuperPixelDataset(_SuperPixelDataset):
+    SP_NAME = "CIFAR10"
+
     def __init__(self, num_graphs=500, transform=None, **kwargs):
         super().__init__("CIFAR10SuperPixelDataset", num_graphs,
-                         transform=transform)
+                         transform=transform, **kwargs)
 
 
 # -- GNN benchmark inductive node classification (reference

@@ -583,3 +583,83 @@ def has_ppi_raw(raw_dir, mode: str = "train") -> bool:
 
     return bool(raw_dir) and _os.path.exists(
         _os.path.join(raw_dir, f"{mode}_graph.json"))
+
+
+def parse_superpixel_pkl(raw_dir: str, name: str = "MNIST",
+                         split: str = "train", use_feature: bool = False):
+    """Parse the benchmarking-gnns superpixel pickle (reference
+    ``data/superpixel.py:150-154``): ``superpixels/{mnist_75sp|
+    cifar10_150sp}_{split}.pkl`` holding ``(labels, sp_data)`` with
+    ``sample[:2] = (mean_px (N, C), coord (N, 2))``. Rebuilds the
+    gaussian-kernel kNN graph (sigma = mean of each node's 8 nearest
+    distances; top-8 most-similar neighbors per node) and returns a list
+    of ``(src, dst, node_feat (N, C+2), edge_feat (E,), label)``.
+    """
+    import os as _os
+    import pickle as _pickle
+
+    from scipy.spatial.distance import cdist
+
+    img_size = 28 if name == "MNIST" else 32
+    stem = "mnist_75sp" if name == "MNIST" else "cifar10_150sp"
+    path = _os.path.join(raw_dir, "superpixels", f"{stem}_{split}.pkl")
+    if not _os.path.exists(path):
+        path = _os.path.join(raw_dir, f"{stem}_{split}.pkl")
+    with open(path, "rb") as f:
+        labels, sp_data = _pickle.load(f)
+
+    def knn_sigma(d, kth=8):
+        n = d.shape[0]
+        if n - 1 <= kth:
+            return np.ones((n, 1))
+        nn = np.partition(d, kth, axis=-1)[:, : kth + 1]
+        return nn.sum(axis=1, keepdims=True) / kth + 1e-8
+
+    out = []
+    for i, sample in enumerate(sp_data):
+        mean_px, coord = sample[0], sample[1]
+        coord = coord.reshape(-1, 2) / img_size
+        n = coord.shape[0]
+        mean_px = mean_px.reshape(n, -1)
+        cd_ = cdist(coord, coord)
+        A = -((cd_ / knn_sigma(cd_)) ** 2)
+        if use_feature:
+            fd = cdist(mean_px, mean_px)
+            A = A - (fd / knn_sigma(fd)) ** 2
+        A = np.exp(A)
+        A = 0.5 * (A + A.T)
+        np.fill_diagonal(A, 0)
+        kth = 9
+        src_l, dst_l, ev_l = [], [], []
+        if n > kth:
+            order = np.argpartition(A, n - kth - 1, axis=-1)[:, n - kth:-1]
+            for u in range(n):
+                for v in order[u]:
+                    if v != u:
+                        src_l.append(u)
+                        dst_l.append(int(v))
+                        ev_l.append(A[u, v])
+        else:
+            for u in range(n):
+                for v in range(n):
+                    if u != v or n == 1:
+                        src_l.append(u)
+                        dst_l.append(v)
+                        ev_l.append(A[u, v])
+        x = np.concatenate([mean_px, coord], axis=1).astype(np.float32)
+        out.append((np.asarray(src_l, np.int64),
+                    np.asarray(dst_l, np.int64), x,
+                    np.asarray(ev_l, np.float32), int(labels[i])))
+    return out
+
+
+def has_superpixel_raw(raw_dir, name="MNIST", split="train") -> bool:
+    import os as _os
+
+    if not raw_dir:
+        return False
+    stem = "mnist_75sp" if name == "MNIST" else "cifar10_150sp"
+    return (_os.path.exists(_os.path.join(raw_dir, "superpixels",
+                                          f"{stem}_{split}.pkl"))
+            or _os.path.exists(_os.path.join(raw_dir,
+                                             f"{stem}_{split}.pkl")))

@@ -262,3 +262,37 @@ def test_ppi_real_layout(tmp_path):
     # every edge stays within its component
     src, dst = (np.asarray(a) for a in g1.edges())
     assert src.max() < 15 and dst.max() < 15
+
+
+def test_superpixel_real_pkl(tmp_path):
+    """Real superpixel pickle (benchmarking-gnns layout; reference
+    data/superpixel.py:150): (labels, [(mean_px, coord), ...]) ->
+    gaussian-kNN graphs with node/edge features."""
+    import pickle
+
+    rng = np.random.default_rng(0)
+    sp_data = []
+    labels = []
+    for i in range(5):
+        n = int(rng.integers(30, 60))
+        sp_data.append((rng.random((n, 1)).astype(np.float32),
+                        (rng.random((n, 2)) * 28).astype(np.float32)))
+        labels.append(i % 10)
+    d = tmp_path / "superpixels"
+    d.mkdir()
+    with open(d / "mnist_75sp_train.pkl", "wb") as f:
+        pickle.dump((np.asarray(labels), sp_data), f)
+
+    from dgl_tpu.data import MNISTSuperPixelDataset
+
+    ds = MNISTSuperPixelDataset(raw_dir=str(tmp_path), split="train")
+    assert len(ds) == 5
+    g0, y0 = ds[0]
+    n0 = sp_data[0][0].shape[0]
+    assert g0.num_nodes() == n0
+    assert g0.ndata["feat"].shape == (n0, 3)  # mean_px + 2 coords
+    assert g0.edata["feat"].shape[1] == 1
+    # 8-NN-by-similarity construction: at most 8 out-edges per node
+    src, _ = (np.asarray(a) for a in g0.edges())
+    assert np.bincount(src, minlength=n0).max() <= 8
+    assert int(y0) == 0
