@@ -602,11 +602,35 @@ class SSTDataset(DGLDataset):
     PAD_WORD = -1
 
     def __init__(self, mode="tiny", num_trees=200, vocab_size=300, seed=0,
-                 transform=None, **kwargs):
+                 raw_dir=None, vocab_file=None, transform=None, **kwargs):
         self._cfg = (num_trees, vocab_size, seed)
+        self._sst_raw = raw_dir
+        self._sst_mode = "train" if mode == "tiny" else mode
+        self._sst_vocab_file = vocab_file
         super().__init__(name=f"SSTDataset_{mode}", transform=transform)
 
+    def _process_real(self):
+        from .. import convert
+        from .parsers import parse_sst_trees
+
+        trees, vocab = parse_sst_trees(self._sst_raw, self._sst_mode,
+                                       self._sst_vocab_file)
+        self.vocab = vocab
+        self.vocab_size = len(vocab)
+        self._graphs = []
+        for src, dst, x, y, mask in trees:
+            g = convert.graph((src, dst), num_nodes=x.shape[0])
+            g.ndata["x"] = jnp.asarray(x)
+            g.ndata["y"] = jnp.asarray(y)
+            g.ndata["mask"] = jnp.asarray(mask)
+            self._graphs.append(g)
+
     def process(self):
+        from .parsers import has_sst_raw
+
+        if has_sst_raw(self._sst_raw, self._sst_mode):
+            self._process_real()
+            return
         from .. import convert
 
         nb, vocab, s = self._cfg

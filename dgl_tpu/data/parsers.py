@@ -663,3 +663,93 @@ def has_superpixel_raw(raw_dir, name="MNIST", split="train") -> bool:
                                           f"{stem}_{split}.pkl"))
             or _os.path.exists(_os.path.join(raw_dir,
                                              f"{stem}_{split}.pkl")))
+
+
+def _ptb_parse(line: str):
+    """Parse one PTB s-expression ``(label child child ...)`` into a
+    nested (label, children-or-word) tuple (reference ``data/tree.py``
+    uses nltk.Tree.fromstring; this is a dependency-free reader)."""
+    tokens = line.replace("(", " ( ").replace(")", " ) ").split()
+    pos = 0
+
+    def rec():
+        nonlocal pos
+        assert tokens[pos] == "(", tokens[pos]
+        pos += 1
+        label = int(tokens[pos])
+        pos += 1
+        children = []
+        word = None
+        while tokens[pos] != ")":
+            if tokens[pos] == "(":
+                children.append(rec())
+            else:
+                word = tokens[pos]
+                pos += 1
+        pos += 1
+        return (label, children if children else word)
+
+    return rec()
+
+
+def parse_sst_trees(raw_dir: str, mode: str = "train",
+                    vocab_file: str = None):
+    """Parse the real SST layout (reference ``data/tree.py``): PTB trees
+    in ``sst/{mode}.txt`` (one s-expression per line) + ``vocab.txt``
+    (one token per line). Returns (trees, vocab) where each tree is
+    (src, dst, x, y, mask) arrays in the reference's child->parent
+    edge convention, x = word id or PAD (-1), mask = 1 on leaves."""
+    import os as _os
+
+    base = raw_dir
+    if _os.path.isdir(_os.path.join(raw_dir, "sst")):
+        base = _os.path.join(raw_dir, "sst")
+    vf = vocab_file or _os.path.join(base, "vocab.txt")
+    vocab = {}
+    with open(vf, encoding="utf-8") as f:
+        for i, tok in enumerate(f):
+            vocab[tok.strip().lower()] = i
+    trees = []
+    with open(_os.path.join(base, f"{mode}.txt"), encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            root = _ptb_parse(line)
+            src, dst, xs, ys, masks = [], [], [], [], []
+
+            def add(label, payload, parent):
+                nid = len(xs)
+                if isinstance(payload, str):
+                    xs.append(vocab.get(payload.lower(), -1))
+                    masks.append(1)
+                    ys.append(label)
+                else:
+                    xs.append(-1)
+                    masks.append(0)
+                    ys.append(label)
+                if parent is not None:
+                    src.append(nid)
+                    dst.append(parent)
+                if not isinstance(payload, str):
+                    for ch in payload:
+                        add(ch[0], ch[1], nid)
+                return nid
+
+            add(root[0], root[1], None)
+            trees.append((np.asarray(src, np.int64),
+                          np.asarray(dst, np.int64),
+                          np.asarray(xs, np.int32),
+                          np.asarray(ys, np.int32),
+                          np.asarray(masks, np.int32)))
+    return trees, vocab
+
+
+def has_sst_raw(raw_dir, mode="train") -> bool:
+    import os as _os
+
+    if not raw_dir:
+        return False
+    return (_os.path.exists(_os.path.join(raw_dir, f"{mode}.txt"))
+            or _os.path.exists(_os.path.join(raw_dir, "sst",
+                                             f"{mode}.txt")))

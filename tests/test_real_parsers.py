@@ -296,3 +296,32 @@ def test_superpixel_real_pkl(tmp_path):
     src, _ = (np.asarray(a) for a in g0.edges())
     assert np.bincount(src, minlength=n0).max() <= 8
     assert int(y0) == 0
+
+
+def test_sst_real_ptb_trees(tmp_path):
+    """Real SST layout (reference data/tree.py): PTB s-expressions +
+    vocab -> child->parent trees with word ids, labels, leaf masks."""
+    (tmp_path / "vocab.txt").write_text("the\nmovie\nrocks\nbores\n")
+    (tmp_path / "train.txt").write_text(
+        "(3 (2 (2 the) (2 movie)) (4 rocks))\n"
+        "(1 (2 (2 the) (2 movie)) (0 bores))\n")
+
+    from dgl_tpu.data import SSTDataset
+
+    ds = SSTDataset(mode="train", raw_dir=str(tmp_path))
+    assert len(ds) == 2
+    assert ds.vocab_size == 4
+    g = ds[0]
+    # 5 nodes: root, inner, the, movie, rocks
+    assert g.num_nodes() == 5
+    x = np.asarray(g.ndata["x"])
+    mask = np.asarray(g.ndata["mask"])
+    y = np.asarray(g.ndata["y"])
+    assert mask.sum() == 3  # three leaves
+    assert set(x[mask == 1].tolist()) == {0, 1, 2}
+    assert y[0] == 3  # root sentiment
+    # every non-root node has exactly one out-edge to its parent
+    src, dst = (np.asarray(a) for a in g.edges())
+    assert len(src) == 4
+    out_deg = np.bincount(src, minlength=5)
+    assert out_deg[0] == 0 and (out_deg[1:] == 1).all()
