@@ -748,12 +748,47 @@ class MovieLensDataset(DGLDataset):
 
 class FakeNewsDataset(GraphClassificationDataset):
     """(reference ``data/fakenews.py``: binary graph classification over
-    propagation trees)."""
+    propagation trees). With ``raw_dir`` holding the real UPFD layout
+    (A.txt + node_graph_id/graph_labels/{split}_idx .npy +
+    new_{feature}_feature.npz), parses it; else synthetic-shaped."""
 
     def __init__(self, name="politifact", feature_name="profile",
-                 transform=None, **kwargs):
+                 raw_dir=None, transform=None, **kwargs):
+        self._fn_raw = raw_dir
+        self._fn_feature = feature_name
         super().__init__(name=f"FakeNewsDataset_{name}", num_graphs=150,
                          num_classes=2, feat_dim=10, transform=transform)
+
+    def process(self):
+        from .parsers import has_fakenews_raw
+
+        if not has_fakenews_raw(self._fn_raw):
+            super().process()
+            return
+        from .. import convert
+        from .parsers import parse_fakenews_dir
+
+        src, dst, gid, labels, splits, feat = parse_fakenews_dir(
+            self._fn_raw, self._fn_feature)
+        self.feature = jnp.asarray(feat)
+        self.labels = jnp.asarray(np.asarray(labels).astype(np.int64))
+        n_graphs = int(self.labels.shape[0])
+        for k in ("train", "val", "test"):
+            m = np.zeros(n_graphs, bool)
+            m[splits[k]] = True
+            setattr(self, f"{k}_mask", jnp.asarray(m))
+        self._graphs = []
+        self._labels = []
+        for g_idx in range(int(gid.max()) + 1):
+            nodes = np.nonzero(gid == g_idx)[0]
+            remap = -np.ones(gid.shape[0], np.int64)
+            remap[nodes] = np.arange(nodes.shape[0])
+            emask = (gid[src] == g_idx) & (gid[dst] == g_idx)
+            g = convert.graph((remap[src[emask]], remap[dst[emask]]),
+                              num_nodes=nodes.shape[0])
+            g.ndata["feat"] = jnp.asarray(feat[nodes])
+            self._graphs.append(g)
+            self._labels.append(int(labels[g_idx]))
 
 
 class TUDataset(GraphClassificationDataset):

@@ -753,3 +753,38 @@ def has_sst_raw(raw_dir, mode="train") -> bool:
     return (_os.path.exists(_os.path.join(raw_dir, f"{mode}.txt"))
             or _os.path.exists(_os.path.join(raw_dir, "sst",
                                              f"{mode}.txt")))
+
+
+def parse_fakenews_dir(raw_dir: str, feature_name: str = "profile"):
+    """Parse the real FakeNews (UPFD) layout (reference
+    ``data/fakenews.py:138-180``): ``A.txt`` comma edge list,
+    ``node_graph_id.npy``, ``graph_labels.npy``,
+    ``{train,val,test}_idx.npy``, ``new_{feature}_feature.npz`` (scipy
+    sparse). Returns (src, dst, node_graph_id, graph_labels, splits,
+    features)."""
+    import os as _os
+
+    import scipy.sparse as _sp
+
+    edges = np.genfromtxt(_os.path.join(raw_dir, "A.txt"),
+                          delimiter=",", dtype=np.int64)
+    node_graph_id = np.load(
+        _os.path.join(raw_dir, "node_graph_id.npy")).astype(np.int64)
+    labels = np.load(_os.path.join(raw_dir, "graph_labels.npy"))
+    splits = {
+        k: np.load(_os.path.join(raw_dir, f"{k}_idx.npy"))
+        for k in ("train", "val", "test")
+    }
+    feat = np.asarray(_sp.load_npz(
+        _os.path.join(raw_dir, f"new_{feature_name}_feature.npz")
+    ).todense(), dtype=np.float32)
+    return (edges[:, 0], edges[:, 1], node_graph_id, labels, splits,
+            feat)
+
+
+def has_fakenews_raw(raw_dir) -> bool:
+    import os as _os
+
+    return bool(raw_dir) and _os.path.exists(
+        _os.path.join(raw_dir, "A.txt")) and _os.path.exists(
+        _os.path.join(raw_dir, "node_graph_id.npy"))

@@ -325,3 +325,38 @@ def test_sst_real_ptb_trees(tmp_path):
     assert len(src) == 4
     out_deg = np.bincount(src, minlength=5)
     assert out_deg[0] == 0 and (out_deg[1:] == 1).all()
+
+
+def test_fakenews_real_layout(tmp_path):
+    """Real UPFD FakeNews layout (reference data/fakenews.py)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    gid = np.repeat([0, 1, 2], [5, 4, 6])
+    n = gid.shape[0]
+    src, dst = [], []
+    for g_idx in range(3):
+        nodes = np.nonzero(gid == g_idx)[0]
+        for i in range(1, nodes.shape[0]):
+            src.append(nodes[i])
+            dst.append(nodes[0])  # propagation-tree shape
+    np.savetxt(tmp_path / "A.txt",
+               np.stack([src, dst], 1), fmt="%d", delimiter=", ")
+    np.save(tmp_path / "node_graph_id.npy", gid)
+    np.save(tmp_path / "graph_labels.npy", np.array([0, 1, 0]))
+    np.save(tmp_path / "train_idx.npy", np.array([0]))
+    np.save(tmp_path / "val_idx.npy", np.array([1]))
+    np.save(tmp_path / "test_idx.npy", np.array([2]))
+    sp.save_npz(tmp_path / "new_profile_feature.npz",
+                sp.csr_matrix(rng.random((n, 10)).astype(np.float32)))
+
+    from dgl_tpu.data import FakeNewsDataset
+
+    ds = FakeNewsDataset(name="politifact", feature_name="profile",
+                         raw_dir=str(tmp_path))
+    assert len(ds) == 3
+    g0, y0 = ds[0]
+    assert g0.num_nodes() == 5 and g0.num_edges() == 4
+    assert int(y0) == 0
+    assert ds.feature.shape == (n, 10)
+    assert np.asarray(ds.train_mask).sum() == 1
