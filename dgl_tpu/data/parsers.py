@@ -788,3 +788,79 @@ def has_fakenews_raw(raw_dir) -> bool:
     return bool(raw_dir) and _os.path.exists(
         _os.path.join(raw_dir, "A.txt")) and _os.path.exists(
         _os.path.join(raw_dir, "node_graph_id.npy"))
+
+
+def parse_graphsaint_dir(raw_dir: str):
+    """Parse the GraphSAINT distribution layout (reference
+    ``data/flickr.py:89-110``, ``data/yelp.py``): ``adj_full.npz``
+    (scipy CSR), ``feats.npy``, ``class_map.json`` (node id -> class or
+    multilabel list), ``role.json`` ({tr, va, te} index lists).
+    Returns (src, dst, feats, labels, masks{train,val,test})."""
+    import json as _json
+    import os as _os
+
+    import scipy.sparse as _sp
+
+    adj = _sp.load_npz(_os.path.join(raw_dir, "adj_full.npz")).tocoo()
+    feats = np.load(_os.path.join(raw_dir, "feats.npy"))
+    with open(_os.path.join(raw_dir, "class_map.json")) as f:
+        class_map = _json.load(f)
+    n = feats.shape[0]
+    first = next(iter(class_map.values()))
+    if isinstance(first, list):
+        labels = np.zeros((n, len(first)), np.float32)
+        for k, v in class_map.items():
+            labels[int(k)] = v
+    else:
+        labels = np.zeros(n, np.int64)
+        for k, v in class_map.items():
+            labels[int(k)] = v
+    with open(_os.path.join(raw_dir, "role.json")) as f:
+        role = _json.load(f)
+    masks = {}
+    for key, name in (("tr", "train"), ("va", "val"), ("te", "test")):
+        m = np.zeros(n, bool)
+        m[np.asarray(role[key], np.int64)] = True
+        masks[name] = m
+    return (adj.row.astype(np.int64), adj.col.astype(np.int64),
+            feats.astype(np.float32), labels, masks)
+
+
+def has_graphsaint_raw(raw_dir) -> bool:
+    import os as _os
+
+    return bool(raw_dir) and _os.path.exists(
+        _os.path.join(raw_dir, "adj_full.npz"))
+
+
+def parse_wikics_json(raw_dir: str):
+    """Parse the real WikiCS ``data.json`` (reference
+    ``data/wikics.py:91-116``): features/labels/links + per-split mask
+    matrices. Returns (src, dst, feats, labels, masks)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(raw_dir, "data.json")) as f:
+        data = _json.load(f)
+    feats = np.asarray(data["features"], np.float32)
+    labels = np.asarray(data["labels"], np.int64)
+    src, dst = [], []
+    for i, js in enumerate(data["links"]):
+        for j in js:
+            src.append(i)
+            dst.append(j)
+    masks = {
+        "train_mask": np.asarray(data["train_masks"], bool).T,
+        "val_mask": np.asarray(data["val_masks"], bool).T,
+        "stopping_mask": np.asarray(data["stopping_masks"], bool).T,
+        "test_mask": np.asarray(data["test_mask"], bool),
+    }
+    return (np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            feats, labels, masks)
+
+
+def has_wikics_raw(raw_dir) -> bool:
+    import os as _os
+
+    return bool(raw_dir) and _os.path.exists(
+        _os.path.join(raw_dir, "data.json"))

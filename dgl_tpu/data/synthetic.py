@@ -591,10 +591,73 @@ CoauthorCSDataset = _make_named_dataset(
 CoauthorPhysicsDataset = _make_named_dataset(
     "CoauthorPhysicsDataset", 34493, 495924, 5, 400
 )
-WikiCSDataset = _make_named_dataset("WikiCSDataset", 11701, 431726, 10, 300)
-# graphsaint suite (reference data/flickr.py, data/yelp.py)
-FlickrDataset = _make_named_dataset("FlickrDataset", 89250, 899756, 7, 500)
-YelpDataset = _make_named_dataset("YelpDataset", 716847, 13954819 // 10, 100, 300)
+_WikiCSBase = _make_named_dataset("WikiCSDataset", 11701, 431726, 10, 300)
+
+
+class WikiCSDataset(_WikiCSBase):
+    """With ``raw_dir`` holding the real ``data.json`` (reference
+    ``data/wikics.py``), parses it; else synthetic-shaped."""
+
+    def __init__(self, raw_dir=None, transform=None, **kwargs):
+        self._wikics_raw = raw_dir
+        super().__init__(transform=transform, **kwargs)
+
+    def process(self):
+        from .parsers import has_wikics_raw, parse_wikics_json
+
+        if not has_wikics_raw(self._wikics_raw):
+            super().process()
+            return
+        from .. import convert
+        from ..transforms import to_bidirected
+
+        src, dst, feats, labels, masks = parse_wikics_json(
+            self._wikics_raw)
+        g = to_bidirected(convert.graph((src, dst),
+                                        num_nodes=feats.shape[0]))
+        g.ndata["feat"] = jnp.asarray(feats)
+        g.ndata["label"] = jnp.asarray(labels.astype(np.int32))
+        for k, v in masks.items():
+            g.ndata[k] = jnp.asarray(v)
+        self._g = g
+
+
+def _graphsaint_dataset(name, n, e, c, d):
+    base = _make_named_dataset(name, n, e, c, d)
+
+    class _GS(base):
+        def __init__(self, raw_dir=None, transform=None, **kwargs):
+            self._gs_raw = raw_dir
+            super().__init__(transform=transform, **kwargs)
+
+        def process(self):
+            from .parsers import has_graphsaint_raw, parse_graphsaint_dir
+
+            if not has_graphsaint_raw(self._gs_raw):
+                super().process()
+                return
+            from .. import convert
+
+            src, dst, feats, labels, masks = parse_graphsaint_dir(
+                self._gs_raw)
+            g = convert.graph((src, dst), num_nodes=feats.shape[0])
+            g.ndata["feat"] = jnp.asarray(feats)
+            g.ndata["label"] = jnp.asarray(
+                labels if labels.ndim == 2
+                else labels.astype(np.int32))
+            for k, v in masks.items():
+                g.ndata[f"{k}_mask"] = jnp.asarray(v)
+            self._g = g
+
+    _GS.__name__ = name
+    return _GS
+
+
+# graphsaint suite (reference data/flickr.py, data/yelp.py): real
+# adj_full.npz/feats.npy/class_map.json/role.json layout parsed when
+# raw_dir is provided
+FlickrDataset = _graphsaint_dataset("FlickrDataset", 89250, 899756, 7, 500)
+YelpDataset = _graphsaint_dataset("YelpDataset", 716847, 13954819 // 10, 100, 300)
 # heterophilous suite (reference data/geom_gcn.py: low homophily)
 ActorDataset = _make_named_dataset("ActorDataset", 7600, 33544, 5, 931, 0.25)
 ChameleonDataset = _make_named_dataset(

@@ -360,3 +360,65 @@ def test_fakenews_real_layout(tmp_path):
     assert int(y0) == 0
     assert ds.feature.shape == (n, 10)
     assert np.asarray(ds.train_mask).sum() == 1
+
+
+def test_graphsaint_real_layout(tmp_path):
+    """Real GraphSAINT layout (reference data/flickr.py):
+    adj_full.npz + feats.npy + class_map.json + role.json."""
+    import json
+
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n = 30
+    adj = sp.random(n, n, density=0.2, format="csr",
+                    random_state=1, dtype=np.float32)
+    sp.save_npz(tmp_path / "adj_full.npz", adj)
+    np.save(tmp_path / "feats.npy", rng.normal(size=(n, 6)))
+    json.dump({str(i): int(i % 7) for i in range(n)},
+              open(tmp_path / "class_map.json", "w"))
+    json.dump({"tr": list(range(0, 20)), "va": list(range(20, 25)),
+               "te": list(range(25, 30))},
+              open(tmp_path / "role.json", "w"))
+
+    from dgl_tpu.data import FlickrDataset
+
+    ds = FlickrDataset(raw_dir=str(tmp_path))
+    g = ds[0]
+    assert g.num_nodes() == n
+    assert g.num_edges() == adj.nnz
+    assert g.ndata["feat"].shape == (n, 6)
+    assert np.asarray(g.ndata["train_mask"]).sum() == 20
+    assert int(np.asarray(g.ndata["label"])[13]) == 13 % 7
+
+
+def test_wikics_real_json(tmp_path):
+    """Real WikiCS data.json (reference data/wikics.py)."""
+    import json
+
+    rng = np.random.default_rng(0)
+    n, T = 20, 3  # T split variants
+    data = {
+        "features": rng.normal(size=(n, 5)).tolist(),
+        "labels": (np.arange(n) % 4).tolist(),
+        "links": [[int(j) for j in rng.integers(0, n, 2)]
+                  for _ in range(n)],
+        "train_masks": (rng.random((T, n)) < 0.5).tolist(),
+        "val_masks": (rng.random((T, n)) < 0.2).tolist(),
+        "stopping_masks": (rng.random((T, n)) < 0.2).tolist(),
+        "test_mask": (rng.random(n) < 0.3).tolist(),
+    }
+    json.dump(data, open(tmp_path / "data.json", "w"))
+
+    from dgl_tpu.data import WikiCSDataset
+
+    ds = WikiCSDataset(raw_dir=str(tmp_path))
+    g = ds[0]
+    assert g.num_nodes() == n
+    assert g.ndata["feat"].shape == (n, 5)
+    assert g.ndata["train_mask"].shape == (n, T)
+    assert g.ndata["test_mask"].shape == (n,)
+    # bidirected: every edge has its reverse
+    src, dst = (np.asarray(a) for a in g.edges())
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
