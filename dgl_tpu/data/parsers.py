@@ -864,3 +864,46 @@ def has_wikics_raw(raw_dir) -> bool:
 
     return bool(raw_dir) and _os.path.exists(
         _os.path.join(raw_dir, "data.json"))
+
+
+def parse_geom_gcn_dir(raw_dir: str, name: str):
+    """Parse the geom-gcn raw layout (reference ``data/geom_gcn.py:43-90``
+    — chameleon/squirrel/actor/cornell/texas/wisconsin):
+    ``out1_node_feature_label.txt`` (id<TAB>f1,f2,...<TAB>label with a
+    header line), ``out1_graph_edges.txt`` (dst<TAB>src with header),
+    and ten ``{name}_split_0.6_0.2_{i}.npz`` mask files. Returns
+    (src, dst, feats, labels, train/val/test mask stacks (N, 10))."""
+    import os as _os
+
+    with open(_os.path.join(raw_dir,
+                            "out1_node_feature_label.txt")) as f:
+        rows = f.read().split("\n")[1:-1]
+    feats = np.asarray(
+        [[float(v) for v in r.split("\t")[1].split(",")] for r in rows],
+        np.float32)
+    labels = np.asarray([int(r.split("\t")[2]) for r in rows], np.int64)
+    with open(_os.path.join(raw_dir, "out1_graph_edges.txt")) as f:
+        rows = f.read().split("\n")[1:-1]
+    ed = np.asarray([[int(v) for v in r.split("\t")] for r in rows],
+                    np.int64)
+    dst, src = ed[:, 0], ed[:, 1]
+    tr, va, te = [], [], []
+    for i in range(10):
+        path = _os.path.join(raw_dir,
+                             f"{name}_split_0.6_0.2_{i}.npz")
+        if not _os.path.exists(path):
+            break
+        z = np.load(path)
+        tr.append(z["train_mask"].astype(bool))
+        va.append(z["val_mask"].astype(bool))
+        te.append(z["test_mask"].astype(bool))
+    masks = (np.stack(tr, 1), np.stack(va, 1), np.stack(te, 1)) \
+        if tr else (None, None, None)
+    return src, dst, feats, labels, masks
+
+
+def has_geom_gcn_raw(raw_dir) -> bool:
+    import os as _os
+
+    return bool(raw_dir) and _os.path.exists(
+        _os.path.join(raw_dir, "out1_graph_edges.txt"))

@@ -659,18 +659,52 @@ def _graphsaint_dataset(name, n, e, c, d):
 FlickrDataset = _graphsaint_dataset("FlickrDataset", 89250, 899756, 7, 500)
 YelpDataset = _graphsaint_dataset("YelpDataset", 716847, 13954819 // 10, 100, 300)
 # heterophilous suite (reference data/geom_gcn.py: low homophily)
-ActorDataset = _make_named_dataset("ActorDataset", 7600, 33544, 5, 931, 0.25)
-ChameleonDataset = _make_named_dataset(
-    "ChameleonDataset", 2277, 36101, 5, 2325, 0.3
-)
-SquirrelDataset = _make_named_dataset(
-    "SquirrelDataset", 5201, 217073, 5, 2089, 0.3
-)
-CornellDataset = _make_named_dataset("CornellDataset", 183, 295, 5, 1703, 0.2)
-TexasDataset = _make_named_dataset("TexasDataset", 183, 309, 5, 1703, 0.2)
-WisconsinDataset = _make_named_dataset(
-    "WisconsinDataset", 251, 499, 5, 1703, 0.2
-)
+def _geom_gcn_dataset(cls_name, raw_name, n, e, c, d, hom):
+    """Heterophilous suite with the real geom-gcn raw layout parsed when
+    ``raw_dir`` is provided (reference ``data/geom_gcn.py``)."""
+    base = _make_named_dataset(cls_name, n, e, c, d, hom)
+
+    class _GG(base):
+        def __init__(self, raw_dir=None, transform=None, **kwargs):
+            self._gg_raw = raw_dir
+            super().__init__(transform=transform, **kwargs)
+
+        def process(self):
+            from .parsers import has_geom_gcn_raw, parse_geom_gcn_dir
+
+            if not has_geom_gcn_raw(self._gg_raw):
+                super().process()
+                return
+            from .. import convert
+
+            src, dst, feats, labels, masks = parse_geom_gcn_dir(
+                self._gg_raw, raw_name)
+            g = convert.graph((src, dst), num_nodes=feats.shape[0])
+            g.ndata["feat"] = jnp.asarray(feats)
+            g.ndata["label"] = jnp.asarray(labels.astype(np.int32))
+            for key, m in zip(("train_mask", "val_mask", "test_mask"),
+                              masks):
+                if m is not None:
+                    g.ndata[key] = jnp.asarray(m)
+            self._num_classes = int(labels.max()) + 1
+            self._g = g
+
+    _GG.__name__ = cls_name
+    return _GG
+
+
+ActorDataset = _geom_gcn_dataset(
+    "ActorDataset", "film", 7600, 33544, 5, 931, 0.25)
+ChameleonDataset = _geom_gcn_dataset(
+    "ChameleonDataset", "chameleon", 2277, 36101, 5, 2325, 0.3)
+SquirrelDataset = _geom_gcn_dataset(
+    "SquirrelDataset", "squirrel", 5201, 217073, 5, 2089, 0.3)
+CornellDataset = _geom_gcn_dataset(
+    "CornellDataset", "cornell", 183, 295, 5, 1703, 0.2)
+TexasDataset = _geom_gcn_dataset(
+    "TexasDataset", "texas", 183, 309, 5, 1703, 0.2)
+WisconsinDataset = _geom_gcn_dataset(
+    "WisconsinDataset", "wisconsin", 251, 499, 5, 1703, 0.2)
 
 
 def split_dataset(dataset, frac_list=(0.8, 0.1, 0.1), shuffle=False,

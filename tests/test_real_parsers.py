@@ -422,3 +422,38 @@ def test_wikics_real_json(tmp_path):
     src, dst = (np.asarray(a) for a in g.edges())
     pairs = set(zip(src.tolist(), dst.tolist()))
     assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_geom_gcn_real_layout(tmp_path):
+    """Real geom-gcn layout (reference data/geom_gcn.py): tab-separated
+    node features/labels + edges + 10 split npz files."""
+    rng = np.random.default_rng(0)
+    n, d = 12, 4
+    lines = ["node_id\tfeature\tlabel"]
+    for i in range(n):
+        fv = ",".join(str(round(float(v), 3))
+                      for v in rng.random(d))
+        lines.append(f"{i}\t{fv}\t{i % 3}")
+    (tmp_path / "out1_node_feature_label.txt").write_text(
+        "\n".join(lines) + "\n")
+    e_lines = ["id1\tid2"]
+    for _ in range(30):
+        a, b = rng.integers(0, n, 2)
+        e_lines.append(f"{a}\t{b}")
+    (tmp_path / "out1_graph_edges.txt").write_text(
+        "\n".join(e_lines) + "\n")
+    for i in range(10):
+        np.savez(tmp_path / f"cornell_split_0.6_0.2_{i}.npz",
+                 train_mask=(rng.random(n) < 0.6),
+                 val_mask=(rng.random(n) < 0.2),
+                 test_mask=(rng.random(n) < 0.2))
+
+    from dgl_tpu.data import CornellDataset
+
+    ds = CornellDataset(raw_dir=str(tmp_path))
+    g = ds[0]
+    assert g.num_nodes() == n
+    assert g.num_edges() == 30
+    assert g.ndata["feat"].shape == (n, d)
+    assert g.ndata["train_mask"].shape == (n, 10)
+    assert ds.num_classes == 3
