@@ -500,7 +500,15 @@ int64_t aggregate_csr(const int32_t* rows, const int32_t* cols,
   T = omp_get_max_threads();
 #endif
   // pass 1: per-thread per-row histograms over contiguous input chunks
-  // (no atomics, no critical merge — the merge is parallel over rows)
+  // (no atomics, no critical merge — the merge is parallel over rows).
+  // Each histogram is n*8 bytes; cap the thread count so the total stays
+  // bounded (<=16 threads AND <=16 GB) — at n ~ 1e8 on a many-core host
+  // an uncapped T would allocate tens of GB of histograms alone.
+  {
+    int64_t mem_cap = (16LL << 30) / std::max<int64_t>(n * 8, 1);
+    T = (int)std::min<int64_t>(T, std::max<int64_t>(
+        1, std::min<int64_t>(16, mem_cap)));
+  }
   std::vector<std::vector<int64_t>> hist(T);
   int64_t chunk = (m + T - 1) / T;
 #pragma omp parallel num_threads(T)

@@ -875,18 +875,24 @@ def parse_geom_gcn_dir(raw_dir: str, name: str):
     (src, dst, feats, labels, train/val/test mask stacks (N, 10))."""
     import os as _os
 
+    feat_rows, label_vals = [], []
     with open(_os.path.join(raw_dir,
                             "out1_node_feature_label.txt")) as f:
-        rows = f.read().split("\n")[1:-1]
-    feats = np.asarray(
-        [[float(v) for v in r.split("\t")[1].split(",")] for r in rows],
-        np.float32)
-    labels = np.asarray([int(r.split("\t")[2]) for r in rows], np.int64)
-    with open(_os.path.join(raw_dir, "out1_graph_edges.txt")) as f:
-        rows = f.read().split("\n")[1:-1]
-    ed = np.asarray([[int(v) for v in r.split("\t")] for r in rows],
-                    np.int64)
-    dst, src = ed[:, 0], ed[:, 1]
+        next(f)  # header: node_id<TAB>feature<TAB>label
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            _nid, feat_csv, label = line.split("\t")
+            feat_rows.append(
+                np.fromiter((float(v) for v in feat_csv.split(",")),
+                            dtype=np.float32))
+            label_vals.append(int(label))
+    feats = np.stack(feat_rows)
+    labels = np.asarray(label_vals, np.int64)
+    edges = np.loadtxt(_os.path.join(raw_dir, "out1_graph_edges.txt"),
+                       dtype=np.int64, skiprows=1, ndmin=2)
+    dst, src = edges[:, 0], edges[:, 1]
     tr, va, te = [], [], []
     for i in range(10):
         path = _os.path.join(raw_dir,

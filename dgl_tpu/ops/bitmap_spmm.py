@@ -162,9 +162,10 @@ def build_bitmap_plan(rel, max_bytes: int = 2 << 30,
 # ---------------------------------------------------------------------------
 
 
-def _expand_bits(b_i32, S):
+def _expand_bits(b_i32):
     """(C, W) int32 plane-packed -> (C, W*8) 0/1 int32 (XLA fallback;
-    mirrors the kernel's tile-repeat expand)."""
+    mirrors the kernel's tile-repeat expand; tile width is the module
+    constant ``_S``)."""
     C, W = b_i32.shape
     nb = W // (_S // 8)
     r = b_i32.reshape(C, nb, 1, _S // 8)
@@ -183,7 +184,7 @@ def _bitmap_matmul_xla(bits, x, cd, chunk=1024):
 
     def one(c, _):
         b = jax.lax.dynamic_slice_in_dim(bits, c * C, C, 0)
-        a = _expand_bits(b.astype(jnp.int32), N).astype(cd)
+        a = _expand_bits(b.astype(jnp.int32)).astype(cd)
         return c + 1, jax.lax.dot_general(
             a, x.astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

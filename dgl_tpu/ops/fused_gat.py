@@ -212,8 +212,12 @@ def _fused_bwd(slope, residuals, dz):
 
     # ---- dst-space: one packed gather per shell, reused by A and B ----
     def alpha_dalpha(raw, mask, h_g, dz_rows):
-        alpha = (jnp.exp(_leaky(raw, slope) - dz_rows[0])
-                 / dz_rows[1]) * mask
+        # guard like the forward: a padded/clamped gather row can overflow
+        # exp to inf, and inf * 0-mask is NaN — select, don't multiply
+        alpha = jnp.where(
+            mask > 0,
+            jnp.exp(_leaky(raw, slope) - dz_rows[0]) / dz_rows[1],
+            0.0)
         dalpha = jnp.einsum("eho,eho->eh", dz_rows[2],
                             h_g).astype(jnp.float32)
         return alpha, dalpha
@@ -287,8 +291,11 @@ def _fused_bwd(slope, residuals, dz):
         c_g = pk[:, 3 * H:4 * H].astype(jnp.float32)
         dz_g = pk[:, 4 * H:].reshape(pk.shape[0], *HO)
         raw = el_pre + er_g
-        alpha = (jnp.exp(_leaky(raw, slope) - mx_g)
-                 / jnp.maximum(s_g, 1e-38)) * maskf
+        # same overflow guard as alpha_dalpha: where, not mask-multiply
+        alpha = jnp.where(
+            maskf > 0,
+            jnp.exp(_leaky(raw, slope) - mx_g) / jnp.maximum(s_g, 1e-38),
+            0.0)
         alpha_m = (alpha if drop_mask is None
                    else alpha * drop_mask[eidx])
         dalpha = jnp.einsum("eho,eho->eh", dz_g,
