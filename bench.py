@@ -125,24 +125,44 @@ def main():
     _run(True)
 
 
-def _chain_timer(fn, args, iters=20, reps=2):
+def _chain_timer(fn, args, iters=20, reps=3, with_spread=False):
     """Time one op by chaining `iters` applications inside a single jit
     (dynamic trip count -> one compile) and differencing k vs 1: the fixed
     dispatch/tunnel overhead cancels. block_until_ready is unreliable on
-    the remote axon platform, so a scalar fetch forces completion."""
+    the remote axon platform, so a scalar fetch forces completion.
+
+    Differenced MEDIANS of `reps` runs each, positivity-asserted with
+    retries (a single best-of pair inverted under contention in round 4:
+    sage_minibatch drifted 0.965 -> 1.48 ms/step between same-day
+    snapshots). With ``with_spread`` also returns (max-min)/median of the
+    long-chain runs — the variance envelope."""
+    import statistics
+
     import jax.numpy as jnp
 
-    def t(k):
+    def times(k, r):
         kk = jnp.int32(k)
         float(fn(*args, kk))  # warm
-        best = float("inf")
-        for _ in range(reps):
+        out = []
+        for _ in range(r):
             t0 = time.perf_counter()
             float(fn(*args, kk))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            out.append(time.perf_counter() - t0)
+        return out
 
-    return (t(1 + iters) - t(1)) / iters
+    dt, spread = 0.0, 0.0
+    for attempt in range(3):
+        r = reps + attempt
+        longs = times(1 + iters, r)
+        shorts = times(1, r)
+        dt = (statistics.median(longs) - statistics.median(shorts)) / iters
+        spread = (max(longs) - min(longs)) / max(
+            statistics.median(longs), 1e-12)
+        if dt > 0:
+            return (dt, spread) if with_spread else dt
+    raise RuntimeError(
+        f"non-positive per-iteration time ({dt * 1e3:.3f} ms) after "
+        f"retries — host/tunnel too noisy to measure")
 
 
 def _run(fallback: bool):
@@ -197,6 +217,25 @@ def _run(fallback: bool):
     gbps = bytes_moved / dt / 1e9
     roof = _roofline(jax.devices()[0])
 
+    # uniform-degree control (round-2 weak #9, sparse path): same N/E but
+    # NO skew — hub coverage ~ 0, every edge takes the shell cold path.
+    # Records what the headline would be without the power-law fast path.
+    uniform_ctrl = None
+    if not fallback and os.environ.get("DGL_TPU_BENCH_NO_CONTROL") != "1":
+        from dgl_tpu.transforms import reorder_for_spmm
+
+        gu = dgl_tpu.graph((rng.integers(0, N, E), rng.integers(0, N, E)),
+                           num_nodes=N)
+        gu, _ = reorder_for_spmm(gu, num_hubs=2048, precision="int8")
+        up = gu._relation(None).hub_plan
+        dt_u = _chain_timer(spmm_chain, (gu, x), iters=10)
+        uniform_ctrl = {
+            "graph": "uniform-random (no skew)",
+            "hub_coverage": round(float(up.coverage), 4),
+            "ms_per_iter": round(dt_u * 1e3, 3),
+            "effective_gbps": round(bytes_moved / dt_u / 1e9, 2),
+        }
+
     sage = _sage_minibatch(g, rng, iters=2 if fallback else 10)
     sage_e2e = _sage_end_to_end(g, rng, iters=1 if fallback else 3,
                                 max_steps=4 if fallback else None)
@@ -214,6 +253,7 @@ def _run(fallback: bool):
             "spmm_path": path,
             "ms_per_iter": round(dt * 1e3, 3),
             "edges_per_s": round(E / dt),
+            "uniform_degree_control": uniform_ctrl,
             "sage_minibatch": sage,
             "sage_minibatch_end_to_end": sage_e2e,
             "device": str(jax.devices()[0].device_kind)
@@ -439,17 +479,18 @@ def _sage_minibatch(g, rng, iters=10):
                                               (params, opt_state))
         return jnp.sum(params["params"]["sage0"]["bias"])
 
-    dt_epoch = _chain_timer(
+    dt_epoch, spread = _chain_timer(
         epochs,
         (params, opt0, stacked, feats, labels,
          in_ids, in_mask, out_ids, out_mask),
-        iters=iters,
+        iters=iters, with_spread=True,
     )
     step_ms = dt_epoch / S * 1e3
     return {
         "config": f"B={B} fanouts={fanouts} feat={FEAT} hid={HID}",
         "ms_per_step": round(step_ms, 3),
         "edges_per_s": round(real_edges / dt_epoch),
+        "run_spread": round(spread, 3),
     }
 
 

@@ -15,6 +15,40 @@ import time
 import numpy as np
 
 
+def per_iter_time(run, iters=5, reps=3):
+    """Per-iteration time of ``run(k)`` (a k-chained jit program), robust
+    to scheduler noise: median over ``reps`` timings of both the long and
+    the short program, differenced to cancel the constant dispatch
+    overhead (``block_until_ready`` is a no-op on the axon platform, so
+    programs are timed by fetching their scalar result).
+
+    The round-4 artifact serialized NEGATIVE per-iteration times because
+    a single ``timed(1+iters) - timed(1)`` pair under host contention can
+    invert; this helper takes medians and ASSERTS positivity — retrying
+    with doubled reps, then raising rather than recording an absurd value.
+    """
+    import statistics
+
+    run(1)          # compile the short program
+    run(1 + iters)  # compile the long program
+    for attempt in range(3):
+        r = reps * (attempt + 1)
+        longs, shorts = [], []
+        for _ in range(r):
+            t0 = time.perf_counter()
+            run(1 + iters)
+            longs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run(1)
+            shorts.append(time.perf_counter() - t0)
+        dt = (statistics.median(longs) - statistics.median(shorts)) / iters
+        if dt > 0:
+            return dt
+    raise RuntimeError(
+        f"non-positive per-iteration time ({dt * 1e3:.3f} ms) after "
+        f"retries — host too contended to measure; rerun uncontended")
+
+
 def bench_mesh(g, n_dev, feat_dim, iters=5):
     import jax
     import jax.numpy as jnp
@@ -43,15 +77,7 @@ def bench_mesh(g, n_dev, feat_dim, iters=5):
             return dist.dist_copy_u_sum(mesh, shards, h, tables=tables) * 1e-3
         return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
-    float(chained(x, 1))
-
-    def timed(k):
-        float(chained(x, k))
-        t0 = time.perf_counter()
-        float(chained(x, k))
-        return time.perf_counter() - t0
-
-    dt = (timed(1 + iters) - timed(1)) / iters
+    dt = per_iter_time(lambda k: float(chained(x, k)), iters=iters)
     return dt, shards
 
 
@@ -183,14 +209,9 @@ def bench_minibatch_mesh(g, n_dev, iters=8):
         params, opt = jax.lax.fori_loop(0, k, body, (params, opt))
         return jnp.sum(params["params"]["sage1_bias"])
 
-    def timed(k):
-        kk = jnp.int32(k)
-        float(steps(params, opt0, seeds_g, kk))
-        t0 = time.perf_counter()
-        float(steps(params, opt0, seeds_g, kk))
-        return time.perf_counter() - t0
-
-    dt = (timed(1 + iters) - timed(1)) / iters
+    dt = per_iter_time(
+        lambda k: float(steps(params, opt0, seeds_g, jnp.int32(k))),
+        iters=iters)
     edges_per_step = B * 5 + B * 6 * 5  # upper bound; constant across sizes
     return dt, edges_per_step
 
