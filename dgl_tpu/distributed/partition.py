@@ -358,17 +358,31 @@ def _kway_multilevel(adj, weights, k):
     refinement-unrecoverable — see _coarsen); memory at 500M+ edges is
     handled by spilling level graphs to disk and reloading one at a time
     during refinement (the 500M chain held ~6 x ~10 GB levels and OOM'd
-    a 125 GB host when kept in RAM)."""
+    a 125 GB host when kept in RAM).
+
+    ``DGL_TPU_KWAY_WORKDIR=<dir>`` makes the run CHECKPOINTED and
+    RESUMABLE (the reference's multi-hour ParMETIS pipelines restart
+    from scratch on failure; at 1.6B-edge scale a single-host run is
+    hours, so every level graph + mapping + the coarse assignment
+    persist and a rerun skips completed stages). With a workdir, every
+    level spills regardless of size."""
     import os as _os
     import tempfile as _tempfile
     import time as _time
 
     verbose = bool(_os.environ.get("DGL_TPU_PARTITION_VERBOSE"))
+    workdir = _os.environ.get("DGL_TPU_KWAY_WORKDIR")
     # default spill threshold keeps 100M-edge chains (levels ~180M nnz,
     # ~2.5 GB each) in RAM; 500M-edge levels (~950M nnz) spill
     spill_nnz = int(_os.environ.get("DGL_TPU_KWAY_SPILL_NNZ",
                                     str(400_000_000)))
-    spill_dir = None
+    if workdir is not None:
+        _os.makedirs(workdir, exist_ok=True)
+        spill_nnz = -1  # spill every level: the checkpoint IS the spill
+    spill_dir = workdir
+
+    def _ck(name):
+        return None if workdir is None else _os.path.join(workdir, name)
 
     def _maybe_spill(a, w, idx):
         nonlocal spill_dir
@@ -379,8 +393,9 @@ def _kway_multilevel(adj, weights, k):
         if spill_dir is None:
             spill_dir = _tempfile.mkdtemp(prefix="dgl_tpu_kway_")
         path = _os.path.join(spill_dir, f"lvl{idx}.npz")
-        _sp.save_npz(path, a)
-        np.save(path + ".w.npy", w)
+        if not (workdir and _os.path.exists(path)):
+            _sp.save_npz(path, a)
+            np.save(path + ".w.npy", w)
         return (path, None)
 
     def _load_level(stored):
@@ -395,26 +410,63 @@ def _kway_multilevel(adj, weights, k):
     levels = []
     a, w = adj, weights
     wmax = 8.0 * weights.sum() / _KWAY_COARSE_TO
-    while a.shape[0] > _KWAY_COARSE_TO:
-        t0 = _time.time()
-        a2, w2, mapping = _coarsen(a, w, wmax=wmax)
+    chain_ck = _ck("chain.npz")
+    if chain_ck and _os.path.exists(chain_ck):
+        # resume: mappings + the coarsest graph from the checkpoint
+        import scipy.sparse as _sp
+
+        meta = np.load(chain_ck, allow_pickle=False)
+        n_levels = int(meta["n_levels"])
+        for i in range(n_levels):
+            levels.append((meta[f"map{i}"],
+                           (_os.path.join(workdir, f"lvl{i}.npz"), None)))
+        a = _sp.load_npz(_os.path.join(workdir, "coarsest.npz"))
+        w = np.load(_os.path.join(workdir, "coarsest.w.npy"))
         if verbose:
-            print(f"[kway] coarsen {a.shape[0]} -> {a2.shape[0]} nodes "
-                  f"({a2.nnz} nnz) {_time.time()-t0:.0f}s", flush=True)
-        if a2.shape[0] >= a.shape[0] * 0.95:
-            break
-        levels.append((mapping, _maybe_spill(a, w, len(levels))))
-        del a, w
-        a, w = a2, w2
-    t0 = _time.time()
-    parts_c = _assign_via_bisection(a, w, k)
-    if verbose:
-        print(f"[kway] coarse bisection {_time.time()-t0:.0f}s", flush=True)
+            print(f"[kway] resumed chain: {n_levels} levels, coarsest "
+                  f"{a.shape[0]} nodes ({a.nnz} nnz)", flush=True)
+    else:
+        while a.shape[0] > _KWAY_COARSE_TO:
+            t0 = _time.time()
+            a2, w2, mapping = _coarsen(a, w, wmax=wmax)
+            if verbose:
+                print(f"[kway] coarsen {a.shape[0]} -> {a2.shape[0]} nodes "
+                      f"({a2.nnz} nnz) {_time.time()-t0:.0f}s", flush=True)
+            if a2.shape[0] >= a.shape[0] * 0.95:
+                break
+            levels.append((mapping, _maybe_spill(a, w, len(levels))))
+            del a, w
+            a, w = a2, w2
+        if workdir:
+            import scipy.sparse as _sp
+
+            _sp.save_npz(_os.path.join(workdir, "coarsest.npz"), a)
+            np.save(_os.path.join(workdir, "coarsest.w.npy"), w)
+            np.savez(chain_ck, n_levels=np.int64(len(levels)),
+                     **{f"map{i}": m for i, (m, _s) in enumerate(levels)})
+    parts_ck = _ck("coarse_parts.npy")
+    if parts_ck and _os.path.exists(parts_ck):
+        parts_c = np.load(parts_ck)
+        if verbose:
+            print("[kway] resumed coarse assignment", flush=True)
+    else:
+        t0 = _time.time()
+        parts_c = _assign_via_bisection(a, w, k)
+        if verbose:
+            print(f"[kway] coarse bisection {_time.time()-t0:.0f}s",
+                  flush=True)
+        if parts_ck:
+            np.save(parts_ck, parts_c)
     # 3 passes measured at 100M edges: cut ratio vs planted 1.92 -> 1.00
     # for +28% wall time (docs/partition_100m_r03.json)
     big_passes = int(_os.environ.get("DGL_TPU_KWAY_PASSES", "3"))
     del a, w
-    for mapping, stored in reversed(levels):
+    for lvl in range(len(levels) - 1, -1, -1):
+        mapping, stored = levels[lvl]
+        ref_ck = _ck(f"parts_lvl{lvl}.npy")
+        if ref_ck and _os.path.exists(ref_ck):
+            parts_c = np.load(ref_ck)
+            continue
         t0 = _time.time()
         fine_a, fine_w = _load_level(stored)
         parts_c = parts_c[mapping]
@@ -423,11 +475,17 @@ def _kway_multilevel(adj, weights, k):
                                if fine_a.shape[0] > 2_000_000
                                else max(2, big_passes))
         if verbose:
+            coo = fine_a.tocoo()
+            lcut = float(np.where(parts_c[coo.row] != parts_c[coo.col],
+                                  coo.data, 0).sum()) / 2
             print(f"[kway] refine @{fine_a.shape[0]} nodes "
-                  f"{_time.time()-t0:.0f}s", flush=True)
+                  f"{_time.time()-t0:.0f}s level-cut {lcut:,.0f}",
+                  flush=True)
         if fine_a is not adj:
             del fine_a
-    if spill_dir is not None:
+        if ref_ck:
+            np.save(ref_ck, parts_c)
+    if spill_dir is not None and workdir is None:
         import shutil as _shutil
 
         _shutil.rmtree(spill_dir, ignore_errors=True)

@@ -353,9 +353,27 @@ def _shell_sum(x, shells, residual, unrank, n_out, cold):
     # pieces stay in the gather dtype (bf16): converting to f32 first
     # only doubled the piece-stream traffic (probe_r4e: cold 3.72 ms vs
     # a 1.87 ms raw-gather floor); prefix_reduce accumulates in f32
-    pieces = [jnp.take(xg, idx, axis=0, mode="fill", fill_value=0)
-              for idx, _mask in shells]
-    acc = prefix_reduce(pieces, n8, kind="sum", base=base)
+    from .shell_pallas import (flat_shell_indices, pallas_shell_ok,
+                               shell_prefix_sum_pallas, use_pallas_shells)
+
+    if (shells and use_pallas_shells()
+            and pallas_shell_ok(int(x.shape[1]), n_out)):
+        # Pallas accumulation (round-5): one flat gather feeds a kernel
+        # that keeps each output block in VMEM across its level visits —
+        # pieces read once, output written once (the XLA prefix_reduce
+        # streams the running accumulator once per level, ~1.85 ms of
+        # the arxiv headline's 3.72 ms cold tail, probe_r4e)
+        flat_idx, level_rows = flat_shell_indices(
+            [idx for idx, _mask in shells], n_out,
+            oob_index=int(xg.shape[0]))
+        pieces_flat = jnp.take(xg, flat_idx, axis=0, mode="fill",
+                               fill_value=0)
+        acc = shell_prefix_sum_pallas(pieces_flat, level_rows, n_out,
+                                      base=base)
+    else:
+        pieces = [jnp.take(xg, idx, axis=0, mode="fill", fill_value=0)
+                  for idx, _mask in shells]
+        acc = prefix_reduce(pieces, n8, kind="sum", base=base)
     if acc is None:
         acc = jnp.zeros((n8, x.shape[1]), jnp.float32)
     return acc[:n_out] if unrank is None else acc[unrank]

@@ -333,6 +333,41 @@ def _shell_accumulate(shells, residual, unrank, n_out, msg_of):
         rows = msg_of(r_nidx, r_eidx).astype(jnp.float32)
         rows = jnp.where(_mask_expand(r_mask, rows.ndim) > 0, rows, 0.0)
         base = residual_reduce(rows, residual, n8, "sum")
+    if shells:
+        from .shell_pallas import (flat_shell_indices, pallas_shell_ok,
+                                   shell_prefix_sum_pallas,
+                                   use_pallas_shells)
+
+        if use_pallas_shells():
+            # one flat masked message build feeds the Pallas accumulator
+            # (output blocks stay in VMEM across level visits — see
+            # ops/shell_pallas.py); falls through to the XLA path when
+            # the flattened feature width isn't lane-aligned (the unused
+            # flat gather is DCE'd under jit)
+            nidx_f, level_rows = flat_shell_indices(
+                [s[0] for s in shells], n_out, oob_index=0)
+            eidx_f, _ = flat_shell_indices(
+                [s[1] for s in shells], n_out, oob_index=0)
+            mask_f, _ = flat_shell_indices(
+                [s[2][:, 0].astype(jnp.int32) for s in shells], n_out,
+                oob_index=0)
+            rows = msg_of(nidx_f, eidx_f)
+            feat_shape = rows.shape[1:]
+            fc = 1
+            for d in feat_shape:
+                fc *= int(d)
+            if pallas_shell_ok(fc, n_out):
+                # keep the piece stream in the gather dtype (bf16 halves
+                # HBM traffic; the kernel accumulates in f32)
+                rows = jnp.where(
+                    _mask_expand(mask_f.astype(jnp.float32), rows.ndim) > 0,
+                    rows, jnp.zeros((), rows.dtype))
+                acc = shell_prefix_sum_pallas(
+                    rows.reshape(rows.shape[0], fc), level_rows, n_out,
+                    base=None if base is None
+                    else base.reshape(base.shape[0], fc))
+                acc = acc.reshape((acc.shape[0],) + feat_shape)
+                return acc[:n_out] if unrank is None else acc[unrank]
     pieces = []
     for nidx, eidx, mask in shells:
         rows = msg_of(nidx, eidx)
