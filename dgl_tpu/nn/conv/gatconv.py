@@ -104,6 +104,26 @@ class GATConv(nn.Module):
                 )
                 return self._finish(rst, feat_dst, H, O)
 
+            # Reddit-class fast path: bitmap-flash attention
+            # (ops/bitmap_gat.py) — rank-1 logits + plane-packed bitmap
+            # mask + online softmax on the MXU; cost ~ N^2*H cells,
+            # independent of E and degree skew. Selected when a bitmap
+            # plan is attached (Graph.with_spmm_plans(bitmap=...)).
+            # attn_drop falls through to the per-edge paths (an (E,)
+            # dropout mask contradicts the never-materialize-E design).
+            if (
+                rel is not None
+                and getattr(rel, "bitmap_plan", None) is not None
+                and edge_weight is None
+                and not get_attention
+                and (self.attn_drop == 0 or deterministic)
+            ):
+                from ...ops.bitmap_gat import bitmap_gat
+
+                rst = bitmap_gat(self.negative_slope, rel.bitmap_plan,
+                                 el[:, :, 0], er[:, :, 0], h_src)
+                return self._finish(rst, feat_dst, H, O)
+
             # large-graph fast path: fused shell-space attention
             # (ops/fused_gat.py) — logits, softmax and apply never leave
             # rank space; hand-derived VJP (no autodiff through the shell
