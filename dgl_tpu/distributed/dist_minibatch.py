@@ -331,13 +331,16 @@ def pull_rows_in_shard_map(ranges, table0, ids0, axis: str):
         jnp.searchsorted(ranges, ids0, side="right") - 1, 0, nparts - 1
     )
     onehot = owner[None, :] == jnp.arange(nparts)[:, None]          # (P, B)
-    req = jnp.where(onehot, ids0[None, :], 0)
+    # not-mine slots carry sentinel -1: the RECEIVER reconstructs the
+    # request mask from its own ownership range instead of a second
+    # (P, B) int32 mask all_to_all (dryrun phase 7's HLO byte audit
+    # showed the mask doubling the pull's id traffic)
+    req = jnp.where(onehot, ids0[None, :], -1)
     req_t = jax.lax.all_to_all(req, axis, split_axis=0, concat_axis=0)
-    reqm_t = jax.lax.all_to_all(
-        onehot.astype(jnp.int32), axis, split_axis=0, concat_axis=0
-    )
+    mine = jnp.logical_and(req_t >= ranges[me],
+                           req_t < ranges[me + 1])
     local = jnp.clip(req_t - ranges[me], 0, table0.shape[0] - 1)
-    rows = table0[local] * reqm_t[..., None].astype(table0.dtype)   # (P, B, F)
+    rows = table0[local] * mine[..., None].astype(table0.dtype)     # (P, B, F)
     resp = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0)
     return jnp.sum(resp, axis=0)                                    # (B, F)
 

@@ -178,7 +178,8 @@ def test_full_distributed_train_step_runs_and_syncs():
 def test_comm_accounting():
     samp = DeviceDistSampler([10, 10], np.array([0, 100, 200]))
     per = samp.comm_bytes_per_sample(512, 8)
-    # layer1: m=512; layer2: m=512+5120
-    expect = (8 * 512 * 4 + 8 * 512 * 10 * 5
-              + 8 * 5632 * 4 + 8 * 5632 * 10 * 5)
+    # layer1: m=512; layer2: m=512+5120 — responses are ids only (the
+    # validity mask rides in the id sign bit since round 5)
+    expect = (8 * 512 * 4 + 8 * 512 * 10 * 4
+              + 8 * 5632 * 4 + 8 * 5632 * 10 * 4)
     assert per == expect
