@@ -393,18 +393,40 @@ class CIFAR10SuperPixelDataset(_SuperPixelDataset):
 
 class _InductiveNodeDataset(DGLDataset):
     """Many SBM graphs with node labels (train on some graphs, eval on
-    others)."""
+    others). With the real benchmarking-gnns pickle in ``raw_dir``
+    (``SBM_PATTERN.pkl`` / ``SBM_CLUSTER.pkl`` — the public
+    distribution behind the graphs the reference re-serializes as DGL
+    ``.bin``, reference ``data/pattern.py:91``), parses the real data
+    (``parsers.parse_sbm_pkl``); else synthetic-shaped."""
+
+    SBM_NAME = None  # "PATTERN" / "CLUSTER" on the real subclasses
 
     def __init__(self, name, num_graphs=100, num_classes=2, seed=0,
-                 transform=None, **kwargs):
+                 mode="train", raw_dir=None, transform=None, **kwargs):
         self._cfg = (num_graphs, num_classes, seed)
         self._num_classes = num_classes
-        super().__init__(name=name, transform=transform)
+        self._mode = mode
+        self._sbm_raw = raw_dir
+        super().__init__(name=name, raw_dir=raw_dir, transform=transform)
 
     def process(self):
         from .. import convert
 
         nb, c, s = self._cfg
+        if self.SBM_NAME is not None:
+            from .parsers import has_sbm_raw, parse_sbm_pkl
+
+            if has_sbm_raw(self._sbm_raw, self.SBM_NAME):
+                self._graphs = []
+                for src, dst, feat, label in parse_sbm_pkl(
+                        self._sbm_raw, self.SBM_NAME, self._mode):
+                    g = convert.graph((src, dst),
+                                      num_nodes=int(feat.shape[0]))
+                    g.ndata["feat"] = jnp.asarray(feat)
+                    g.ndata["label"] = jnp.asarray(
+                        label.astype(np.int32))
+                    self._graphs.append(g)
+                return
         rng = np.random.default_rng(s)
         self._graphs = []
         for _ in range(nb):
@@ -437,15 +459,21 @@ class _InductiveNodeDataset(DGLDataset):
 
 
 class PATTERNDataset(_InductiveNodeDataset):
-    def __init__(self, mode="train", transform=None, **kwargs):
-        super().__init__("PATTERNDataset", num_classes=2,
-                         transform=transform)
+    SBM_NAME = "PATTERN"
+
+    def __init__(self, mode="train", raw_dir=None, transform=None,
+                 **kwargs):
+        super().__init__("PATTERNDataset", num_classes=2, mode=mode,
+                         raw_dir=raw_dir, transform=transform)
 
 
 class CLUSTERDataset(_InductiveNodeDataset):
-    def __init__(self, mode="train", transform=None, **kwargs):
-        super().__init__("CLUSTERDataset", num_classes=6,
-                         transform=transform)
+    SBM_NAME = "CLUSTER"
+
+    def __init__(self, mode="train", raw_dir=None, transform=None,
+                 **kwargs):
+        super().__init__("CLUSTERDataset", num_classes=6, mode=mode,
+                         raw_dir=raw_dir, transform=transform)
 
 
 # -- temporal knowledge graphs (reference ``data/icews18.py``,
@@ -903,21 +931,34 @@ class PeptidesFunctionalDataset(GraphClassificationDataset):
     (15,535 peptides, ~150 nodes each) at reduced count; ``labels`` are
     (num_graphs, 10) float multi-hot."""
 
-    def __init__(self, num_graphs=400, transform=None, **kwargs):
+    LRGB_NAME = "Peptides-func"
+
+    def __init__(self, num_graphs=400, raw_dir=None, transform=None,
+                 **kwargs):
         self._nt = 10
+        self._lrgb_raw = raw_dir
+        self._lrgb_real = False
         super().__init__(
             name="PeptidesFunctionalDataset", num_graphs=num_graphs,
-            num_classes=10, feat_dim=9, transform=transform,
+            num_classes=10, feat_dim=9, raw_dir=raw_dir,
+            transform=transform,
         )
-        # convert integer labels to multi-hot + extra random positives
-        rng = np.random.default_rng(7)
-        multi = np.zeros((len(self._graphs), 10), np.float32)
-        for i, l in enumerate(np.asarray(self._labels)):
-            multi[i, int(l)] = 1.0
-            extra = rng.integers(0, 10, rng.integers(0, 3))
-            multi[i, extra] = 1.0
-        self._labels = jnp.asarray(multi)
-        self.labels = self._labels
+        if not self._lrgb_real:
+            # synthetic path: integer labels -> multi-hot + extras
+            rng = np.random.default_rng(7)
+            multi = np.zeros((len(self._graphs), 10), np.float32)
+            for i, l in enumerate(np.asarray(self._labels)):
+                multi[i, int(l)] = 1.0
+                extra = rng.integers(0, 10, rng.integers(0, 3))
+                multi[i, extra] = 1.0
+            self._labels = jnp.asarray(multi)
+            self.labels = self._labels
+
+    def process(self):
+        self._lrgb_real = _load_lrgb(self, self.LRGB_NAME,
+                                     self._lrgb_raw)
+        if not self._lrgb_real:
+            super().process()
 
     @property
     def num_tasks(self):
@@ -928,21 +969,58 @@ class PeptidesStructuralDataset(GraphClassificationDataset):
     """Peptides-struct (reference ``lrgb.py:23``): 11 REGRESSION targets
     per molecular graph."""
 
-    def __init__(self, num_graphs=400, transform=None, **kwargs):
+    LRGB_NAME = "Peptides-struct"
+
+    def __init__(self, num_graphs=400, raw_dir=None, transform=None,
+                 **kwargs):
         self._nt = 11
+        self._lrgb_raw = raw_dir
+        self._lrgb_real = False
         super().__init__(
             name="PeptidesStructuralDataset", num_graphs=num_graphs,
-            num_classes=11, feat_dim=9, transform=transform,
+            num_classes=11, feat_dim=9, raw_dir=raw_dir,
+            transform=transform,
         )
-        rng = np.random.default_rng(11)
-        self._labels = jnp.asarray(
-            rng.normal(size=(len(self._graphs), 11)).astype(np.float32)
-        )
-        self.labels = self._labels
+        if not self._lrgb_real:
+            rng = np.random.default_rng(11)
+            self._labels = jnp.asarray(
+                rng.normal(size=(len(self._graphs), 11)
+                           ).astype(np.float32))
+            self.labels = self._labels
+
+    def process(self):
+        self._lrgb_real = _load_lrgb(self, self.LRGB_NAME,
+                                     self._lrgb_raw)
+        if not self._lrgb_real:
+            super().process()
 
     @property
     def num_tasks(self):
         return self._nt
+
+
+def _load_lrgb(ds, lrgb_name, raw_dir):
+    """Real-data path for the LRGB peptides sets: with the published
+    CSV in ``raw_dir`` (reference ``data/lrgb.py:145,408``), parse
+    SMILES into graphs (``parsers.smiles_to_graph`` — dependency-free
+    reader, see its documented divergence from rdkit features)."""
+    from .parsers import has_lrgb_raw, parse_lrgb_peptides
+
+    if not has_lrgb_raw(raw_dir, lrgb_name):
+        return False
+    from .. import convert
+
+    graphs, targets = parse_lrgb_peptides(raw_dir, lrgb_name)
+    ds._graphs = []
+    for src, dst, nf, ef in graphs:
+        g = convert.graph((src, dst), num_nodes=int(nf.shape[0]))
+        g.ndata["feat"] = jnp.asarray(nf)
+        if ef.shape[0]:
+            g.edata["feat"] = jnp.asarray(ef)
+        ds._graphs.append(g)
+    ds._labels = jnp.asarray(targets)
+    ds.labels = ds._labels
+    return True
 
 
 class _SuperpixelNodeDataset(DGLDataset):

@@ -913,3 +913,221 @@ def has_geom_gcn_raw(raw_dir) -> bool:
 
     return bool(raw_dir) and _os.path.exists(
         _os.path.join(raw_dir, "out1_graph_edges.txt"))
+
+
+def parse_sbm_pkl(raw_dir: str, name: str = "PATTERN",
+                  mode: str = "train"):
+    """Parse the benchmarking-gnns SBM pickle (``SBM_PATTERN.pkl`` /
+    ``SBM_CLUSTER.pkl`` — the public distribution behind the graphs the
+    reference re-serializes as DGL ``.bin``, reference
+    ``data/pattern.py:91``, ``data/cluster.py``): a pickled 3-tuple/list
+    of (train, val, test) sample lists; each sample carries a dense
+    adjacency ``W`` (n, n), integer ``node_feat`` (n,) and
+    ``node_label`` (n,) — as dict keys or attributes, torch tensors or
+    numpy.
+
+    Returns a list of (src, dst, node_feat, node_label) per graph.
+    """
+    import os as _os
+    import pickle as _pickle
+
+    path = _os.path.join(raw_dir, f"SBM_{name.upper()}.pkl")
+    with open(path, "rb") as f:
+        splits = _pickle.load(f)
+    split = splits[{"train": 0, "valid": 1, "val": 1, "test": 2}[mode]]
+
+    def _field(sample, key):
+        v = sample[key] if isinstance(sample, dict) else getattr(sample,
+                                                                 key)
+        return np.asarray(v)
+
+    out = []
+    for sample in split:
+        W = _field(sample, "W")
+        src, dst = np.nonzero(W)
+        out.append((src.astype(np.int64), dst.astype(np.int64),
+                    _field(sample, "node_feat").astype(np.int64).ravel(),
+                    _field(sample, "node_label").astype(np.int64).ravel()))
+    return out
+
+
+def has_sbm_raw(raw_dir, name: str = "PATTERN") -> bool:
+    import os as _os
+
+    return bool(raw_dir) and _os.path.exists(
+        _os.path.join(raw_dir, f"SBM_{name.upper()}.pkl"))
+
+
+# periodic-table subset covering peptide/organic SMILES
+_ATOMIC_NUM = {
+    "H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17, "Se": 34, "Br": 35, "I": 53,
+}
+_BOND_ORDER = {"-": 1, "=": 2, "#": 3, ":": 1, "/": 1, "\\": 1}
+
+
+def smiles_to_graph(smiles: str):
+    """Minimal dependency-free SMILES reader: atoms (incl. bracket
+    atoms with charge/H-count), bonds (- = # : / \\), branches, ring
+    closures (digits + %nn), aromatic lowercase.
+
+    NOT an rdkit replacement: node features are
+    ``[atomic_num, aromatic, formal_charge + 4, ring_member]`` int64 and
+    edge features ``[bond_order, aromatic_bond]`` — a documented
+    divergence from ogb's 9-dim atom embedding (the reference's
+    ``smiles2graph`` needs rdkit, unavailable here; reference
+    ``data/lrgb.py:192``). Returns (src, dst, node_feat, edge_feat)
+    with both edge directions.
+    """
+    atoms = []    # [atomic_num, aromatic, charge+4, ring]
+    bonds = []    # (u, v, order, aromatic)
+    prev = None
+    stack = []
+    rings = {}
+    pending_bond = None
+    i, n = 0, len(smiles)
+
+    def add_atom(sym, aromatic, charge):
+        atoms.append([_ATOMIC_NUM[sym], int(aromatic), charge + 4, 0])
+        return len(atoms) - 1
+
+    while i < n:
+        ch = smiles[i]
+        if ch == "(":
+            stack.append(prev)
+            i += 1
+        elif ch == ")":
+            prev = stack.pop()
+            i += 1
+        elif ch in "-=#:/\\":
+            pending_bond = ch
+            i += 1
+        elif ch == ".":
+            prev = None
+            i += 1
+        elif ch == "[":
+            j = smiles.index("]", i)
+            body = smiles[i + 1:j]
+            k = 0
+            while k < len(body) and body[k].isdigit():  # isotope
+                k += 1
+            sym = body[k]
+            if k + 1 < len(body) and body[k:k + 2] in _ATOMIC_NUM:
+                sym = body[k:k + 2]
+            aromatic = sym.islower()
+            charge = body.count("+") - body.count("-")
+            a = add_atom(sym.capitalize() if len(sym) == 1 else sym,
+                         aromatic, charge)
+            if prev is not None:
+                o = _BOND_ORDER.get(pending_bond, 1)
+                bonds.append((prev, a, o, 0))
+            pending_bond, prev = None, a
+            i = j + 1
+        elif ch.isdigit() or ch == "%":
+            if ch == "%":
+                num = smiles[i + 1:i + 3]
+                i += 3
+            else:
+                num = ch
+                i += 1
+            if num in rings:
+                u = rings.pop(num)
+                o = _BOND_ORDER.get(pending_bond, 1)
+                arom = int(smiles[i - len(num) - 1].islower()
+                           if i - len(num) - 1 >= 0 else 0)
+                bonds.append((u, prev, o, arom))
+                atoms[u][3] = 1
+                atoms[prev][3] = 1
+            else:
+                rings[num] = prev
+            pending_bond = None
+        else:
+            sym = ch
+            if i + 1 < n and smiles[i:i + 2] in ("Cl", "Br", "Si", "Se"):
+                sym = smiles[i:i + 2]
+                i += 2
+            elif ch.upper() in _ATOMIC_NUM or ch in "cnops":
+                i += 1
+            else:  # unsupported token (stereo @, H counts outside [])
+                i += 1
+                continue
+            aromatic = sym.islower()
+            a = add_atom(sym if len(sym) == 2 else sym.upper(), aromatic,
+                         0)
+            if prev is not None:
+                o = _BOND_ORDER.get(pending_bond,
+                                    1)
+                bonds.append((prev, a, o,
+                              int(aromatic and atoms[prev][1])))
+            pending_bond, prev = None, a
+
+    node_feat = np.asarray(atoms, np.int64)
+    if bonds:
+        u = np.asarray([b[0] for b in bonds], np.int64)
+        v = np.asarray([b[1] for b in bonds], np.int64)
+        ef = np.asarray([[b[2], b[3]] for b in bonds], np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        edge_feat = np.concatenate([ef, ef])
+    else:
+        src = dst = np.zeros(0, np.int64)
+        edge_feat = np.zeros((0, 2), np.int64)
+    return src, dst, node_feat, edge_feat
+
+
+def parse_lrgb_peptides(raw_dir: str, name: str = "Peptides-struct"):
+    """Parse the LRGB peptides CSV (reference ``data/lrgb.py:145,408``:
+    ``peptide_structure_dataset.csv.gz`` with 11 regression targets /
+    ``peptide_multi_class_dataset.csv.gz`` with ``labels`` lists).
+    SMILES strings become graphs via :func:`smiles_to_graph`.
+
+    Returns (graphs, targets): graphs a list of
+    (src, dst, node_feat, edge_feat), targets (B, T) float32.
+    """
+    import csv as _csv
+    import gzip as _gzip
+    import os as _os
+
+    struct = "struct" in name.lower()
+    fname = ("peptide_structure_dataset.csv.gz" if struct
+             else "peptide_multi_class_dataset.csv.gz")
+    path = _os.path.join(raw_dir, fname)
+    opener = _gzip.open if fname.endswith(".gz") else open
+    if not _os.path.exists(path):
+        path = path[: -len(".gz")]
+        opener = open
+    target_names = [
+        "Inertia_mass_a", "Inertia_mass_b", "Inertia_mass_c",
+        "Inertia_valence_a", "Inertia_valence_b", "Inertia_valence_c",
+        "length_a", "length_b", "length_c", "Spherocity",
+        "Plane_best_fit",
+    ]
+    graphs, targets = [], []
+    with opener(path, "rt") as f:
+        for row in _csv.DictReader(f):
+            graphs.append(smiles_to_graph(row["smiles"]))
+            if struct:
+                targets.append([float(row[t]) for t in target_names])
+            else:
+                lab = [int(x) for x in
+                       row["labels"].strip("[] ").replace(",", " ").split()]
+                hot = np.zeros(10, np.float32)
+                hot[lab] = 1.0
+                targets.append(hot)
+    t = np.asarray(targets, np.float32)
+    if struct and len(t):
+        # the reference normalizes targets to zero mean / unit std
+        t = (t - t.mean(0)) / np.maximum(t.std(0), 1e-9)
+    return graphs, t
+
+
+def has_lrgb_raw(raw_dir, name: str = "Peptides-struct") -> bool:
+    import os as _os
+
+    if not raw_dir:
+        return False
+    stem = ("peptide_structure_dataset.csv"
+            if "struct" in name.lower() else
+            "peptide_multi_class_dataset.csv")
+    return (_os.path.exists(_os.path.join(raw_dir, stem + ".gz"))
+            or _os.path.exists(_os.path.join(raw_dir, stem)))
