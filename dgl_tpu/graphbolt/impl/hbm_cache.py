@@ -29,6 +29,52 @@ from ...base import DGLError
 
 __all__ = ["HBMFeatureCache"]
 
+_BUCKET = 256
+
+
+def _pad_bucket(arr: np.ndarray, fill) -> np.ndarray:
+    """Pad a 1-D int array up to the next _BUCKET multiple with ``fill``
+    (an out-of-range position for scatter ``mode='drop'``)."""
+    n = arr.shape[0]
+    m = max(_BUCKET, -(-n // _BUCKET) * _BUCKET)
+    out = np.full(m, fill, np.int64)
+    out[:n] = arr
+    return out
+
+
+def _assemble(out_len, table, hit_pos, hit_slots, miss_pos, miss_rows):
+    import jax
+
+    return _init_jit()(out_len, table, jax.numpy.asarray(hit_pos),
+                       jax.numpy.asarray(hit_slots),
+                       jax.numpy.asarray(miss_pos),
+                       jax.numpy.asarray(miss_rows))
+
+
+def _assemble_impl(out_len, table, hit_pos, hit_slots, miss_pos,
+                   miss_rows):
+    import jax.numpy as jnp
+
+    out = jnp.zeros((out_len,) + table.shape[1:], table.dtype)
+    out = out.at[hit_pos].set(
+        jnp.take(table, jnp.clip(hit_slots, 0, table.shape[0] - 1),
+                 axis=0), mode="drop")
+    out = out.at[miss_pos].set(miss_rows.astype(table.dtype),
+                               mode="drop")
+    return out
+
+
+_assemble_jit = None
+
+
+def _init_jit():
+    global _assemble_jit
+    if _assemble_jit is None:
+        import jax
+
+        _assemble_jit = jax.jit(_assemble_impl, static_argnums=(0,))
+    return _assemble_jit
+
 
 class HBMFeatureCache:
     """Two-tier feature fetch: device-resident hot rows + host fallback.
@@ -78,22 +124,23 @@ class HBMFeatureCache:
     def read_batch(self, ids: np.ndarray):
         """Assemble (len(ids), F) rows on device: hot rows gathered from
         the HBM table, misses read on host (only those rows cross the
-        host->device link) and scattered into place."""
-        import jax
-        import jax.numpy as jnp
+        host->device link) and scattered into place.
 
+        Shapes are BUCKETED (hit/miss counts round up to 256-multiples,
+        padding dropped via OOB scatter indices): the round-4 giant-tier
+        bench let every step's unique hit count cut a fresh XLA program
+        — continuous recompilation that inflated the 'train' stage share
+        and would hit the remote compile service per step on real TPU."""
         ids = np.asarray(ids)
         hit_pos, hit_slots, miss_pos, miss_ids = self.split(ids)
-        out = jnp.zeros((ids.shape[0],) + self._table.shape[1:],
-                        self._table.dtype)
-        if hit_pos.size:
-            out = out.at[jnp.asarray(hit_pos)].set(
-                jnp.take(self._table, jnp.asarray(hit_slots), axis=0))
-        if miss_pos.size:
-            rows = jax.device_put(np.asarray(self._fb.read(miss_ids)))
-            out = out.at[jnp.asarray(miss_pos)].set(
-                rows.astype(self._table.dtype))
-        return out
+        n = ids.shape[0]
+        hp, hs = _pad_bucket(hit_pos, n), _pad_bucket(hit_slots, 0)
+        mp = _pad_bucket(miss_pos, n)
+        rows = (np.asarray(self._fb.read(miss_ids)) if miss_ids.size
+                else np.zeros((0,) + self._table.shape[1:], np.float32))
+        mr = np.zeros((mp.shape[0],) + rows.shape[1:], rows.dtype)
+        mr[: rows.shape[0]] = rows
+        return _assemble(n, self._table, hp, hs, mp, mr)
 
     # Feature API passthroughs so the cache drops into FeatureStore slots
     def read(self, ids=None):
