@@ -27,6 +27,8 @@ void sample_neighbors_etype(const int64_t*, const int64_t*, const int64_t*,
                             int64_t*, int64_t*, uint8_t*);
 int64_t aggregate_csr(const int32_t*, const int32_t*, const float*, int64_t,
                       int64_t, int, int64_t, int64_t*, int32_t*, float*);
+void kway_gains(const int64_t*, const int32_t*, const float*,
+                const int64_t*, int64_t, int64_t, int32_t*, float*);
 }
 
 static void test_coo_to_csr() {
@@ -411,8 +413,34 @@ static void test_aggregate_csr() {
   std::puts("aggregate_csr ok");
 }
 
+static void test_kway_gains() {
+  // 6-node path graph 0-1-2-3-4-5, parts [0,0,0,1,1,1], k=2:
+  // nodes 2 and 3 sit on the boundary with gain 0 (1 ext vs 1 int);
+  // interior nodes have gain -1 or -2
+  int64_t indptr[7] = {0, 1, 3, 5, 7, 9, 10};
+  int32_t indices[10] = {1, 0, 2, 1, 3, 2, 4, 3, 5, 4};
+  float w[10] = {1, 1, 1, 1, 1, 1, 1, 1, 1, 1};
+  int64_t parts[6] = {0, 0, 0, 1, 1, 1};
+  int32_t best[6];
+  float gain[6];
+  kway_gains(indptr, indices, w, parts, 6, 2, best, gain);
+  assert(best[2] == 1 && gain[2] == 0.0f);
+  assert(best[3] == 0 && gain[3] == 0.0f);
+  assert(gain[0] == -1.0f);  // one intra edge, zero ext
+  assert(gain[1] == -2.0f);
+  // weighted: strengthen 2-3, node 2 now wants part 1
+  w[4] = 5.0f; w[5] = 5.0f;
+  kway_gains(indptr, indices, w, parts, 6, 2, best, gain);
+  assert(best[2] == 1 && gain[2] == 4.0f);
+  // null weights = unit
+  kway_gains(indptr, indices, nullptr, parts, 6, 2, best, gain);
+  assert(gain[2] == 0.0f);
+  std::puts("kway_gains OK");
+}
+
 int main() {
   test_aggregate_csr();
+  test_kway_gains();
   test_etype_pick();
   test_hem_match();
   test_coo_to_csr();

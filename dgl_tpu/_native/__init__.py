@@ -87,6 +87,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int64, i64p, i32p, f32p,
     ]
     lib.aggregate_csr.restype = ctypes.c_int64
+    lib.kway_gains.argtypes = [
+        i64p, i32p, ctypes.c_void_p, i64p, ctypes.c_int64,
+        ctypes.c_int64, i32p, f32p,
+    ]
+    lib.kway_gains.restype = None
     u8p_w = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
     lib.batched_pread.argtypes = [
         ctypes.c_int, ctypes.c_int64, i64p, ctypes.c_int64,
@@ -242,6 +247,28 @@ def hem_match(rows, cols, num_nodes):
     matched = np.empty(num_nodes, np.int64)
     lib.hem_match(rows, cols, rows.shape[0], num_nodes, matched)
     return matched
+
+
+def kway_gains(indptr, indices, data, parts, k):
+    """Parallel k-way refinement gains over a CSR adjacency: per node
+    the best other part and the move gain. Returns (best i32, gain f32)
+    or None when native is unavailable (caller keeps the numpy
+    bincount path)."""
+    lib = get_lib()
+    if lib is None or k < 2:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    parts = np.ascontiguousarray(parts, np.int64)
+    n = indptr.shape[0] - 1
+    dptr = None
+    if data is not None:
+        data = np.ascontiguousarray(data, np.float32)
+        dptr = data.ctypes.data_as(ctypes.c_void_p)
+    best = np.empty(n, np.int32)
+    gain = np.empty(n, np.float32)
+    lib.kway_gains(indptr, indices, dptr, parts, n, int(k), best, gain)
+    return best, gain
 
 
 def aggregate_csr(rows, cols, weights, n, skip_diag=True, row_cap=0):

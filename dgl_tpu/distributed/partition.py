@@ -296,18 +296,30 @@ def _kway_refine(adj, parts, weights, k, passes=2, tol=0.04):
     O(E) numpy per pass — this is what makes the coarsen-once k-way path
     viable at 100M edges, where per-bisection KL on the fine graph is
     unaffordable."""
+    from .. import _native
+
     n = adj.shape[0]
-    coo = adj.tocoo()
+    coo = None
     total = weights.sum()
     cap = total / k * (1 + tol)
     for _ in range(passes):
-        idx = coo.row.astype(np.int64) * k + parts[coo.col]
-        conn = np.bincount(idx, weights=coo.data,
-                           minlength=n * k).reshape(n, k)
-        own = conn[np.arange(n), parts]
-        conn[np.arange(n), parts] = -np.inf
-        best = np.argmax(conn, axis=1)
-        gain = conn[np.arange(n), best] - own
+        # gain computation is the O(E) hot loop: native OpenMP over the
+        # CSR rows (csrc kway_gains); numpy bincount fallback
+        res = _native.kway_gains(adj.indptr, adj.indices, adj.data,
+                                 parts, k)
+        if res is not None:
+            best, gain = res
+            best = best.astype(np.int64)
+        else:
+            if coo is None:
+                coo = adj.tocoo()
+            idx = coo.row.astype(np.int64) * k + parts[coo.col]
+            conn = np.bincount(idx, weights=coo.data,
+                               minlength=n * k).reshape(n, k)
+            own = conn[np.arange(n), parts]
+            conn[np.arange(n), parts] = -np.inf
+            best = np.argmax(conn, axis=1)
+            gain = conn[np.arange(n), best] - own
         cand = np.nonzero(gain > 0)[0]
         if cand.size == 0:
             break
