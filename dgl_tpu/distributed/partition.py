@@ -422,22 +422,42 @@ def _kway_multilevel(adj, weights, k):
     levels = []
     a, w = adj, weights
     wmax = 8.0 * weights.sum() / _KWAY_COARSE_TO
-    chain_ck = _ck("chain.npz")
-    if chain_ck and _os.path.exists(chain_ck):
-        # resume: mappings + the coarsest graph from the checkpoint
+    coarsest_ck = _ck("coarsest.npz")
+    if coarsest_ck and _os.path.exists(coarsest_ck):
+        # full-chain resume: per-level mappings + the coarsest graph
         import scipy.sparse as _sp
 
-        meta = np.load(chain_ck, allow_pickle=False)
-        n_levels = int(meta["n_levels"])
-        for i in range(n_levels):
-            levels.append((meta[f"map{i}"],
+        i = 0
+        while _os.path.exists(_os.path.join(workdir, f"map{i}.npy")):
+            levels.append((np.load(_os.path.join(workdir,
+                                                 f"map{i}.npy")),
                            (_os.path.join(workdir, f"lvl{i}.npz"), None)))
-        a = _sp.load_npz(_os.path.join(workdir, "coarsest.npz"))
+            i += 1
+        a = _sp.load_npz(coarsest_ck)
         w = np.load(_os.path.join(workdir, "coarsest.w.npy"))
         if verbose:
-            print(f"[kway] resumed chain: {n_levels} levels, coarsest "
+            print(f"[kway] resumed chain: {len(levels)} levels, coarsest "
                   f"{a.shape[0]} nodes ({a.nnz} nnz)", flush=True)
     else:
+        if workdir:
+            # mid-chain resume: reload the deepest completed level
+            import scipy.sparse as _sp
+
+            i = 0
+            while (_os.path.exists(_os.path.join(workdir, f"map{i}.npy"))
+                   and _os.path.exists(
+                       _os.path.join(workdir, f"lvl{i + 1}.npz"))):
+                levels.append((np.load(_os.path.join(workdir,
+                                                     f"map{i}.npy")),
+                               (_os.path.join(workdir, f"lvl{i}.npz"),
+                                None)))
+                i += 1
+            if levels:
+                a = _sp.load_npz(_os.path.join(workdir, f"lvl{i}.npz"))
+                w = np.load(_os.path.join(workdir, f"lvl{i}.npz.w.npy"))
+                if verbose:
+                    print(f"[kway] mid-chain resume at level {i} "
+                          f"({a.shape[0]} nodes)", flush=True)
         while a.shape[0] > _KWAY_COARSE_TO:
             t0 = _time.time()
             a2, w2, mapping = _coarsen(a, w, wmax=wmax)
@@ -447,15 +467,19 @@ def _kway_multilevel(adj, weights, k):
             if a2.shape[0] >= a.shape[0] * 0.95:
                 break
             levels.append((mapping, _maybe_spill(a, w, len(levels))))
+            if workdir:
+                # incremental checkpoint: the mapping makes the level
+                # resumable the moment its graph spill lands
+                np.save(_os.path.join(workdir,
+                                      f"map{len(levels) - 1}.npy"),
+                        mapping)
             del a, w
             a, w = a2, w2
         if workdir:
             import scipy.sparse as _sp
 
-            _sp.save_npz(_os.path.join(workdir, "coarsest.npz"), a)
+            _sp.save_npz(coarsest_ck, a)
             np.save(_os.path.join(workdir, "coarsest.w.npy"), w)
-            np.savez(chain_ck, n_levels=np.int64(len(levels)),
-                     **{f"map{i}": m for i, (m, _s) in enumerate(levels)})
     parts_ck = _ck("coarse_parts.npy")
     if parts_ck and _os.path.exists(parts_ck):
         parts_c = np.load(parts_ck)
