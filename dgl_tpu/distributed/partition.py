@@ -377,13 +377,24 @@ def _kway_multilevel(adj, weights, k):
     from scratch on failure; at 1.6B-edge scale a single-host run is
     hours, so every level graph + mapping + the coarse assignment
     persist and a rerun skips completed stages). With a workdir, every
-    level spills regardless of size."""
+    level spills regardless of size.
+
+    ``DGL_TPU_KWAY_REFINE_STRIDE=<s>`` refines only every s-th level
+    (others project straight through their mapping and skip the graph
+    spill). Community-graph chains keep nnz nearly flat, so at 1.6B
+    edges storing every level graph (~11 x ~20 GB) exceeds a single
+    host's disk; stride 2 halves both the spill footprint and the
+    refinement wall. Quality must be gated at a smaller scale before
+    trusting a stride (the refinement ladder is what recovers the
+    coarse assignment's error — see docs/performance.md)."""
     import os as _os
     import tempfile as _tempfile
     import time as _time
 
     verbose = bool(_os.environ.get("DGL_TPU_PARTITION_VERBOSE"))
     workdir = _os.environ.get("DGL_TPU_KWAY_WORKDIR")
+    stride = max(1, int(_os.environ.get("DGL_TPU_KWAY_REFINE_STRIDE",
+                                        "1")))
     # default spill threshold keeps 100M-edge chains (levels ~180M nnz,
     # ~2.5 GB each) in RAM; 500M-edge levels (~950M nnz) spill
     spill_nnz = int(_os.environ.get("DGL_TPU_KWAY_SPILL_NNZ",
@@ -422,16 +433,21 @@ def _kway_multilevel(adj, weights, k):
     levels = []
     a, w = adj, weights
     wmax = 8.0 * weights.sum() / _KWAY_COARSE_TO
+    def _stored_for(i):
+        p = _os.path.join(workdir, f"lvl{i}.npz")
+        return (p, None) if _os.path.exists(p) else (None, None)
+
     coarsest_ck = _ck("coarsest.npz")
     if coarsest_ck and _os.path.exists(coarsest_ck):
         # full-chain resume: per-level mappings + the coarsest graph
+        # (strided levels have a mapping but no spilled graph)
         import scipy.sparse as _sp
 
         i = 0
         while _os.path.exists(_os.path.join(workdir, f"map{i}.npy")):
             levels.append((np.load(_os.path.join(workdir,
                                                  f"map{i}.npy")),
-                           (_os.path.join(workdir, f"lvl{i}.npz"), None)))
+                           _stored_for(i)))
             i += 1
         a = _sp.load_npz(coarsest_ck)
         w = np.load(_os.path.join(workdir, "coarsest.w.npy"))
@@ -440,23 +456,27 @@ def _kway_multilevel(adj, weights, k):
                   f"{a.shape[0]} nodes ({a.nnz} nnz)", flush=True)
     else:
         if workdir:
-            # mid-chain resume: reload the deepest completed level
+            # mid-chain resume: redo from the deepest SPILLED level whose
+            # prefix of mappings is complete (strided levels between are
+            # recomputed deterministically)
             import scipy.sparse as _sp
 
-            i = 0
-            while (_os.path.exists(_os.path.join(workdir, f"map{i}.npy"))
-                   and _os.path.exists(
-                       _os.path.join(workdir, f"lvl{i + 1}.npz"))):
-                levels.append((np.load(_os.path.join(workdir,
-                                                     f"map{i}.npy")),
-                               (_os.path.join(workdir, f"lvl{i}.npz"),
-                                None)))
+            j = 0
+            i = 1
+            while _os.path.exists(_os.path.join(workdir,
+                                                f"map{i - 1}.npy")):
+                if _os.path.exists(_os.path.join(workdir,
+                                                 f"lvl{i}.npz")):
+                    j = i
                 i += 1
-            if levels:
-                a = _sp.load_npz(_os.path.join(workdir, f"lvl{i}.npz"))
-                w = np.load(_os.path.join(workdir, f"lvl{i}.npz.w.npy"))
+            if j > 0:
+                for i in range(j):
+                    levels.append((np.load(_os.path.join(
+                        workdir, f"map{i}.npy")), _stored_for(i)))
+                a = _sp.load_npz(_os.path.join(workdir, f"lvl{j}.npz"))
+                w = np.load(_os.path.join(workdir, f"lvl{j}.npz.w.npy"))
                 if verbose:
-                    print(f"[kway] mid-chain resume at level {i} "
+                    print(f"[kway] mid-chain resume at level {j} "
                           f"({a.shape[0]} nodes)", flush=True)
         while a.shape[0] > _KWAY_COARSE_TO:
             t0 = _time.time()
@@ -466,12 +486,17 @@ def _kway_multilevel(adj, weights, k):
                       f"({a2.nnz} nnz) {_time.time()-t0:.0f}s", flush=True)
             if a2.shape[0] >= a.shape[0] * 0.95:
                 break
-            levels.append((mapping, _maybe_spill(a, w, len(levels))))
+            lvl = len(levels)
+            if lvl % stride == 0:
+                levels.append((mapping, _maybe_spill(a, w, lvl)))
+            else:
+                # strided level: projection-only during refinement —
+                # the graph is neither kept nor spilled
+                levels.append((mapping, (None, None)))
             if workdir:
                 # incremental checkpoint: the mapping makes the level
                 # resumable the moment its graph spill lands
-                np.save(_os.path.join(workdir,
-                                      f"map{len(levels) - 1}.npy"),
+                np.save(_os.path.join(workdir, f"map{lvl}.npy"),
                         mapping)
             del a, w
             a, w = a2, w2
@@ -504,8 +529,13 @@ def _kway_multilevel(adj, weights, k):
             parts_c = np.load(ref_ck)
             continue
         t0 = _time.time()
-        fine_a, fine_w = _load_level(stored)
         parts_c = parts_c[mapping]
+        if stored[0] is None and stored[1] is None:
+            # strided level: projection only (no graph kept)
+            if ref_ck:
+                np.save(ref_ck, parts_c)
+            continue
+        fine_a, fine_w = _load_level(stored)
         parts_c = _kway_refine(fine_a, parts_c, fine_w, k,
                                passes=big_passes
                                if fine_a.shape[0] > 2_000_000
