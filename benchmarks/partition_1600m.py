@@ -50,20 +50,29 @@ def main():
           flush=True)
     t0 = time.time()
     labels = rng.integers(0, k, n).astype(np.int32)
-    # int32 ids everywhere: 2 x 6.5 GB instead of 2 x 13 GB
-    src = rng.integers(0, n, e).astype(np.int32)
     order = np.argsort(labels, kind="stable").astype(np.int32)
     cs = np.searchsorted(labels[order], np.arange(k + 1))
-    lo = cs[labels[src]]
-    width = (cs[labels[src] + 1] - lo).astype(np.int64)
-    dst = np.where(
-        np.random.default_rng(10).random(e) < 0.9,
-        order[lo + (np.random.default_rng(11).random(e)
-                    * width).astype(np.int64)],
-        np.random.default_rng(12).integers(0, n, e),
-    ).astype(np.int32)
-    del lo, width, order, cs
-    planted = int((labels[src] != labels[dst]).sum())
+    # int32 ids + CHUNKED generation: the vectorized one-shot build
+    # holds ~85 GB of int64/f64 temporaries at this scale
+    src = np.empty(e, np.int32)
+    dst = np.empty(e, np.int32)
+    planted = 0
+    CH = 100_000_000
+    for c0 in range(0, e, CH):
+        c1 = min(e, c0 + CH)
+        m = c1 - c0
+        s = rng.integers(0, n, m).astype(np.int32)
+        lo = cs[labels[s]]
+        width = cs[labels[s] + 1] - lo
+        intra = order[(lo + (rng.random(m) * width).astype(np.int64))
+                      .astype(np.int64)]
+        d = np.where(rng.random(m) < 0.9, intra,
+                     rng.integers(0, n, m).astype(np.int32)
+                     ).astype(np.int32)
+        planted += int((labels[s] != labels[d]).sum())
+        src[c0:c1] = s
+        dst[c0:c1] = d
+        del s, d, lo, width, intra
     del labels
     rel = Relation.from_coo(src, dst, n, n, formats=("coo",),
                             to_device=False)
