@@ -138,6 +138,7 @@ def _gat_fwd_pallas(bits, el, er, h, slope, nheads, odim):
         @pl.when(jnp.logical_and(j == 0, hh == 0))
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
+            lse_ref[:] = jnp.zeros_like(lse_ref)
             m_sc[:] = jnp.full_like(m_sc, _NEG)
             s_sc[:] = jnp.zeros_like(s_sc)
 
@@ -148,10 +149,22 @@ def _gat_fwd_pallas(bits, el, er, h, slope, nheads, odim):
             mask = _expand_tile(b_ref[:].astype(jnp.int32))
             base_sc[:] = jnp.where(mask > 0, 0.0, _NEG)
 
-        raw = _leaky(er_ref[:, hh][:, None] + elT_ref[hh, :][None, :],
+        # Mosaic forbids dynamic lane/sublane indexing (x[:, hh]): every
+        # per-head read is an iota-masked reduction over the full block,
+        # every per-head write an iota-masked merge — all static shapes
+        sel_h = jax.lax.broadcasted_iota(
+            jnp.int32, (_CG, nheads), 1) == hh  # (C, nheads)
+        sel_el = jax.lax.broadcasted_iota(
+            jnp.int32, (nheads, _S), 0) == hh  # (nheads, S)
+        sel_o = (jax.lax.broadcasted_iota(
+            jnp.int32, (_CG, HO), 1) // odim) == hh  # (C, H*O)
+        er_col = jnp.sum(jnp.where(sel_h, er_ref[:], 0.0), axis=1)
+        el_row = jnp.sum(jnp.where(sel_el, elT_ref[:], 0.0), axis=0)
+
+        raw = _leaky(er_col[:, None] + el_row[None, :],
                      slope) + base_sc[:]
         tm = jnp.max(raw, axis=1)
-        m_old = m_sc[:, hh]
+        m_old = jnp.sum(jnp.where(sel_h, m_sc[:], 0.0), axis=1)
         m_new = jnp.maximum(m_old, tm)
         # while a row has seen NO real entries m_new == _NEG: shift by 0
         # (exp of the _NEG-masked raw underflows to exact 0) and zero the
@@ -159,21 +172,29 @@ def _gat_fwd_pallas(bits, el, er, h, slope, nheads, odim):
         m_eff = jnp.where(m_new > _NEG / 2, m_new, 0.0)
         fac = jnp.where(m_old > _NEG / 2, jnp.exp(m_old - m_eff), 0.0)
         p = jnp.exp(raw - m_eff[:, None])
-        s_new = s_sc[:, hh] * fac + jnp.sum(p, axis=1)
-        m_sc[:, hh] = m_new
-        s_sc[:, hh] = s_new
-        sl = pl.ds(hh * odim, odim)
-        o_ref[:, sl] = (o_ref[:, sl] * fac[:, None]
-                        + jax.lax.dot_general(
-                            p.astype(jnp.bfloat16), h_ref[:, sl],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+        s_old = jnp.sum(jnp.where(sel_h, s_sc[:], 0.0), axis=1)
+        s_new = s_old * fac + jnp.sum(p, axis=1)
+        m_sc[:] = jnp.where(sel_h, m_new[:, None], m_sc[:])
+        s_sc[:] = jnp.where(sel_h, s_new[:, None], s_sc[:])
+        # full (S, H*O) dot: head hh's columns equal p @ h[:, hh-slice];
+        # the others are discarded by the sel_o merge (same MXU cost —
+        # H*O < 128 lanes pads to one MXU tile either way)
+        contrib = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), h_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = jnp.where(sel_o, o_ref[:] * fac[:, None] + contrib,
+                             o_ref[:])
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
-            o_ref[:, sl] = (o_ref[:, sl]
-                            / jnp.maximum(s_new, 1e-30)[:, None])
-            lse_ref[:, hh] = m_new + jnp.log(jnp.maximum(s_new, 1e-30))
+            o_ref[:] = jnp.where(
+                sel_o, o_ref[:] / jnp.maximum(s_new, 1e-30)[:, None],
+                o_ref[:])
+            lse_ref[:] = jnp.where(
+                sel_h,
+                (m_new + jnp.log(jnp.maximum(s_new, 1e-30)))[:, None],
+                lse_ref[:])
 
     out, lse = pl.pallas_call(
         kernel,
@@ -227,22 +248,33 @@ def _gat_bwd_dst_pallas(bits, el, er, h, slope, lse, ccoef, dz,
             mask = _expand_tile(b_ref[:].astype(jnp.int32))
             base_sc[:] = jnp.where(mask > 0, 0.0, _NEG)
 
-        raw_pre = er_ref[:, hh][:, None] + elT_ref[hh, :][None, :]
+        sel_h = jax.lax.broadcasted_iota(
+            jnp.int32, (_CG, nheads), 1) == hh
+        sel_el = jax.lax.broadcasted_iota(
+            jnp.int32, (nheads, _S), 0) == hh
+        sel_o = (jax.lax.broadcasted_iota(
+            jnp.int32, (_CG, HO), 1) // odim) == hh
+        er_col = jnp.sum(jnp.where(sel_h, er_ref[:], 0.0), axis=1)
+        el_row = jnp.sum(jnp.where(sel_el, elT_ref[:], 0.0), axis=0)
+        raw_pre = er_col[:, None] + el_row[None, :]
         # zero-in-degree rows carry lse ~ _NEG; force their alpha to
         # underflow (a _NEG lse would CANCEL the _NEG mask base)
-        lse_h = jnp.where(lse_ref[:, hh] > _NEG / 2,
-                          lse_ref[:, hh], -_NEG)
+        lse_c = jnp.sum(jnp.where(sel_h, lse_ref[:], 0.0), axis=1)
+        lse_h = jnp.where(lse_c > _NEG / 2, lse_c, -_NEG)
         alpha = jnp.exp(_leaky(raw_pre, slope) + base_sc[:]
                         - lse_h[:, None])
         bmat = alpha * _dleaky(raw_pre, slope)
-        sl = pl.ds(hh * odim, odim)
+        # full-width dot; only head hh's lanes are consumed (sel_o)
         bh = jax.lax.dot_general(
-            bmat.astype(jnp.bfloat16), h_ref[:, sl],
+            bmat.astype(jnp.bfloat16), h_ref[:],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (C, O)
-        term1 = jnp.sum(bh * dz_ref[:, sl].astype(jnp.float32), axis=1)
-        term2 = cc_ref[:, hh] * jnp.sum(bmat, axis=1)
-        der_ref[:, hh] += term1 - term2
+            preferred_element_type=jnp.float32)  # (C, H*O)
+        term1 = jnp.sum(
+            jnp.where(sel_o, bh * dz_ref[:].astype(jnp.float32), 0.0),
+            axis=1)
+        cc_col = jnp.sum(jnp.where(sel_h, cc_ref[:], 0.0), axis=1)
+        term2 = cc_col * jnp.sum(bmat, axis=1)
+        der_ref[:] += jnp.where(sel_h, (term1 - term2)[:, None], 0.0)
 
     return pl.pallas_call(
         kernel,
@@ -292,24 +324,36 @@ def _gat_bwd_src_pallas(bits_t, el, er, h, slope, lse, ccoef, dz,
             mask = _expand_tile(b_ref[:].astype(jnp.int32))
             base_sc[:] = jnp.where(mask > 0, 0.0, _NEG)
 
+        sel_h = jax.lax.broadcasted_iota(
+            jnp.int32, (_CG, nheads), 1) == hh
+        sel_row = jax.lax.broadcasted_iota(
+            jnp.int32, (nheads, _S), 0) == hh
+        sel_o = (jax.lax.broadcasted_iota(
+            jnp.int32, (_CG, HO), 1) // odim) == hh
         # (src rows C, dst cols S)
-        raw_pre = el_ref[:, hh][:, None] + erT_ref[hh, :][None, :]
-        lse_row = jnp.where(lseT_ref[hh, :] > _NEG / 2,
-                            lseT_ref[hh, :], -_NEG)
+        el_col = jnp.sum(jnp.where(sel_h, el_ref[:], 0.0), axis=1)
+        er_row = jnp.sum(jnp.where(sel_row, erT_ref[:], 0.0), axis=0)
+        raw_pre = el_col[:, None] + er_row[None, :]
+        lse_r = jnp.sum(jnp.where(sel_row, lseT_ref[:], 0.0), axis=0)
+        lse_row = jnp.where(lse_r > _NEG / 2, lse_r, -_NEG)
         alpha = jnp.exp(_leaky(raw_pre, slope) + base_sc[:]
                         - lse_row[None, :])
         bmat = alpha * _dleaky(raw_pre, slope)
-        sl = pl.ds(hh * odim, odim)
-        dz_h = dz_ref[:, sl]  # (S, O)
-        dh_ref[:, sl] += jax.lax.dot_general(
-            alpha.astype(jnp.bfloat16), dz_h,
+        # full-width dots against dz (S, H*O): head hh's lanes carry
+        # alpha @ dz[:, hh-slice]; other heads' lanes are merged away
+        adz = jax.lax.dot_general(
+            alpha.astype(jnp.bfloat16), dz_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dh_ref[:] += jnp.where(sel_o, adz, 0.0)
         bdz = jax.lax.dot_general(
-            bmat.astype(jnp.bfloat16), dz_h,
+            bmat.astype(jnp.bfloat16), dz_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        term1 = jnp.sum(bdz * hs_ref[:, sl].astype(jnp.float32), axis=1)
-        term2 = jnp.sum(bmat * ccT_ref[hh, :][None, :], axis=1)
-        del_ref[:, hh] += term1 - term2
+        term1 = jnp.sum(
+            jnp.where(sel_o, bdz * hs_ref[:].astype(jnp.float32), 0.0),
+            axis=1)
+        cc_row = jnp.sum(jnp.where(sel_row, ccT_ref[:], 0.0), axis=0)
+        term2 = jnp.sum(bmat * cc_row[None, :], axis=1)
+        del_ref[:] += jnp.where(sel_h, (term1 - term2)[:, None], 0.0)
 
     return pl.pallas_call(
         kernel,
