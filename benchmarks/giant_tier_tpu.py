@@ -165,7 +165,7 @@ def main():
                 float(x[0, 0])
             with timer.stage("train"):
                 blk = jax.tree_util.tree_map(lambda a: a[0], blocks)
-                p, opt, loss = train_step(p, x, blk, y, ymask)
+                p, opt, loss = train_step(p, opt, x, blk, y, ymask)
                 float(loss)
         summ = timer.summary()
         total = sum(v["total_s"] for v in summ.values())
