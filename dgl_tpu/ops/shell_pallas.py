@@ -43,7 +43,9 @@ _FORCE_PALLAS_INTERPRET = False
 
 _BR = 512   # accumulator block rows (f32 sublane multiple; big blocks
 #             amortize per-grid-step overhead — measured round 1 that
-#             ~2.3k tiny steps cost ~ms)
+#             ~2.3k tiny steps cost ~ms; 1024 re-measured on-chip round
+#             5: 3.95 vs 3.89 ms — no win, padding waste cancels the
+#             step-count saving, keep 512)
 _FC_MAX = 512  # feature columns per block (VMEM budget)
 
 
