@@ -200,7 +200,8 @@ def _run(fallback: bool):
         gp, _perm = reorder_for_spmm(g, num_hubs=2048, precision="int8")
         plan = gp._relation(None).hub_plan
         path = (f"dense-hub H=2048 int8 (coverage {plan.coverage:.2f})"
-                f" + {plan.cold} cold (bf16 prefix-reduce shells, "
+                f" + {plan.cold} cold (bf16 Pallas shell-prefix "
+                f"accumulation on TPU, XLA prefix-reduce fallback; "
                 f"rank-relabeled: unrank elided)")
         iters = 20
 
