@@ -7,9 +7,11 @@ edge counts through the checkpointed kway path:
 
   - DGL_TPU_KWAY_WORKDIR: resumable per-level checkpoints (a partial
     run still yields the measured-per-level budget);
-  - DGL_TPU_KWAY_REFINE_STRIDE=2: every-other-level refinement (quality
-    gate: 100M stride-2 run, docs/partition_100m_r05.json; disk holds
-    ~6 of 11 level graphs instead of all);
+  - FULL refinement (stride 1): the stride-2 shortcut FAILED its 100M
+    quality gate (cut ratio 1.5252 vs 1.0000 full-chain,
+    docs/partition_100m_r05.json) and is not used. Disk budget for all
+    ~11 level graphs is ~200 GB f32 — spilled compressed (scipy
+    save_npz) under DGL_TPU_KWAY_WORKDIR;
   - native OpenMP kway_gains refinement (csrc, 24x the numpy loop).
 
 Records wall time / balance / cut-vs-planted into
@@ -41,8 +43,9 @@ from dgl_tpu.graph import Graph, Relation  # noqa: E402
 
 def main():
     os.environ.setdefault("DGL_TPU_PARTITION_VERBOSE", "1")
-    os.environ.setdefault("DGL_TPU_KWAY_WORKDIR", "/tmp/kway_1600m")
-    os.environ.setdefault("DGL_TPU_KWAY_REFINE_STRIDE", "2")
+    # /root, not /tmp: the driver wipes /tmp between sessions and the
+    # workdir is the whole point (resumable multi-session run)
+    os.environ.setdefault("DGL_TPU_KWAY_WORKDIR", "/root/kway_1600m")
     rng = np.random.default_rng(9)
     # ogbn-papers100M's published node/edge counts
     n, e, k = 111_059_956, 1_615_685_872, 16
@@ -102,7 +105,8 @@ def main():
         "planted_cut": planted,
         "cut_ratio_vs_planted": round(cut / max(planted, 1), 4),
         "build_seconds": round(t_build, 1),
-        "refine_stride": 2,
+        "refine_stride": int(os.environ.get(
+            "DGL_TPU_KWAY_REFINE_STRIDE", "1")),
         "host": "4-core CPU, OpenMP aggregate_csr + kway_gains",
     }
     print(json.dumps(out), flush=True)

@@ -58,9 +58,15 @@ def main():
         "n_nodes": 50_000_000,
         "n_edges": 500_000_000,
         "k": 16,
-        "chain": "unpruned coarsen + refine-stride 2 (quality gate: "
-                 "stride-2 cut ratio 1.0000 at the 1M deep-chain gate) "
-                 "+ native OpenMP kway_gains refinement",
+        "chain": ("unpruned coarsen (stride-independent: these level "
+                  "timings hold for any refinement plan) + native "
+                  "OpenMP kway_gains refinement. NOTE: this run was "
+                  "launched with refine-stride 2, which subsequently "
+                  "FAILED its 100M quality gate (cut ratio 1.5252 vs "
+                  "1.0000 full-chain, docs/partition_100m_r05.json) — "
+                  "the completed rerun must refine EVERY level "
+                  "(stride 1), re-spilling the levels this workdir "
+                  "skipped"),
         "build_seconds": build_s,
         "planted_cut": planted,
         "sym_adj_seconds": sym_s,

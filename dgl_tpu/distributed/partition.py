@@ -386,7 +386,15 @@ def _kway_multilevel(adj, weights, k):
     host's disk; stride 2 halves both the spill footprint and the
     refinement wall. Quality must be gated at a smaller scale before
     trusting a stride (the refinement ladder is what recovers the
-    coarse assignment's error — see docs/performance.md)."""
+    coarse assignment's error — see docs/performance.md). MEASURED
+    round 5: stride 2 passes the 1M deep-chain gate (cut ratio 1.0000)
+    but FAILS at 100M edges — cut ratio 1.5252 vs the full chain's
+    1.0000 on the same graph (docs/partition_100m_r05.json vs
+    partition_100m_r03.json). Dense community chains keep ~90% of nnz
+    at every level, so each projected-through level leaves boundary
+    error the next refined level cannot fully recover. Leave stride at
+    1 for quality-bearing artifacts; disk pressure at 1.6B needs a
+    different lever (e.g. spill compression or partial-level spills)."""
     import os as _os
     import tempfile as _tempfile
     import time as _time
